@@ -1,0 +1,157 @@
+"""Snapshot checkpointing + the scale-mode crawl runner.
+
+North_rule: runs resumable mid-crawl with per-partition lineage + metrics.
+Each round writes immutable parquet snapshots (Iceberg-style: new files +
+a manifest pointer, never in-place mutation):
+
+    <ckpt>/round=<k>/frontier/   partitioned by shard = pmod(host_hash, N)
+    <ckpt>/round=<k>/host_state/
+    <ckpt>/metrics/              one appended row per round (A7 analogue:
+                                 crawler/crawling/crawler.go:233-238)
+    <ckpt>/LATEST                text file with the last committed round
+
+Resume = read LATEST, reload that round's snapshots, continue. The parquet
+write doubles as the lineage truncation point, so iterative rounds don't
+accumulate an unbounded plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import FRONTIER_STATE_DUE, ROUND_METRICS_SCHEMA
+from .crawl import crawl_round, init_frontier
+
+N_FRONTIER_SHARDS = 32
+
+
+def _round_dir(ckpt: str, k: int) -> str:
+    return os.path.join(ckpt, f"round={k}")
+
+
+def write_snapshot(df: DataFrame, path: str, shard_col: str | None = "host_hash") -> None:
+    out = df
+    if shard_col is not None and shard_col in df.columns:
+        out = df.withColumn("shard", F.pmod(F.col(shard_col), F.lit(N_FRONTIER_SHARDS)))
+        out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    else:
+        out.write.mode("overwrite").parquet(path)
+
+
+def commit_round(ckpt: str, k: int) -> None:
+    tmp = os.path.join(ckpt, "LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(k))
+    os.replace(tmp, os.path.join(ckpt, "LATEST"))
+
+
+def latest_round(ckpt: str) -> int | None:
+    p = os.path.join(ckpt, "LATEST")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def load_frontier(spark: SparkSession, ckpt: str, k: int) -> DataFrame:
+    return spark.read.parquet(os.path.join(_round_dir(ckpt, k), "frontier")).drop("shard")
+
+
+def append_metrics(spark: SparkSession, ckpt: str, row: dict) -> None:
+    spark.createDataFrame([row], ROUND_METRICS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(ckpt, "metrics"))
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: list[str] | None = None,
+    rounds: int = 3,
+    ckpt_dir: str | None = None,
+    per_host_budget: int | None = None,
+    hot_host_salts: int = 1,
+    seen_probe=None,
+    resume: bool = False,
+    stop_when_exhausted: bool = True,
+    broadcast_batch: bool = False,
+) -> dict:
+    """Run scale-mode crawl rounds; returns summary metrics.
+
+    With ckpt_dir set, every round snapshots frontier + metrics and commits
+    LATEST; ``resume=True`` continues from the last committed round (seeds
+    ignored). Without ckpt_dir, lineage is truncated via localCheckpoint.
+    """
+    start_round = 0
+    if resume:
+        assert ckpt_dir, "resume requires ckpt_dir"
+        k = latest_round(ckpt_dir)
+        assert k is not None, "nothing to resume from"
+        frontier = load_frontier(spark, ckpt_dir, k)
+        start_round = k
+    else:
+        assert seeds, "fresh run requires seeds"
+        frontier = init_frontier(spark, seeds)
+        if ckpt_dir:
+            write_snapshot(frontier, os.path.join(_round_dir(ckpt_dir, 0), "frontier"))
+            commit_round(ckpt_dir, 0)
+
+    totals = {"visited": 0, "discovered": 0, "rounds": 0, "wall_sec": 0.0}
+    per_round = []
+    for k in range(start_round + 1, start_round + rounds + 1):
+        t0 = time.monotonic()
+        prev_size = frontier.count()
+        due = frontier.filter(F.col("state") == FRONTIER_STATE_DUE).count()
+        if stop_when_exhausted and due == 0:
+            break
+        round_ts = f"2026-06-01 {k // 3600:02d}:{(k // 60) % 60:02d}:{k % 60:02d}"
+        res = crawl_round(
+            spark,
+            frontier,
+            pages,
+            round_no=k,
+            per_host_budget=per_host_budget,
+            hot_host_salts=hot_host_salts,
+            seen_probe=seen_probe,
+            round_ts=round_ts,
+            broadcast_batch=broadcast_batch,
+        )
+        if ckpt_dir:
+            write_snapshot(res.frontier, os.path.join(_round_dir(ckpt_dir, k), "frontier"))
+            frontier = load_frontier(spark, ckpt_dir, k)
+        else:
+            frontier = res.frontier.localCheckpoint(eager=True)
+        size = frontier.count()
+        visited = frontier.filter(
+            F.col("last_crawled") == F.lit(round_ts).cast("timestamp")
+        ).count()
+        wall = time.monotonic() - t0
+        row = {
+            "round": k,
+            "visited": int(visited),
+            "discovered": int(size - prev_size),
+            "frontier_size": int(size),
+            "wall_sec": float(wall),
+            "urls_per_sec": float(visited / wall if wall > 0 else 0.0),
+            "n_partitions": frontier.rdd.getNumPartitions(),
+        }
+        per_round.append(row)
+        if ckpt_dir:
+            append_metrics(spark, ckpt_dir, row)
+            commit_round(ckpt_dir, k)
+        totals["visited"] += row["visited"]
+        totals["discovered"] += row["discovered"]
+        totals["rounds"] += 1
+        totals["wall_sec"] += wall
+    totals["frontier_size"] = frontier.count()
+    totals["urls_per_sec"] = (
+        totals["visited"] / totals["wall_sec"] if totals["wall_sec"] else 0.0
+    )
+    totals["per_round"] = per_round
+    totals["frontier"] = frontier
+    return totals

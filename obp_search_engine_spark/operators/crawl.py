@@ -1,0 +1,237 @@
+"""The crawl round — the engine's core job.
+
+Two modes:
+
+* **strict** (``strict_crawl``) — reproduces the reference scheduler's
+  visit order exactly (keyset chunks, same-round pickup iff id > cursor;
+  crawler/crawling/crawler.go:181-240, crawler/db/mysql.go:101-129) for the
+  golden fixtures. The dequeue batch is collected to the driver — the
+  reference does literally the same SELECT ... LIMIT chunk — while fetch,
+  extraction, canonicalization and self-link filtering run as Spark jobs.
+
+* **scale** (``crawl_round`` / ``run_crawl``) — the 10^10-URL design: one
+  wave per round, window-rank dequeue per host partition with politeness +
+  salting (operators/frontier.py), fetch join against the pages table,
+  Arrow-vectorized link extraction, bloom-prefiltered anti-join dedup
+  (operators/seen_set.py), frontier merge, snapshot checkpoint + metrics
+  per round (operators/checkpoint.py).
+
+The "fetch" is a join against the pages corpus — the simulated-network
+analogue of the reference's RPC GetConnections/GetProfile/GetItems
+(crawler/rpc/rpc.go:62-147); a left-join miss is an unreachable node
+(reference F2, crawler/crawling/crawler.go:86-88).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.extract import extract_links_udf
+from ..functions.urls import canonicalize_udf, canonicalize_url, with_url_keys
+from ..schemas import (
+    FRONTIER_SCHEMA,
+    FRONTIER_STATE_DONE,
+    FRONTIER_STATE_DUE,
+    FRONTIER_STATE_FAILED,
+)
+from .frontier import dequeue_wave
+from .reference_oracle import reference_crawl
+
+_ROUND_TS0 = "2026-06-01 00:00:00"
+
+
+def init_frontier(spark: SparkSession, seeds: list[str], depth: int = 0) -> DataFrame:
+    """Seed the frontier (reference self-seeding, crawler/main.go:64-83)."""
+    canon = sorted({c for s in seeds if (c := canonicalize_url(s))})
+    df = spark.createDataFrame([(u,) for u in canon], "url string")
+    return (
+        with_url_keys(df)
+        .withColumn("depth", F.lit(depth))
+        .withColumn("discovered_ts", F.lit(_ROUND_TS0).cast("timestamp"))
+        .withColumn("last_crawled", F.lit(None).cast("timestamp"))
+        .withColumn("state", F.lit(FRONTIER_STATE_DUE))
+        .select([f.name for f in FRONTIER_SCHEMA.fields])
+    )
+
+
+def discover_links(batch: DataFrame, pages: DataFrame, broadcast_batch: bool = True):
+    """Fetch join + link extraction + canonicalization + validity filter.
+
+    Returns (fetched, candidates):
+      fetched    — batch rows + html (left join; null html = unreachable)
+      candidates — (url, src_depth) canonical outlink targets, self-links
+                   dropped (reference F1, crawler/crawling/crawler.go:73-77),
+                   deduped within the wave.
+    """
+    b = batch.select("url", "depth")
+    if broadcast_batch:
+        b = F.broadcast(b)
+    fetched = b.join(pages.select("url", "html"), "url", "left")
+    links = fetched.select(
+        F.col("url").alias("src"),
+        F.col("depth").alias("src_depth"),
+        F.explode(extract_links_udf(F.col("html"))).alias("raw_link"),
+    )
+    candidates = (
+        links.withColumn("link", canonicalize_udf(F.col("raw_link")))
+        .filter(F.col("link").isNotNull() & (F.col("link") != F.col("src")))
+        .groupBy(F.col("link").alias("url"))
+        .agg(F.min("src_depth").alias("src_depth"))
+    )
+    return fetched, candidates
+
+
+def new_frontier_rows(candidates: DataFrame, round_ts) -> DataFrame:
+    return (
+        with_url_keys(candidates)
+        .withColumn("depth", (F.col("src_depth") + 1).cast("int"))
+        .withColumn("discovered_ts", F.lit(round_ts).cast("timestamp"))
+        .withColumn("last_crawled", F.lit(None).cast("timestamp"))
+        .withColumn("state", F.lit(FRONTIER_STATE_DUE))
+        .select([f.name for f in FRONTIER_SCHEMA.fields])
+    )
+
+
+# ---------------------------------------------------------------------------
+# strict fidelity mode
+# ---------------------------------------------------------------------------
+def strict_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: list[str],
+    rounds: int = 1,
+    chunk_size: int = 100,
+    group_size: int = 10,
+):
+    """Reference-exact crawl. Returns (visit_log, seen_set).
+
+    visit_log rows: (round, seq, url) — ascending-url order per keyset
+    chunk, discoveries visible from the next chunk fetch on (group barriers
+    inside a chunk don't alter scheduling: the chunk list is snapshotted
+    before processing, exactly as GetNextNodesChan's single SELECT).
+    """
+    del group_size  # parallelism knob only in the reference; no order effect
+    seen: set[str] = {c for s in seeds if (c := canonicalize_url(s))}
+    visits: list[tuple[int, int, str]] = []
+    pages = pages.select("url", "html")
+    for r in range(1, rounds + 1):
+        cursor = ""
+        seq = 0
+        while True:
+            chunk = sorted(u for u in seen if u > cursor)[:chunk_size]
+            if not chunk:
+                break
+            for u in chunk:
+                visits.append((r, seq, u))
+                seq += 1
+            batch = spark.createDataFrame(
+                [(u, 0) for u in chunk], "url string, depth int"
+            )
+            _, candidates = discover_links(batch, pages)
+            discovered = [row.url for row in candidates.select("url").collect()]
+            seen.update(discovered)  # INSERT IGNORE (crawler/db/mysql.go:293)
+            cursor = chunk[-1]
+    return visits, seen
+
+
+# ---------------------------------------------------------------------------
+# scale mode
+# ---------------------------------------------------------------------------
+@dataclass
+class RoundResult:
+    round: int
+    frontier: DataFrame
+    visited: int
+    discovered: int
+    frontier_size: int
+    wall_sec: float
+    host_state: DataFrame | None = None
+    metrics: dict = field(default_factory=dict)
+
+
+def crawl_round(
+    spark: SparkSession,
+    frontier: DataFrame,
+    pages: DataFrame,
+    round_no: int,
+    per_host_budget: int | None = None,
+    host_state: DataFrame | None = None,
+    hot_host_salts: int = 1,
+    seen_probe=None,
+    round_ts=None,
+    broadcast_batch: bool = False,
+) -> RoundResult:
+    """One scale-mode wave. Pure DataFrame plan; caller materializes.
+
+    seen_probe: optional callable(candidates_df, frontier_df) -> new urls df
+    (the bloom path, operators/seen_set.py); defaults to exact left-anti.
+    """
+    t0 = time.monotonic()
+    round_ts = round_ts or f"2026-06-01 {round_no // 3600:02d}:{(round_no // 60) % 60:02d}:{round_no % 60:02d}"
+
+    wave = dequeue_wave(
+        frontier,
+        per_host_budget=per_host_budget,
+        host_state=host_state,
+        now=round_ts,
+        hot_host_salts=hot_host_salts,
+    )
+    fetched, candidates = discover_links(wave, pages, broadcast_batch=broadcast_batch)
+
+    # dedup: candidates not already in the frontier (J4 anti-join)
+    if seen_probe is not None:
+        fresh = seen_probe(candidates, frontier)
+    else:
+        fresh = candidates.join(
+            frontier.select("url_hash").withColumnRenamed("url_hash", "_seen_hash"),
+            F.xxhash64(F.col("url")) == F.col("_seen_hash"),
+            "left_anti",
+        )
+    new_rows = new_frontier_rows(fresh, round_ts)
+
+    # frontier merge: visited -> done/failed, append discoveries
+    visited_mark = fetched.select(
+        "url", F.col("html").isNotNull().alias("_reachable")
+    )
+    updated = (
+        frontier.join(visited_mark, "url", "left")
+        .withColumn(
+            "state",
+            F.when(F.col("_reachable").isNull(), F.col("state"))
+            .when(F.col("_reachable"), F.lit(FRONTIER_STATE_DONE))
+            .otherwise(F.lit(FRONTIER_STATE_FAILED)),
+        )
+        .withColumn(
+            "last_crawled",
+            F.when(
+                F.col("_reachable").isNotNull(), F.lit(round_ts).cast("timestamp")
+            ).otherwise(F.col("last_crawled")),
+        )
+        .drop("_reachable")
+    )
+    merged = updated.unionByName(new_rows)
+
+    return RoundResult(
+        round=round_no,
+        frontier=merged,
+        visited=-1,  # caller fills after materialization
+        discovered=-1,
+        frontier_size=-1,
+        wall_sec=time.monotonic() - t0,
+        host_state=host_state,
+    )
+
+
+__all__ = [
+    "init_frontier",
+    "discover_links",
+    "new_frontier_rows",
+    "strict_crawl",
+    "crawl_round",
+    "RoundResult",
+    "reference_crawl",
+]

@@ -1,0 +1,106 @@
+"""Frontier scheduling: window-rank dequeue, politeness clock, hot-host
+salting.
+
+Reference analogues:
+  * dequeue  <- keyset frontier scan ``WHERE id > ? ORDER BY id LIMIT ?``
+    (crawler/db/mysql.go:101-129) + staleness top-1 (mysql.go:90-98). The
+    scale design replaces the cursor with a window rank per host partition
+    ordered by the depth-then-discovery-time priority the sentinel
+    timestamps encode (crawler/db/mysql.go:293).
+  * politeness <- the reference's only throttle is a global 10-goroutine cap
+    (crawler/main.go:36); ours is a per-host budget + a ``host_state``
+    crawl-delay clock (north_rule: robots crawl-delay budgets).
+  * salting <- no reference analogue; required at 10^10 URLs because one
+    mega-host would put its whole queue in one window partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import FRONTIER_STATE_DUE
+
+#: deterministic crawl priority — never-crawled first by discovery wave,
+#: then oldest-crawled, then url as the total-order tiebreaker. This is the
+#: reference's "sentinel-timestamp staleness" ordering made explicit
+#: (SURVEY.md §1.1 item 4).
+PRIORITY_COLS = ("depth", "discovered_ts", "url")
+
+
+def priority_order() -> list[Column]:
+    return [F.col(c).asc() for c in PRIORITY_COLS]
+
+
+def salted_host_key(host_hash: Column, url: Column, n_salts: int) -> Column:
+    """Split one hot host's queue across ``n_salts`` window partitions.
+
+    The salt is a pure function of the url so ranking stays deterministic;
+    per-salt budget = ceil(budget / n_salts) keeps the host total bounded.
+    """
+    return F.concat_ws(
+        "#", host_hash.cast("string"), F.pmod(F.xxhash64(url), F.lit(n_salts)).cast("string")
+    )
+
+
+def dequeue_wave(
+    frontier: DataFrame,
+    per_host_budget: int | None = None,
+    host_state: DataFrame | None = None,
+    now=None,
+    hot_host_salts: int = 1,
+) -> DataFrame:
+    """Select this round's crawl wave from the frontier.
+
+    - filter to ``state = 'due'``;
+    - politeness: drop hosts whose ``next_allowed_ts`` is in the future
+      (host_state is small — one row per host — so Catalyst broadcasts it);
+    - per-host budget: ``row_number`` over host partitions ordered by the
+      deterministic priority, keep rank <= budget. With ``hot_host_salts >
+      1`` the window partitions on a salted key so a mega-host's queue
+      spreads over several partitions (skew defusal) while the per-host
+      total stays <= budget.
+    """
+    wave = frontier.filter(F.col("state") == FRONTIER_STATE_DUE)
+    if host_state is not None and now is not None:
+        allowed = host_state.filter(
+            (F.col("next_allowed_ts").isNull()) | (F.col("next_allowed_ts") <= F.lit(now))
+        ).select("host")
+        wave = wave.join(F.broadcast(allowed), "host", "left_semi")
+    if per_host_budget is not None:
+        if hot_host_salts > 1:
+            key = salted_host_key(F.col("host_hash"), F.col("url"), hot_host_salts)
+            per_part = -(-per_host_budget // hot_host_salts)  # ceil div
+        else:
+            key = F.col("host_hash")
+            per_part = per_host_budget
+        w = Window.partitionBy(key).orderBy(*priority_order())
+        wave = (
+            wave.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= per_part)
+            .drop("_rank")
+        )
+    return wave
+
+
+def update_host_clock(
+    host_state: DataFrame, visited_hosts: DataFrame, now, default_delay: float = 0.0
+) -> DataFrame:
+    """Advance next_allowed_ts for hosts visited this wave (MERGE semantics:
+    matched hosts update their clock, new hosts insert with defaults)."""
+    bumped = visited_hosts.select("host").distinct()
+    merged = (
+        host_state.join(bumped.withColumn("_hit", F.lit(True)), "host", "full_outer")
+        .withColumn("crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(default_delay)))
+        .withColumn(
+            "next_allowed_ts",
+            F.when(
+                F.col("_hit"),
+                F.lit(now) + (F.col("crawl_delay") * 1000000).cast("long").cast(
+                    "interval microsecond"
+                ),
+            ).otherwise(F.col("next_allowed_ts")),
+        )
+        .drop("_hit")
+    )
+    return merged

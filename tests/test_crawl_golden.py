@@ -1,0 +1,87 @@
+"""Golden crawl-order + seen-set tests (north_rule correctness gate).
+
+The Spark strict-mode crawl must reproduce, visit-for-visit, the pure-Python
+oracle of the reference scheduler (operators/reference_oracle.py), on:
+  1. mock4 — the reference's own fixture graph (crawler/mock/mockrpc.go:3);
+  2. seeded synthetic graphs at small scale, including chunk sizes small
+     enough to exercise same-round pickup across keyset chunks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from obp_search_engine_spark.functions.extract import extract_links
+from obp_search_engine_spark.functions.urls import canonicalize_url
+from obp_search_engine_spark.operators.crawl import strict_crawl
+from obp_search_engine_spark.operators.reference_oracle import reference_crawl
+from obp_search_engine_spark.sources.pages import (
+    MOCK4_SEED_URL,
+    mock4_pages_df,
+    mock4_pages_records,
+    mock4_url,
+    synth_pages_df,
+)
+
+
+def _links_fn(records):
+    by_url = {r["url"]: extract_links(r["html"]) for r in records}
+    return lambda u: by_url.get(u, [])
+
+
+def test_mock4_oracle_matches_survey_expectation():
+    recs = mock4_pages_records()
+    visits, seen = reference_crawl(
+        [MOCK4_SEED_URL], _links_fn(recs), rounds=1, canonicalize=canonicalize_url
+    )
+    # FIXTURES.md §7.1: round-1 order 1,2,3,4; final seen {1,2,3,4}
+    assert [u for (_, _, u) in visits] == [mock4_url(n) for n in "1234"]
+    assert seen == {mock4_url(n) for n in "1234"}
+
+
+def test_mock4_spark_matches_oracle(spark):
+    recs = mock4_pages_records()
+    want_visits, want_seen = reference_crawl(
+        [MOCK4_SEED_URL], _links_fn(recs), rounds=2, canonicalize=canonicalize_url
+    )
+    got_visits, got_seen = strict_crawl(
+        spark, mock4_pages_df(spark), [MOCK4_SEED_URL], rounds=2
+    )
+    assert got_visits == want_visits
+    assert got_seen == want_seen
+
+
+@pytest.mark.parametrize("chunk_size", [3, 7, 100])
+def test_synthetic_graph_matches_oracle(spark, chunk_size):
+    n = 60
+    pages_df = synth_pages_df(spark, n_pages=n, n_hosts=6, seed=42)
+    recs = [r.asDict() for r in pages_df.collect()]
+    seeds = [recs[0]["url"], recs[7]["url"]]
+    want_visits, want_seen = reference_crawl(
+        seeds,
+        _links_fn(recs),
+        rounds=2,
+        chunk_size=chunk_size,
+        canonicalize=canonicalize_url,
+    )
+    got_visits, got_seen = strict_crawl(
+        spark, pages_df, seeds, rounds=2, chunk_size=chunk_size
+    )
+    assert got_seen == want_seen
+    assert got_visits == want_visits
+
+
+def test_same_round_pickup_semantics():
+    """A discovery sorting after the cursor is crawled in the same round;
+    one sorting before waits for the next round (crawler/db/mysql.go:102)."""
+    # graph: b -> a and b -> c. seed = b. Round 1 must visit b, then c (a
+    # sorts before cursor "b" -> deferred); round 2 visits a, b, c.
+    links = {"http://b.x/": ["http://a.x/", "http://c.x/"]}
+    visits, seen = reference_crawl(
+        ["http://b.x/"], lambda u: links.get(u, []), rounds=2, canonicalize=canonicalize_url
+    )
+    r1 = [u for (r, _, u) in visits if r == 1]
+    r2 = [u for (r, _, u) in visits if r == 2]
+    assert r1 == ["http://b.x/", "http://c.x/"]
+    assert r2 == ["http://a.x/", "http://b.x/", "http://c.x/"]
+    assert seen == {"http://a.x/", "http://b.x/", "http://c.x/"}
