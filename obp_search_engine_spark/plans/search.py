@@ -1,0 +1,184 @@
+"""The reference's search/moderation query surface as DataFrame plans.
+
+Ports the *semantics* of the apiserver/banserver endpoints (SURVEY.md §2.2,
+§2.3, §2.4, §3.2, §3.3) onto the engine's ``documents`` + ``frontier``
+tables. One Spark job per request — no N+1 loops (the reference issues one
+moderator query per distinct peerID, apiserver/index.js:140-158; we
+aggregate once and left-join).
+
+Quirk fidelity (each reference bug is reproduced under fidelity='strict'
+and corrected under fidelity='fixed'):
+  * F6 keyword search REPLACES the base where — blocked/testnet/nsfw
+    filters are dropped whenever q is present (apiserver/index.js:85-102).
+  * A5 ban ratio is items/banned (>=1 whenever any item is flagged), not
+    banned/items (crawler/crawling/crawler.go:125-146).
+  * A1 tag pagination overlaps pages (offset=batch*page but
+    limit=batch*(page+1), apiserver/tagsCache.js:78-79) double-counting the
+    overlap; 'fixed' counts each row once.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# rating buckets: apiserver/index.js:50-60
+RATING_THRESHOLDS = {5: 4.75, 4: 4.0, 3: 3.0, 2: 2.0, 1: 0.0}
+
+
+def base_predicate(nsfw: bool = False, testnet: bool = False):
+    """F4: blocked=false AND testnet=? [AND nsfw=false] (apiserver/index.js:41-47)."""
+    p = (F.col("blocked") == F.lit(False)) & (F.col("testnet") == F.lit(testnet))
+    if not nsfw:
+        p = p & (F.col("nsfw") == F.lit(False))
+    return p
+
+
+def keyword_predicate(q: str):
+    """F6: OR-of-LIKEs over title/description/tags (apiserver/index.js:85-102),
+    lower()ed on both sides to mirror MySQL's case-insensitive collation."""
+    words = [w for w in q.split(" ") if w]
+    cols = ["title", "text", "tags_str"]
+    return reduce(
+        or_,
+        [F.lower(F.col(c)).contains(w.lower()) for w in words for c in cols],
+    )
+
+
+def search_listings(
+    documents: DataFrame,
+    nodes_meta: DataFrame,
+    doc_moderators: DataFrame | None = None,
+    q: str | None = None,
+    rating: int | None = None,
+    sort_by: str | None = None,
+    ascending: bool = True,
+    page: int = 0,
+    page_size: int = 20,
+    nsfw: bool = False,
+    testnet: bool = False,
+    now=None,
+    fidelity: str = "strict",
+) -> DataFrame:
+    """/search/listings (apiserver/index.js:27-339) as one DataFrame plan.
+
+    nodes_meta: frontier/profile rows (url/peer_id, last_crawled, listed,
+    blocked, moderator flags). The node-side freshness+listed filter is F7
+    (apiserver/index.js:104-110); the join is J1 (index.js:122-125).
+    """
+    page_size = min(page_size, 100)  # apiserver/index.js:31 clamp
+    docs = documents.withColumn("tags_str", F.array_join("tags", ","))
+
+    where = base_predicate(nsfw=nsfw, testnet=testnet)
+    if q:
+        kw = keyword_predicate(q)
+        # strict: keyword where REPLACES the base filters (reference quirk)
+        where = kw if fidelity == "strict" else (where & kw)
+    docs = docs.filter(where)
+    if rating is not None:
+        docs = docs.filter(
+            F.col("avg_rating") >= F.lit(RATING_THRESHOLDS[rating])
+        )
+
+    fresh_nodes = nodes_meta
+    if now is not None:
+        fresh_nodes = fresh_nodes.filter(
+            (F.col("last_crawled") > F.lit(now) - F.expr("INTERVAL 8 HOURS"))
+            & F.col("listed")
+            & ~F.col("node_blocked")
+        )
+    out = docs.join(fresh_nodes, "peer_id", "inner")
+
+    if doc_moderators is not None:
+        mods = doc_moderators.groupBy("peer_id").agg(
+            F.sort_array(F.collect_set("moderator_id")).alias("moderators")
+        )
+        out = out.join(mods, "peer_id", "left")
+
+    order = [F.col("url").asc()]  # deterministic tiebreaker always last
+    if sort_by:
+        c = F.col(sort_by)
+        order = [c.asc() if ascending else c.desc()] + order
+    return out.orderBy(*order).offset(page * page_size).limit(page_size)
+
+
+def capitalize_first(col_name: str):
+    """X4 (apiserver/tagsCache.js:87): first char upper + rest lower —
+    deliberately NOT initcap (initcap capitalizes every word)."""
+    return F.concat(
+        F.upper(F.substring(col_name, 1, 1)),
+        F.lower(F.expr(f"substring({col_name}, 2)")),
+    )
+
+
+def top_tags(
+    documents: DataFrame,
+    nodes_meta: DataFrame | None = None,
+    k: int = 11,
+    now=None,
+) -> DataFrame:
+    """A1 /search/toptags (apiserver/tagsCache.js:51-125): explode tags,
+    capitalize first char, count, top-K. One hash-agg job instead of the
+    reference's overlapping-page scan loop."""
+    df = documents
+    if nodes_meta is not None and now is not None:
+        fresh = nodes_meta.filter(
+            F.col("last_crawled") > F.lit(now) - F.expr("INTERVAL 24 HOURS")
+        ).select("peer_id")
+        df = df.join(F.broadcast(fresh), "peer_id", "left_semi")
+    tags = (
+        df.select(F.explode("tags").alias("tag"))
+        .filter(F.col("tag") != "")
+        .select(
+            F.concat(
+                F.upper(F.substring("tag", 1, 1)), F.lower(F.expr("substring(tag, 2)"))
+            ).alias("tag")
+        )
+    )
+    return (
+        tags.groupBy("tag")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tag"))
+        .limit(k)
+    )
+
+
+def user_agent_histogram(nodes_meta: DataFrame) -> DataFrame:
+    """A2 (banserver/app.js:185-192)."""
+    return (
+        nodes_meta.groupBy("user_agent")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("user_agent"))
+    )
+
+
+def ban_ratio_decision(
+    documents: DataFrame,
+    allow_threshold: float = 0.1,
+    ban_threshold: float = 0.5,
+    fidelity: str = "strict",
+) -> DataFrame:
+    """A5 (crawler/crawling/crawler.go:108-148): per peer, compare a flag
+    ratio against thresholds -> decision in {ban, allow, review}.
+
+    strict: ratio = items/banned (the reference's inverted fraction — >=1
+    whenever any item is flagged, so any flag trips the ban branch);
+    fixed: ratio = banned/items.
+    """
+    agg = documents.groupBy("peer_id").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("is_blocked").cast("int")).alias("n_banned"),
+    )
+    if fidelity == "strict":
+        ratio = F.when(F.col("n_banned") > 0, F.col("n_items") / F.col("n_banned"))
+    else:
+        ratio = F.col("n_banned") / F.col("n_items")
+    return agg.withColumn("ratio", ratio).withColumn(
+        "decision",
+        F.when(F.col("ratio") >= ban_threshold, F.lit("ban"))
+        .when(F.col("ratio") <= allow_threshold, F.lit("allow"))
+        .otherwise(F.lit("review")),
+    )

@@ -1,0 +1,597 @@
+"""Driver-graded query registry: SURVEY.md §2 operators over the testdata
+tables, each with a DuckDB oracle SQL (FIXTURES.md §8 mapping).
+
+Every entry is REGISTRY[name] = QuerySpec(fn, sql, doc):
+  fn(spark, sf_dir) -> DataFrame          (the Spark plan)
+  sql: str | None                         (ANSI SQL for DuckDB; None =>
+                                           rows-only check by the driver)
+
+Conventions that make the driver's order-insensitive value-hash match:
+  * every computed column aliased identically on both sides;
+  * LIMIT/OFFSET queries carry a total-order sort key;
+  * double aggregates either go through exact decimal sums then one cast
+    to double, or get round(x, n) on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+    doc: str
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None, doc: str):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# F6 — keyword OR-of-LIKEs (apiserver/index.js:85-102)
+# ---------------------------------------------------------------------------
+@register(
+    "keyword_or_like",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE lower(p_name) LIKE '%green%'
+       OR lower(p_name) LIKE '%bolt%'
+       OR lower(p_type) LIKE '%small%'
+    """,
+    "F6 keyword search: OR-of-contains over name/type words",
+)
+def q_keyword_or_like(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    pred = (
+        F.lower(F.col("p_name")).contains("green")
+        | F.lower(F.col("p_name")).contains("bolt")
+        | F.lower(F.col("p_type")).contains("small")
+    )
+    return part.filter(pred).select("p_partkey", "p_name", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# J1 + F4/F7 — filtered inner join + aggregation (apiserver/index.js:104-125)
+# ---------------------------------------------------------------------------
+@register(
+    "filtered_join_agg",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """,
+    "J1 inner equi-join with join-side predicate + grouped revenue",
+)
+def q_filtered_join_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — N+1 moderator lookup replaced by one grouped collect + join
+# (apiserver/index.js:140-158)
+# ---------------------------------------------------------------------------
+@register(
+    "group_collect_join",
+    """
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT o.o_orderpriority)), ',') AS priorities,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    "J2: per-key collect_set replacing the reference's N+1 point lookups",
+)
+def q_group_collect_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — anti-join dedup (INSERT IGNORE, crawler/db/mysql.go:293)
+# ---------------------------------------------------------------------------
+@register(
+    "anti_join_dedup",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    """,
+    "J4: left-anti membership — rows not yet in the seen set",
+)
+def q_anti_join_dedup(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+    return cust.join(
+        events, cust.c_custkey == events.user_id, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# A1 + X4 — top-tags word count with first-char capitalization
+# (apiserver/tagsCache.js:81-121)
+# ---------------------------------------------------------------------------
+@register(
+    "top_tags",
+    """
+    SELECT upper(substr(tag, 1, 1)) || lower(substr(tag, 2)) AS tag,
+           count(*) AS cnt
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS tag FROM part)
+    WHERE tag <> ''
+    GROUP BY 1
+    ORDER BY cnt DESC, tag ASC
+    LIMIT 11
+    """,
+    "A1 explode->normalize->count->top-K (K=11, tagsCache.js:7)",
+)
+def q_top_tags(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("tag"))
+        .filter(F.col("tag") != "")
+        .select(
+            F.concat(
+                F.upper(F.substring("tag", 1, 1)), F.lower(F.expr("substring(tag, 2)"))
+            ).alias("tag")
+        )
+        .groupBy("tag")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tag"))
+        .limit(11)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — histogram (banserver/app.js:185-192)
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_count",
+    """
+    SELECT o_orderpriority AS user_agent, count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority ORDER BY user_agent DESC
+    """,
+    "A2 GROUP BY + COUNT ORDER BY key DESC",
+)
+def q_histogram_count(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("user_agent"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("user_agent"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — ban-ratio decision (crawler/crawling/crawler.go:108-148)
+# strict fidelity: ratio = items/banned (the reference's inverted fraction)
+# ---------------------------------------------------------------------------
+@register(
+    "ban_ratio",
+    """
+    SELECT o_custkey AS peer_id,
+           count(*) AS n_items,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_banned,
+           CASE
+             WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 0
+                  THEN 'allow'
+             WHEN count(*) / SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0.5
+                  THEN 'ban'
+             ELSE 'review'
+           END AS decision
+    FROM orders GROUP BY o_custkey
+    """,
+    "A5 per-peer flag ratio -> allow/ban/review (strict reference semantics: "
+    "bannedCnt==0 OR n/banned<0.1 -> allow; n/banned>0.5 -> ban; else review)",
+)
+def q_ban_ratio(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_custkey").alias("peer_id")).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_banned"),
+    )
+    ratio = F.try_divide(F.col("n_items"), F.col("n_banned"))
+    return agg.withColumn(
+        "decision",
+        F.when((F.col("n_banned") == 0) | (ratio < 0.1), F.lit("allow"))
+        .when(ratio > 0.5, F.lit("ban"))
+        .otherwise(F.lit("review")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3/O4 — sort + offset/limit pagination (apiserver/index.js:39-82)
+# ---------------------------------------------------------------------------
+@register(
+    "sort_paginate",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+    "O3/O4 deterministic sort + page (ps=20, p=2) with tiebreaker",
+)
+def q_sort_paginate(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — rating-bucket threshold filter (apiserver/index.js:50-60)
+# ---------------------------------------------------------------------------
+@register(
+    "rating_buckets",
+    """
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_acctbal >= 4750 THEN 5
+                WHEN c_acctbal >= 4000 THEN 4
+                WHEN c_acctbal >= 3000 THEN 3
+                WHEN c_acctbal >= 2000 THEN 2
+                ELSE 1 END AS bucket
+    FROM customer
+    WHERE c_acctbal >= 3000
+    """,
+    "F5 rating buckets {5:4.75,4:4,3:3,2:2,1:0} scaled x1000 onto acctbal",
+)
+def q_rating_buckets(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") >= 4750, 5)
+        .when(F.col("c_acctbal") >= 4000, 4)
+        .when(F.col("c_acctbal") >= 3000, 3)
+        .when(F.col("c_acctbal") >= 2000, 2)
+        .otherwise(1)
+    )
+    return (
+        cust.filter(F.col("c_acctbal") >= 3000)
+        .select("c_custkey", "c_acctbal", bucket.alias("bucket"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — window-rank frontier dequeue (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+@register(
+    "window_dequeue",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, rn
+    FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_shipdate ASC, l_orderkey ASC,
+                                         l_linenumber ASC) AS rn
+      FROM lineitem
+    ) WHERE rn <= 5
+    """,
+    "W1 row_number over host partitions ordered by priority, budget 5",
+)
+def q_window_dequeue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1-X4 — string surface: array_join / positional split / capitalize-first
+# (crawler/db/mysql.go:402-407, apiserver/index.js:188, tagsCache.js:87)
+# ---------------------------------------------------------------------------
+@register(
+    "string_ops",
+    """
+    SELECT p_partkey,
+           p_name || ',' || p_type AS joined,
+           string_split(p_name, ' ')[1] AS first_word,
+           upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2)) AS cap_type,
+           CASE WHEN p_brand IS NULL THEN '' ELSE p_brand END AS safe_brand
+    FROM part
+    """,
+    "X1 concat_ws / X2 positional split / X3 null-coalesce / X4 capitalize",
+)
+def q_string_ops(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat_ws(",", "p_name", "p_type").alias("joined"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.concat(
+            F.upper(F.substring("p_type", 1, 1)), F.lower(F.expr("substring(p_type, 2)"))
+        ).alias("cap_type"),
+        F.coalesce("p_brand", F.lit("")).alias("safe_brand"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7/X6 — freshness window filter (apiserver/index.js:104-110); logical-now
+# parameterized for determinism
+# ---------------------------------------------------------------------------
+@register(
+    "freshness_window",
+    """
+    SELECT event_type, count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-30 00:00:00' - INTERVAL 8 HOUR
+    GROUP BY event_type
+    """,
+    "F7 lastUpdated > now-8h freshness predicate with logical now",
+)
+def q_freshness_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    now = F.lit("2024-01-30 00:00:00").cast("timestamp")
+    return (
+        ev.filter(F.col("ts") > now - F.expr("INTERVAL 8 HOURS"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — two-hop bridge join (banserver/app.js:35-46)
+# ---------------------------------------------------------------------------
+@register(
+    "two_hop_join",
+    """
+    SELECT n.n_name, count(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name <> 'AFRICA'
+    GROUP BY n.n_name
+    """,
+    "J3 many-to-many through bridge: customer->nation->region",
+)
+def q_two_hop_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") != "AFRICA")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3 — point lookup; S2/O2 — staleness top-1
+# ---------------------------------------------------------------------------
+@register(
+    "point_lookup",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 42",
+    "S3 point lookup by key (crawler/db/mysql.go:323-336)",
+)
+def q_point_lookup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "staleness_top1",
+    """
+    SELECT user_id, ts FROM events ORDER BY ts ASC, user_id ASC, event_id ASC LIMIT 1
+    """,
+    "S2 ORDER BY lastUpdated ASC LIMIT 1 (crawler/db/mysql.go:90-98)",
+)
+def q_staleness_top1(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.asc("ts"), F.asc("user_id"), F.asc("event_id"))
+        .limit(1)
+        .select("user_id", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — distinct keys of a filtered page; A3 — count
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_keys",
+    "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'",
+    "A4 distinct peerIDs of a result set (apiserver/index.js:133-137)",
+)
+def q_distinct_keys(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+        .distinct()
+    )
+
+
+@register(
+    "count_total",
+    "SELECT count(*) AS total FROM lineitem WHERE l_quantity > 25",
+    "A3 findAndCountAll total (apiserver/index.js:132)",
+)
+def q_count_total(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 25)
+        .agg(F.count("*").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X9 — JSON decode with typed schema (crawler/rpc/rpc.go:107-115)
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events WHERE event_id < 100
+    """,
+    "X9 from_json typed decode of the props payload",
+)
+def q_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X10 — small lookup-map join (apiserver/utils.js:9-38 coin table)
+# ---------------------------------------------------------------------------
+@register(
+    "lookup_map",
+    """
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_name
+    FROM orders WHERE o_orderkey < 200
+    """,
+    "X10 literal lookup table (create_map / CASE)",
+)
+def q_lookup_map(spark, sf_dir):
+    m = F.create_map(
+        F.lit("O"), F.lit("open"),
+        F.lit("F"), F.lit("finished"),
+        F.lit("P"), F.lit("pending"),
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.coalesce(m[F.col("o_orderstatus")], F.lit("unknown")).alias("status_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — count + row_number renumbering (migration000.go:88-115)
+# ---------------------------------------------------------------------------
+@register(
+    "renumber_rows",
+    """
+    SELECT row_number() OVER (ORDER BY o_orderkey ASC) - 1 AS new_id, o_orderkey
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "A6 migration renumber loop as a row_number window",
+)
+def q_renumber_rows(spark, sf_dir):
+    w = Window.orderBy(F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select((F.row_number().over(w) - 1).alias("new_id"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10/F11/F12 — moderation filters (banserver/app.js:54-93, index.js:296-300)
+# ---------------------------------------------------------------------------
+@register(
+    "unlisted_filter",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_mktsegment <> 'AUTOMOBILE' AND c_acctbal <> 0 AND c_nationkey <> 3
+    ORDER BY c_name DESC, c_custkey ASC
+    """,
+    "F10 unlisted-nodes filter with <> predicates + ORDER BY name DESC",
+)
+def q_unlisted_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") != "AUTOMOBILE")
+            & (F.col("c_acctbal") != 0)
+            & (F.col("c_nationkey") != 3)
+        )
+        .orderBy(F.desc("c_name"), F.asc("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S16/O6 — seeded random sample (listingfiltering/learnNetwork.py:118-120)
+# rows-only: RAND() is not oracle-stable across engines
+# ---------------------------------------------------------------------------
+@register(
+    "seeded_sample",
+    None,
+    "S16 ORDER BY RAND() LIMIT 250 — deterministic within Spark (seed), "
+    "rows-only check (RNG differs across engines by design)",
+)
+def q_seeded_sample(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy(F.rand(seed=42), F.asc("doc_id"))
+        .limit(250)
+        .select("doc_id", "lang", "source")
+    )

@@ -1,0 +1,111 @@
+"""Dedup suite: exact, n-gram Jaccard, MinHash-LSH recall, SimHash."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from obp_search_engine_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different text about spark engines"),
+        (4, "completely different text about spark engines and more"),  # near 3
+        (5, "unrelated words entirely here nothing shared at all"),
+        (6, "The  Quick brown fox jumps over the lazy dog"),  # ws/case variant of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pure_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    sizes = {g.keep_id: g.n_docs for g in groups}
+    # 0, 2 and 6 (whitespace/case-normalized) collapse to keeper 0
+    assert sizes[0] == 3
+    deduped = dedup.exact_dedup(docs)
+    assert sorted(r.doc_id for r in deduped.collect()) == [0, 1, 3, 4, 5]
+
+
+def test_ngram_jaccard_matches_pure(docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        j = _pure_jaccard(rows[a], rows[b])
+        if j >= 0.3:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+
+
+def test_minhash_lsh_recall(spark):
+    # 40 docs: 20 base texts + 20 near-copies (one word changed) => 20 true
+    # near-dup pairs with high jaccard; LSH must find (almost) all of them
+    base = [
+        f"sentence number {i} about topic {i % 5} with shared words alpha beta gamma delta epsilon zeta"
+        for i in range(20)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)] + [
+        (100 + i, t.replace("shared", "common")) for i, t in enumerate(base)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.5, k=32, bands=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    true_pairs = {(i, 100 + i) for i in range(20)}
+    # every LSH pair must be a genuinely-similar pair (exact-verified)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert got <= exact
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"LSH recall {recall}"
+
+
+def test_simhash_deterministic_and_neardup(spark):
+    words = [f"tok{i}" for i in range(60)]
+    base = " ".join(words)
+    variant = " ".join(words[:-1] + ["changed"])  # 1 of 60 tokens differs
+    rows = [
+        (0, base),
+        (1, variant),
+        (2, "totally different content with other words in this doc entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    h1 = {r.doc_id: r.h for r in df.select("doc_id", dedup.simhash64_udf("text").alias("h")).collect()}
+    h2 = {r.doc_id: r.h for r in df.select("doc_id", dedup.simhash64_udf("text").alias("h")).collect()}
+    assert h1 == h2  # deterministic across runs
+    ham01 = bin((h1[0] ^ h1[1]) & (2**64 - 1)).count("1")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_neardup_pairs(df, max_hamming=max(ham01, 1)).collect()
+    }
+    assert pairs.get((0, 1)) == ham01  # found, with the exact distance
+    assert (0, 2) not in pairs or pairs[(0, 2)] > ham01
+
+
+def test_shingles_jvm_only(spark, docs):
+    # the minhash signature path must not contain a Python UDF eval node
+    sig = dedup.with_minhash(dedup.with_shingles(docs), k=8)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan

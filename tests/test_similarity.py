@@ -1,0 +1,86 @@
+"""Similarity search: brute-force correctness, LSH-ANN recall, near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from obp_search_engine_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    """120 vectors in 3 tight clusters + noise (deterministic)."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    centers = rng.standard_normal((3, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(120):
+        c = centers[i % 3]
+        v = c + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, rows
+
+
+def _pure_cos(a, b):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_brute_force_matches_numpy(vecs):
+    df, rows = vecs
+    q = rows[0][1]
+    got = similarity.brute_force_topk(df, q, k=10).collect()
+    want = sorted(
+        ((round(_pure_cos(q, v), 5), i) for i, v in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [(r.vec_id, r.cos) for r in got] == [(i, pytest.approx(c, abs=1e-5)) for c, i in want]
+
+
+def test_lsh_ann_recall(vecs):
+    df, rows = vecs
+    q = rows[3][1]
+    exact = [r.vec_id for r in similarity.brute_force_topk(df, q, k=10).collect()]
+    ann = [r.vec_id for r in similarity.lsh_ann_topk(df, q, k=10, n_planes=6, tables=4).collect()]
+    recall = len(set(exact) & set(ann)) / 10
+    assert recall >= 0.8, f"ANN recall {recall}: {ann} vs {exact}"
+
+
+def test_embedding_neardup_subset_of_bruteforce(vecs):
+    df, rows = vecs
+    thr = 0.95
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs(df, threshold=thr, n_planes=6).collect()
+    }
+    byid = dict(rows)
+    # precision 1: every reported pair is genuinely >= threshold
+    for a, b in got:
+        assert _pure_cos(byid[a], byid[b]) >= thr - 1e-9
+    # recall: same-bucket probability for ~0.96-cos pairs with 6 planes is
+    # ~(1 - angle/pi)^6 ~ 0.57 in expectation; require a healthy fraction
+    ids = sorted(byid)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _pure_cos(byid[a], byid[b]) >= thr
+    }
+    assert got <= brute
+    assert len(brute) > 100
+    assert len(got) >= 0.3 * len(brute), f"{len(got)}/{len(brute)}"
+
+
+def test_scoring_stays_jvm_side(vecs):
+    df, rows = vecs
+    plan = (
+        similarity.brute_force_topk(df, rows[0][1], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k without a full sort

@@ -1,0 +1,104 @@
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Runs every queries() entry at sf0.01 next to its oracle_sql() in DuckDB,
+compares row count, column names (sorted), and values (rows sorted by all
+columns) — exact match, like the driver's value hash.
+
+Usage: python tools/check_oracle.py [name ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+
+    import __spark_entry__ as e
+    from obp_search_engine_spark.session import get_spark
+
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = args or list(qs)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        dt = time.monotonic() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (rows-only) [{dt:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(
+                a, b, check_dtype=False, check_exact=True, check_datetimelike_compat=True
+            )
+            print(f"OK    {name}: {len(a)} rows [{dt:.1f}s]")
+            n_pass += 1
+        except AssertionError as ex:
+            print(f"FAIL  {name}: value mismatch: {str(ex).splitlines()[-1]}")
+            # show first diff
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad = neq.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                print("  spark :", a.loc[i].to_dict())
+                print("  oracle:", b.loc[i].to_dict())
+            n_fail += 1
+    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
