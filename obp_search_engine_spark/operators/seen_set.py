@@ -276,8 +276,14 @@ def bloom_probe(
     maybe_seen=False is definitive (bloom has no false negatives): the url
     is NEW. maybe_seen=True needs the exact check. Cogrouped per shard so a
     task only deserializes its own blob once per Arrow batch group."""
+    from pyspark.sql import types as T
+
     cand = candidates.withColumn("shard", _shard_col(n_shards))
-    out_schema = cand.schema.add("maybe_seen", "boolean")
+    # copy the fields — StructType.add mutates in place, which would corrupt
+    # the DataFrame's cached schema object
+    out_schema = T.StructType(
+        list(cand.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    )
     cols = [f.name for f in cand.schema.fields]
 
     def probe(cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
