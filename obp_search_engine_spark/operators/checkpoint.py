@@ -101,12 +101,25 @@ def run_crawl(
             write_snapshot(frontier, os.path.join(_round_dir(ckpt_dir, 0), "frontier"))
             commit_round(ckpt_dir, 0)
 
+    def stats(df, round_ts=None):
+        """size / due / visited-this-round in ONE job (not 3)."""
+        visited_flag = (
+            (F.col("last_crawled") == F.lit(round_ts).cast("timestamp")).cast("long")
+            if round_ts
+            else F.lit(0)
+        )
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("state") == FRONTIER_STATE_DUE).cast("long")).alias("due"),
+            F.sum(visited_flag).alias("vis"),
+        ).first()
+        return int(row["n"]), int(row["due"] or 0), int(row["vis"] or 0)
+
     totals = {"visited": 0, "discovered": 0, "rounds": 0, "wall_sec": 0.0}
     per_round = []
+    prev_size, due, _ = stats(frontier)
     for k in range(start_round + 1, start_round + rounds + 1):
         t0 = time.monotonic()
-        prev_size = frontier.count()
-        due = frontier.filter(F.col("state") == FRONTIER_STATE_DUE).count()
         if stop_when_exhausted and due == 0:
             break
         round_ts = f"2026-06-01 {k // 3600:02d}:{(k // 60) % 60:02d}:{k % 60:02d}"
@@ -126,10 +139,9 @@ def run_crawl(
             frontier = load_frontier(spark, ckpt_dir, k)
         else:
             frontier = res.frontier.localCheckpoint(eager=True)
-        size = frontier.count()
-        visited = frontier.filter(
-            F.col("last_crawled") == F.lit(round_ts).cast("timestamp")
-        ).count()
+        size, due, visited = stats(frontier, round_ts)
+        for df in res.metrics.get("persisted", []):
+            df.unpersist()
         wall = time.monotonic() - t0
         row = {
             "round": k,
@@ -148,7 +160,8 @@ def run_crawl(
         totals["discovered"] += row["discovered"]
         totals["rounds"] += 1
         totals["wall_sec"] += wall
-    totals["frontier_size"] = frontier.count()
+        prev_size = size
+    totals["frontier_size"] = prev_size
     totals["urls_per_sec"] = (
         totals["visited"] / totals["wall_sec"] if totals["wall_sec"] else 0.0
     )

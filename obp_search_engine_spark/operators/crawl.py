@@ -62,15 +62,26 @@ def discover_links(batch: DataFrame, pages: DataFrame, broadcast_batch: bool = T
     """Fetch join + link extraction + canonicalization + validity filter.
 
     Returns (fetched, candidates):
-      fetched    — batch rows + html (left join; null html = unreachable)
+      fetched    — wave rows + html for the urls present in pages
       candidates — (url, src_depth) canonical outlink targets, self-links
                    dropped (reference F1, crawler/crawling/crawler.go:73-77),
                    deduped within the wave.
+
+    Join strategy: the wave is budget-bounded while pages is the 100 TB
+    side, so with broadcast_batch the wave broadcasts into an INNER
+    broadcast-hash join (build-right — a left-outer can't broadcast its
+    preserved side) and pages is streamed exactly once with only
+    (url, html) read. Reachability of wave urls missing from pages is
+    recovered small-side in crawl_round. With broadcast_batch=False both
+    sides shuffle (sort-merge) — the fallback when a wave outgrows the
+    broadcast budget; at real scale pages would be bucketed by url so this
+    degenerates to a co-located join.
     """
     b = batch.select("url", "depth")
     if broadcast_batch:
-        b = F.broadcast(b)
-    fetched = b.join(pages.select("url", "html"), "url", "left")
+        fetched = pages.select("url", "html").join(F.broadcast(b), "url", "inner")
+    else:
+        fetched = b.join(pages.select("url", "html"), "url", "inner")
     links = fetched.select(
         F.col("url").alias("src"),
         F.col("depth").alias("src_depth"),
@@ -181,6 +192,9 @@ def crawl_round(
         hot_host_salts=hot_host_salts,
     )
     fetched, candidates = discover_links(wave, pages, broadcast_batch=broadcast_batch)
+    # the fetched wave feeds two consumers (link extraction + reachability);
+    # persist so the pages scan happens once per round
+    fetched = fetched.persist()
 
     # dedup: candidates not already in the frontier (J4 anti-join)
     if seen_probe is not None:
@@ -193,10 +207,20 @@ def crawl_round(
         )
     new_rows = new_frontier_rows(fresh, round_ts)
 
-    # frontier merge: visited -> done/failed, append discoveries
-    visited_mark = fetched.select(
-        "url", F.col("html").isNotNull().alias("_reachable")
+    # frontier merge: visited -> done/failed, append discoveries. A wave url
+    # absent from pages (or with null html) is unreachable (reference F2,
+    # crawler/crawling/crawler.go:86-88) -> state 'failed'. Both sides of
+    # this recovery join are wave-sized.
+    reached = fetched.select("url", F.col("html").isNotNull().alias("_r"))
+    visited_mark = (
+        wave.select("url")
+        .join(F.broadcast(reached) if broadcast_batch else reached, "url", "left")
+        .select("url", F.coalesce(F.col("_r"), F.lit(False)).alias("_reachable"))
     )
+    # broadcast the wave-sized mark so the frontier-side update (the huge
+    # side) never shuffles
+    if broadcast_batch:
+        visited_mark = F.broadcast(visited_mark)
     updated = (
         frontier.join(visited_mark, "url", "left")
         .withColumn(
@@ -223,6 +247,7 @@ def crawl_round(
         frontier_size=-1,
         wall_sec=time.monotonic() - t0,
         host_state=host_state,
+        metrics={"persisted": [fetched]},
     )
 
 

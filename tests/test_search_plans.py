@@ -1,0 +1,108 @@
+"""Reference search-surface plans over engine-domain tables (SURVEY §3.2/3.3),
+including the documented quirks in strict vs fixed fidelity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from obp_search_engine_spark.plans.search import (
+    ban_ratio_decision,
+    search_listings,
+    top_tags,
+    user_agent_histogram,
+)
+
+NOW = "2026-06-01 12:00:00"
+
+
+@pytest.fixture(scope="module")
+def domain(spark):
+    docs = spark.createDataFrame(
+        [
+            # url, peer_id, title, text, tags, nsfw, blocked, testnet, avg_rating, is_blocked
+            ("http://a.x/1", "p1", "blue widget", "a fine blue widget", ["tools", "blue"], False, False, False, 4.8, None),
+            ("http://a.x/2", "p1", "red hammer", "heavy red hammer", ["tools"], False, False, False, 3.5, True),
+            ("http://b.x/1", "p2", "green gadget", "a green gadget", ["gadgets", "green"], False, False, False, 4.9, None),
+            ("http://b.x/2", "p2", "nsfw thing", "very nsfw", ["adult"], True, False, False, 2.0, None),
+            ("http://c.x/1", "p3", "blocked item", "should not appear", ["x"], False, True, False, 5.0, True),
+            ("http://d.x/1", "p4", "stale node item", "from stale node", ["y"], False, False, False, 4.0, None),
+        ],
+        "url string, peer_id string, title string, text string, tags array<string>, "
+        "nsfw boolean, blocked boolean, testnet boolean, avg_rating double, is_blocked boolean",
+    )
+    nodes = spark.createDataFrame(
+        [
+            ("p1", dt.datetime(2026, 6, 1, 11, 0), True, False, "agent/1.0"),
+            ("p2", dt.datetime(2026, 6, 1, 10, 0), True, False, "agent/2.0"),
+            ("p3", dt.datetime(2026, 6, 1, 11, 0), True, False, "agent/1.0"),
+            ("p4", dt.datetime(2026, 5, 20, 0, 0), True, False, "agent/1.0"),  # stale
+        ],
+        "peer_id string, last_crawled timestamp, listed boolean, node_blocked boolean, user_agent string",
+    )
+    mods = spark.createDataFrame(
+        [("p1", "m1"), ("p1", "m2"), ("p2", "m1")],
+        "peer_id string, moderator_id string",
+    )
+    return docs, nodes, mods
+
+
+def test_search_base_filters_and_freshness(domain):
+    docs, nodes, mods = domain
+    got = search_listings(docs, nodes, mods, now=NOW)
+    urls = sorted(r.url for r in got.collect())
+    # blocked item gone (F4), nsfw gone (F4), stale node p4 gone (F7)
+    assert urls == ["http://a.x/1", "http://a.x/2", "http://b.x/1"]
+
+
+def test_keyword_replaces_base_where_strict_quirk(domain):
+    docs, nodes, mods = domain
+    # strict: q present -> base where REPLACED, so the nsfw row matches 'nsfw'
+    strict = search_listings(docs, nodes, q="nsfw", now=NOW, fidelity="strict")
+    assert [r.url for r in strict.collect()] == ["http://b.x/2"]
+    # fixed: base filters kept -> nsfw row excluded
+    fixed = search_listings(docs, nodes, q="nsfw", now=NOW, fidelity="fixed")
+    assert fixed.count() == 0
+
+
+def test_rating_bucket_and_moderators(domain):
+    docs, nodes, mods = domain
+    got = search_listings(docs, nodes, mods, rating=5, now=NOW).collect()
+    assert sorted(r.url for r in got) == ["http://a.x/1", "http://b.x/1"]
+    by_url = {r.url: r.moderators for r in got}
+    assert by_url["http://a.x/1"] == ["m1", "m2"]
+    assert by_url["http://b.x/1"] == ["m1"]
+
+
+def test_pagination_deterministic(domain):
+    docs, nodes, mods = domain
+    p0 = search_listings(docs, nodes, sort_by="avg_rating", ascending=False, page=0, page_size=2, now=NOW)
+    p1 = search_listings(docs, nodes, sort_by="avg_rating", ascending=False, page=1, page_size=2, now=NOW)
+    assert [r.url for r in p0.collect()] == ["http://b.x/1", "http://a.x/1"]
+    assert [r.url for r in p1.collect()] == ["http://a.x/2"]
+
+
+def test_top_tags_capitalization(domain):
+    docs, nodes, _ = domain
+    got = top_tags(docs, nodes, k=3, now=NOW).collect()
+    # no nsfw/blocked filter in the reference's tag scan (tagsCache.js:59-70
+    # joins items only to fresh nodes) -> 'Adult' counts; ties break by tag
+    assert [(r.tag, r.cnt) for r in got] == [("Tools", 2), ("Adult", 1), ("Blue", 1)]
+
+
+def test_user_agent_histogram(domain):
+    _, nodes, _ = domain
+    got = user_agent_histogram(nodes).collect()
+    assert [(r.user_agent, r.cnt) for r in got] == [("agent/2.0", 1), ("agent/1.0", 3)]
+
+
+def test_ban_ratio_strict_vs_fixed(domain, spark):
+    docs, _, _ = domain
+    strict = {r.peer_id: r.decision for r in ban_ratio_decision(docs).collect()}
+    # p1 has 1 flagged of 2 -> strict ratio = 2/1 = 2 >= 0.5 -> ban
+    assert strict["p1"] == "ban"
+    # p2 has 0 flagged -> sum is NULL-safe? n_banned null means no flags
+    fixed = {r.peer_id: r.decision for r in ban_ratio_decision(docs, fidelity="fixed").collect()}
+    assert fixed["p1"] == "ban"  # 0.5 >= 0.5
