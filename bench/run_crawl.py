@@ -1,0 +1,118 @@
+"""Scaling-evidence crawl job (BASELINE.json north_rule: same job, same
+input, N vs 4N cores; efficiency = (T_4N / T_N) / 4 >= 0.8).
+
+Run via spark-submit (the cluster path) or plain python (local):
+
+  spark-submit --master local[8]  --py-files /tmp/obp_pkg.zip bench/run_crawl.py --cpus 8
+  spark-submit --master local[32] --py-files /tmp/obp_pkg.zip bench/run_crawl.py --cpus 32
+
+Prints one JSON line with steady-state URLs/sec (round 1 excluded: JIT +
+page-cache warmup).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument("--pages", type=int, default=1_000_000)
+    ap.add_argument("--hosts", type=int, default=1024)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--seeds", type=int, default=8192)
+    ap.add_argument("--budget", type=int, default=100_000)
+    ap.add_argument("--salts", type=int, default=8)
+    # realistic page weight: ~1.5-6 KB bodies, up to 20 outlinks — makes the
+    # wave compute-bound so core-count scaling is measurable
+    ap.add_argument("--body-repeat", type=int, default=60)
+    ap.add_argument("--outdeg-max", type=int, default=20)
+    ap.add_argument("--bucketed", action="store_true",
+                    help="read pages as a url-bucketed table (co-located "
+                         "fetch join — the 100TB design)")
+    ap.add_argument("--broadcast", default="auto", choices=["auto", "true", "false"])
+    args = ap.parse_args()
+    bcast = {"auto": "auto", "true": True, "false": False}[args.broadcast]
+
+    from obp_search_engine_spark.operators.checkpoint import run_crawl
+    from obp_search_engine_spark.session import get_spark
+    from obp_search_engine_spark.sources.pages import synth_pages_df, url_of
+
+    spark = get_spark(
+        f"crawl-scaling-{args.cpus}",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=max(8, args.cpus),
+        extra_conf={
+            "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
+            "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/derby",
+        },
+    )
+
+    pages_path = (
+        f"/tmp/bench_pages_{args.pages}_{args.hosts}_{args.body_repeat}_{args.outdeg_max}"
+    )
+    if not os.path.exists(pages_path):
+        synth_pages_df(
+            spark, args.pages, args.hosts, seed=42,
+            body_repeat=args.body_repeat, outdeg_max=args.outdeg_max,
+        ).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    if args.bucketed:
+        tbl = f"pages_b_{args.pages}_{args.hosts}_{args.body_repeat}_{args.outdeg_max}"
+        if not spark.catalog.tableExists(tbl):
+            # fixed bucket count — the input must be identical for every
+            # cluster size (the scaling criterion is same job, same input)
+            (
+                pages.write.bucketBy(32, "url").sortBy("url")
+                .mode("overwrite").format("parquet").saveAsTable(tbl)
+            )
+        pages = spark.table(tbl)
+    pages.count()  # prewarm OS page cache so both cluster sizes read warm
+    seeds = [url_of(i, 42, args.hosts) for i in range(args.seeds)]
+
+    t0 = time.monotonic()
+    crawl = run_crawl(
+        spark,
+        pages,
+        seeds=seeds,
+        rounds=args.rounds,
+        per_host_budget=args.budget,
+        hot_host_salts=args.salts,
+        broadcast_batch=bcast,
+    )
+    wall = time.monotonic() - t0
+    steady = crawl["per_round"][1:] or crawl["per_round"]
+    sv = sum(r["visited"] for r in steady)
+    sw = sum(r["wall_sec"] for r in steady)
+    print(
+        json.dumps(
+            {
+                "cpus": args.cpus,
+                "urls_per_sec_steady": round(sv / sw, 1) if sw else 0.0,
+                "urls_per_sec_total": round(crawl["visited"] / wall, 1),
+                "visited": crawl["visited"],
+                "steady_visited": sv,
+                "steady_wall_sec": round(sw, 2),
+                "wall_sec": round(wall, 2),
+                "rounds": [
+                    {k: round(v, 2) if isinstance(v, float) else v for k, v in r.items()}
+                    for r in crawl["per_round"]
+                ],
+                "pages": args.pages,
+                "hosts": args.hosts,
+                "shuffle_partitions": max(8, args.cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -79,7 +79,9 @@ def run_crawl(
     seen_probe=None,
     resume: bool = False,
     stop_when_exhausted: bool = True,
-    broadcast_batch: bool = False,
+    broadcast_batch: bool | str = "auto",
+    host_state: DataFrame | None = None,
+    broadcast_threshold: int = 100_000,
 ) -> dict:
     """Run scale-mode crawl rounds; returns summary metrics.
 
@@ -123,16 +125,23 @@ def run_crawl(
         if stop_when_exhausted and due == 0:
             break
         round_ts = f"2026-06-01 {k // 3600:02d}:{(k // 60) % 60:02d}:{k % 60:02d}"
+        # broadcast is a DRIVER-serial cost: right for small waves, wrong
+        # for big ones (a 500k-row wave serializes tens of MB through one
+        # thread). 'auto' flips to the shuffle join past the threshold.
+        bcast = (
+            due <= broadcast_threshold if broadcast_batch == "auto" else broadcast_batch
+        )
         res = crawl_round(
             spark,
             frontier,
             pages,
             round_no=k,
             per_host_budget=per_host_budget,
+            host_state=host_state,
             hot_host_salts=hot_host_salts,
             seen_probe=seen_probe,
             round_ts=round_ts,
-            broadcast_batch=broadcast_batch,
+            broadcast_batch=bcast,
         )
         if ckpt_dir:
             write_snapshot(res.frontier, os.path.join(_round_dir(ckpt_dir, k), "frontier"))
@@ -142,6 +151,20 @@ def run_crawl(
         size, due, visited = stats(frontier, round_ts)
         for df in res.metrics.get("persisted", []):
             df.unpersist()
+        if host_state is not None:
+            from .frontier import update_host_clock
+
+            visited_hosts = frontier.filter(
+                F.col("last_crawled") == F.lit(round_ts).cast("timestamp")
+            ).select("host")
+            host_state = update_host_clock(
+                host_state, visited_hosts, round_ts
+            ).localCheckpoint(eager=True)
+            if ckpt_dir:
+                write_snapshot(
+                    host_state, os.path.join(_round_dir(ckpt_dir, k), "host_state"),
+                    shard_col=None,
+                )
         wall = time.monotonic() - t0
         row = {
             "round": k,

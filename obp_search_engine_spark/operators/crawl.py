@@ -206,6 +206,12 @@ def crawl_round(
             "left_anti",
         )
     new_rows = new_frontier_rows(fresh, round_ts)
+    if host_state is not None and "robots_rules" in host_state.columns:
+        from ..functions.robots import filter_robots_allowed
+
+        # disallowed urls never enter the frontier (cheaper than filtering
+        # every dequeue); hosts without rules pass through
+        new_rows = filter_robots_allowed(new_rows, host_state)
 
     # frontier merge: visited -> done/failed, append discoveries. A wave url
     # absent from pages (or with null html) is unreachable (reference F2,

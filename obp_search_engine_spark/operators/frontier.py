@@ -96,9 +96,8 @@ def update_host_clock(
             "next_allowed_ts",
             F.when(
                 F.col("_hit"),
-                F.lit(now) + (F.col("crawl_delay") * 1000000).cast("long").cast(
-                    "interval microsecond"
-                ),
+                F.lit(now).cast("timestamp")
+                + F.expr("make_dt_interval(0, 0, 0, crawl_delay)"),
             ).otherwise(F.col("next_allowed_ts")),
         )
         .drop("_hit")

@@ -71,12 +71,19 @@ def url_of(i: int | np.ndarray, seed: int, n_hosts: int):
     return pd.Series([f"http://host{hh}.example/p/{ii}" for hh, ii in zip(h, np.asarray(i))])
 
 
-def _gen_batch(ids: np.ndarray, seed: int, n_pages: int, n_hosts: int) -> pd.DataFrame:
+def _gen_batch(
+    ids: np.ndarray,
+    seed: int,
+    n_pages: int,
+    n_hosts: int,
+    body_repeat: int = 1,
+    outdeg_max: int = 8,
+) -> pd.DataFrame:
     ids = ids.astype(np.uint64)
     hosts = host_of(ids, seed, n_hosts)
-    outdeg = (_h(seed, ids, 2) % np.uint64(9)).astype(np.int64)  # 0..8 links
+    outdeg = (_h(seed, ids, 2) % np.uint64(outdeg_max + 1)).astype(np.int64)
     lang_ix = (_h(seed, ids, 3) % np.uint64(len(_LANGS))).astype(np.int64)
-    n_words = (4 + (_h(seed, ids, 4) % np.uint64(12))).astype(np.int64)
+    n_words = ((4 + (_h(seed, ids, 4) % np.uint64(12))) * body_repeat).astype(np.int64)
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for k, i in enumerate(ids.astype(np.int64)):
@@ -110,12 +117,26 @@ def synth_page(i: int, seed: int, n_pages: int, n_hosts: int) -> dict:
     return row.to_dict()
 
 
-def synth_pages_df(spark, n_pages: int, n_hosts: int = 100, seed: int = 42):
-    """Distributed generator: spark.range -> mapInPandas, schema = input_hint."""
+def synth_pages_df(
+    spark,
+    n_pages: int,
+    n_hosts: int = 100,
+    seed: int = 42,
+    body_repeat: int = 1,
+    outdeg_max: int = 8,
+):
+    """Distributed generator: spark.range -> mapInPandas, schema = input_hint.
+
+    body_repeat/outdeg_max scale page size for bench realism (real webtext
+    is KBs, not bytes); defaults keep the small test fixtures unchanged.
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _gen_batch(pdf["id"].to_numpy(np.uint64), seed, n_pages, n_hosts)
+            yield _gen_batch(
+                pdf["id"].to_numpy(np.uint64), seed, n_pages, n_hosts,
+                body_repeat, outdeg_max,
+            )
 
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_pages // 256 or 1))
     return spark.range(0, n_pages, numPartitions=n_parts).mapInPandas(gen, PAGES_SCHEMA)
