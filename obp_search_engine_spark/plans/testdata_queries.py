@@ -579,6 +579,70 @@ def q_unlisted_filter(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S10/S11 — MERGE upsert (INSERT ... ON DUPLICATE KEY UPDATE,
+# crawler/db/mysql.go:132-274): customer rows updated from order aggregates,
+# unmatched aggregate keys inserted
+# ---------------------------------------------------------------------------
+@register(
+    "merge_upsert",
+    """
+    WITH upd AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(count(*) AS DOUBLE) AS c_acctbal
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, u.c_custkey) AS c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                ELSE c.c_acctbal END AS c_acctbal,
+           c.c_mktsegment
+    FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey
+    """,
+    "S10 MERGE: matched rows update acctbal, unmatched insert (keep cols null)",
+)
+def q_merge_upsert(spark, sf_dir):
+    from ..operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").cast("double").alias("c_acctbal"))
+    )
+    return merge_upsert(cust, upd, "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# S13 — dynamic partition overwrite (delete-then-reinsert per peerID,
+# crawler/db/mysql.go:339-474)
+# ---------------------------------------------------------------------------
+@register(
+    "partition_overwrite",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+    UNION ALL
+    SELECT o_orderkey AS l_orderkey, -1 AS l_partkey, 0.0 AS l_quantity
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "S13 partition overwrite: replace all lineitems of 'P' orders with fresh rows",
+)
+def q_partition_overwrite(spark, sf_dir):
+    from ..operators.merge import partition_overwrite
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    repl = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.lit(-1).cast("long").alias("l_partkey"),
+            F.lit(0.0).alias("l_quantity"),
+        )
+    )
+    return partition_overwrite(li, repl, "l_orderkey")
+
+
+# ---------------------------------------------------------------------------
 # S16/O6 — seeded random sample (listingfiltering/learnNetwork.py:118-120)
 # rows-only: RAND() is not oracle-stable across engines
 # ---------------------------------------------------------------------------
