@@ -71,6 +71,7 @@ def main() -> None:
         per_host_budget=20000,
         hot_host_salts=8,
         broadcast_batch=True,
+        extract_documents=True,  # full round incl. byte-identical text
     )
     crawl_wall = time.monotonic() - t0
     # headline = steady-state throughput: drop round 1 (JIT + page-cache

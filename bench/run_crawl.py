@@ -42,6 +42,8 @@ def main() -> None:
     args = ap.parse_args()
     bcast = {"auto": "auto", "true": True, "false": False}[args.broadcast]
 
+    from pyspark.sql import functions as F
+
     from obp_search_engine_spark.operators.checkpoint import run_crawl
     from obp_search_engine_spark.session import get_spark
     from obp_search_engine_spark.sources.pages import synth_pages_df, url_of
@@ -75,7 +77,10 @@ def main() -> None:
                 .mode("overwrite").format("parquet").saveAsTable(tbl)
             )
         pages = spark.table(tbl)
-    pages.count()  # prewarm OS page cache so both cluster sizes read warm
+    # prewarm the OS page cache with the REAL bytes (a bare count() reads
+    # only parquet footers) so every cluster size measures compute, not the
+    # virtual disk
+    pages.select(F.sum(F.length("html"))).collect()
     seeds = [url_of(i, 42, args.hosts) for i in range(args.seeds)]
 
     t0 = time.monotonic()
@@ -87,9 +92,13 @@ def main() -> None:
         per_host_budget=args.budget,
         hot_host_salts=args.salts,
         broadcast_batch=bcast,
+        extract_documents=True,  # full round: links + byte-identical text
     )
     wall = time.monotonic() - t0
-    steady = crawl["per_round"][1:] or crawl["per_round"]
+    # steady state = the back half of the rounds: the front half carries
+    # JIT, python-worker spawn, and first-big-wave warmup cliffs
+    half = max(1, len(crawl["per_round"]) // 2)
+    steady = crawl["per_round"][half:] or crawl["per_round"]
     sv = sum(r["visited"] for r in steady)
     sw = sum(r["wall_sec"] for r in steady)
     print(

@@ -98,7 +98,7 @@ def canonicalize_url(url: str | None) -> str | None:
 
 
 @F.pandas_udf(T.StringType())
-def canonicalize_udf(urls: pd.Series) -> pd.Series:
+def _canonicalize_pudf(urls: pd.Series) -> pd.Series:
     """Arrow-vectorized canonicalization.
 
     Fast path: URLs already canonical by construction (lowercase scheme+host,
@@ -119,6 +119,12 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     if slow.any():
         out[slow] = s[slow].map(canonicalize_url, na_action="ignore")
     return out
+
+
+#: the function IS pure — the nondeterministic flag only stops Catalyst
+#: from duplicating the Python eval when it pushes a filter on the result
+#: column below the projection (each link would be canonicalized twice).
+canonicalize_udf = _canonicalize_pudf.asNondeterministic()
 
 
 def url_hash_col(url: Column) -> Column:

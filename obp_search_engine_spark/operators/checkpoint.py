@@ -82,6 +82,8 @@ def run_crawl(
     broadcast_batch: bool | str = "auto",
     host_state: DataFrame | None = None,
     broadcast_threshold: int = 100_000,
+    spill_harvest: bool = False,
+    extract_documents: bool = False,
 ) -> dict:
     """Run scale-mode crawl rounds; returns summary metrics.
 
@@ -131,6 +133,12 @@ def run_crawl(
         bcast = (
             due <= broadcast_threshold if broadcast_batch == "auto" else broadcast_batch
         )
+        harvest_dir = None
+        if spill_harvest or extract_documents:
+            base = ckpt_dir or os.path.join(
+                "/tmp", f"crawl_harvest_{spark.sparkContext.applicationId}"
+            )
+            harvest_dir = os.path.join(_round_dir(base, k), "harvest")
         res = crawl_round(
             spark,
             frontier,
@@ -142,7 +150,23 @@ def run_crawl(
             seen_probe=seen_probe,
             round_ts=round_ts,
             broadcast_batch=bcast,
+            harvest_dir=harvest_dir,
+            extract_documents=extract_documents,
         )
+        docs = res.metrics.get("documents")
+        n_docs = 0
+        if docs is not None:
+            from pyspark.sql import Observation
+
+            docs_dir = os.path.join(
+                _round_dir(ckpt_dir or os.path.dirname(os.path.dirname(harvest_dir)), k),
+                "documents",
+            )
+            obs = Observation(f"docs_r{k}")
+            docs.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(docs_dir)
+            n_docs = int(obs.get["n"])
         if ckpt_dir:
             write_snapshot(res.frontier, os.path.join(_round_dir(ckpt_dir, k), "frontier"))
             frontier = load_frontier(spark, ckpt_dir, k)
@@ -168,6 +192,7 @@ def run_crawl(
         wall = time.monotonic() - t0
         row = {
             "round": k,
+            "n_documents": n_docs,
             "visited": int(visited),
             "discovered": int(size - prev_size),
             "frontier_size": int(size),

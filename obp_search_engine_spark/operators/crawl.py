@@ -61,8 +61,9 @@ def init_frontier(spark: SparkSession, seeds: list[str], depth: int = 0) -> Data
 def discover_links(batch: DataFrame, pages: DataFrame, broadcast_batch: bool = True):
     """Fetch join + link extraction + canonicalization + validity filter.
 
-    Returns (fetched, candidates):
-      fetched    — wave rows + html for the urls present in pages
+    Returns (harvest, candidates):
+      harvest    — (url, src_depth, _links) for wave urls present in pages;
+                   html is projected away before any reuse/caching
       candidates — (url, src_depth) canonical outlink targets, self-links
                    dropped (reference F1, crawler/crawling/crawler.go:73-77),
                    deduped within the wave.
@@ -82,18 +83,31 @@ def discover_links(batch: DataFrame, pages: DataFrame, broadcast_batch: bool = T
         fetched = pages.select("url", "html").join(F.broadcast(b), "url", "inner")
     else:
         fetched = b.join(pages.select("url", "html"), "url", "inner")
-    links = fetched.select(
-        F.col("url").alias("src"),
+    # harvest = url + extracted link array. This is what gets reused (and
+    # persisted by the caller) — html is extracted from ONCE and never
+    # cached: caching the raw-html wave at 10^5-10^6 rows x KBs thrashes
+    # executor memory for no benefit.
+    harvest = fetched.select(
+        F.col("url"),
         F.col("depth").alias("src_depth"),
-        F.explode(extract_links_udf(F.col("html"))).alias("raw_link"),
+        extract_links_udf(F.col("html")).alias("_links"),
     )
-    candidates = (
+    return harvest, candidates_from_harvest(harvest)
+
+
+def candidates_from_harvest(harvest: DataFrame) -> DataFrame:
+    """(url, src_depth, _links) -> deduped canonical candidates."""
+    links = harvest.select(
+        F.col("url").alias("src"),
+        F.col("src_depth"),
+        F.explode("_links").alias("raw_link"),
+    )
+    return (
         links.withColumn("link", canonicalize_udf(F.col("raw_link")))
         .filter(F.col("link").isNotNull() & (F.col("link") != F.col("src")))
         .groupBy(F.col("link").alias("url"))
         .agg(F.min("src_depth").alias("src_depth"))
     )
-    return fetched, candidates
 
 
 def new_frontier_rows(candidates: DataFrame, round_ts) -> DataFrame:
@@ -175,11 +189,23 @@ def crawl_round(
     seen_probe=None,
     round_ts=None,
     broadcast_batch: bool = False,
+    harvest_dir: str | None = None,
+    extract_documents: bool = False,
 ) -> RoundResult:
     """One scale-mode wave. Pure DataFrame plan; caller materializes.
 
     seen_probe: optional callable(candidates_df, frontier_df) -> new urls df
     (the bloom path, operators/seen_set.py); defaults to exact left-anti.
+
+    harvest_dir: when set, the wave's single pass over pages (link + text
+    extraction) SPILLS to parquet and all downstream consumers (candidates,
+    reachability, documents) read the spill — html/text never sit on the
+    executor heap. This is the scale path; the in-memory persist path
+    remains for small fixtures.
+
+    extract_documents: also produce the per-round ``documents`` rows (text
+    extraction + JVM text stats — SURVEY.md §7 step 6); returned as
+    ``res.documents`` for the caller to write.
     """
     t0 = time.monotonic()
     round_ts = round_ts or f"2026-06-01 {round_no // 3600:02d}:{(round_no // 60) % 60:02d}:{round_no % 60:02d}"
@@ -191,10 +217,58 @@ def crawl_round(
         now=round_ts,
         hot_host_salts=hot_host_salts,
     )
-    fetched, candidates = discover_links(wave, pages, broadcast_batch=broadcast_batch)
-    # the fetched wave feeds two consumers (link extraction + reachability);
-    # persist so the pages scan happens once per round
-    fetched = fetched.persist()
+    persisted = []
+    if harvest_dir is not None:
+        from ..functions.extract import extract_links_and_text_udf
+
+        b = wave.select("url", "depth")
+        if broadcast_batch:
+            fetched = pages.select("url", "html").join(F.broadcast(b), "url", "inner")
+        else:
+            fetched = b.join(pages.select("url", "html"), "url", "inner")
+        if extract_documents:
+            # single Arrow pass over html: links + text together
+            harvested = fetched.select(
+                "url",
+                F.col("depth").alias("src_depth"),
+                extract_links_and_text_udf(F.col("html")).alias("_h"),
+            ).select(
+                "url", "src_depth",
+                F.col("_h.links").alias("_links"),
+                F.col("_h.text").alias("text"),
+            )
+        else:
+            harvested = fetched.select(
+                "url",
+                F.col("depth").alias("src_depth"),
+                extract_links_udf(F.col("html")).alias("_links"),
+            )
+        harvested.write.mode("overwrite").parquet(harvest_dir)
+        harvest = spark.read.parquet(harvest_dir)
+        candidates = candidates_from_harvest(harvest)
+    else:
+        harvest, candidates = discover_links(
+            wave, pages, broadcast_batch=broadcast_batch
+        )
+        # the harvest feeds two consumers (candidates + reachability);
+        # persist so the pages scan + extraction happen once per round. It
+        # holds only urls + link arrays — never html.
+        harvest = harvest.persist()
+        persisted.append(harvest)
+
+    documents = None
+    if extract_documents and "text" in harvest.columns:
+        from ..functions import textstats as ts
+
+        documents = harvest.select(
+            "url",
+            F.lit(round_ts).cast("timestamp").alias("fetch_ts"),
+            F.col("text"),
+            ts.lang_id_col(F.col("text")).alias("lang"),
+            ts.token_count_col(F.col("text")).alias("n_tokens"),
+            ts.fingerprint_col(F.col("text")).alias("fp"),
+            ts.quality_score_col(F.col("text")).alias("quality"),
+        )
 
     # dedup: candidates not already in the frontier (J4 anti-join)
     if seen_probe is not None:
@@ -217,7 +291,7 @@ def crawl_round(
     # absent from pages (or with null html) is unreachable (reference F2,
     # crawler/crawling/crawler.go:86-88) -> state 'failed'. Both sides of
     # this recovery join are wave-sized.
-    reached = fetched.select("url", F.col("html").isNotNull().alias("_r"))
+    reached = harvest.select("url", F.lit(True).alias("_r"))
     visited_mark = (
         wave.select("url")
         .join(F.broadcast(reached) if broadcast_batch else reached, "url", "left")
@@ -253,7 +327,7 @@ def crawl_round(
         frontier_size=-1,
         wall_sec=time.monotonic() - t0,
         host_state=host_state,
-        metrics={"persisted": [fetched]},
+        metrics={"persisted": persisted, "documents": documents},
     )
 
 

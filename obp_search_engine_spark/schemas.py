@@ -125,6 +125,7 @@ DOCUMENTS_SCHEMA = T.StructType(
 ROUND_METRICS_SCHEMA = T.StructType(
     [
         T.StructField("round", T.IntegerType(), False),
+        T.StructField("n_documents", T.LongType(), True),
         T.StructField("visited", T.LongType(), False),
         T.StructField("discovered", T.LongType(), False),
         T.StructField("frontier_size", T.LongType(), False),

@@ -58,11 +58,26 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # html rows are KBs: 10k-row Arrow batches would be >100 MB per
+        # in-flight buffer per python worker; 2048 keeps workers streaming
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # NOTE: bigger is not better here — a 64g heap sent this VM into
+        # kernel-side page-fault/compaction storms (60-75% sys CPU) as G1
+        # grew/shrank the committed heap under 32 threads. 20g is plenty
+        # since waves never cache raw html.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate turns explode(udf(x)) into an inferred
+        # `size(udf(x))>0` filter that predicate-pushdown then moves BELOW
+        # joins — running the Python UDF over the whole build-side corpus
+        # instead of the joined wave. Catastrophic for the fetch join; the
+        # inference buys nothing we need.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

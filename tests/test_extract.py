@@ -61,6 +61,19 @@ def test_links_udf_matches_pure(spark):
         assert got[r.url] == extract_links(r.html), r.url
 
 
+def test_combined_extractor_matches_singles(spark):
+    """extract_links_and_text_udf == (extract_links_udf, extract_text_udf)."""
+    from obp_search_engine_spark.functions.extract import extract_links_and_text_udf
+
+    pages = synth_pages_df(spark, n_pages=150, n_hosts=6, seed=13)
+    both = pages.select(
+        "url", extract_links_and_text_udf("html").alias("h")
+    ).select("url", "h.links", "h.text")
+    got = {r.url: (r.links, r.text) for r in both.collect()}
+    for r in pages.collect():
+        assert got[r.url] == (extract_links(r.html), extract_text(r.html)), r.url
+
+
 def test_synth_pages_deterministic(spark):
     a = synth_pages_df(spark, 50, 5, seed=42).orderBy("url").collect()
     b = synth_pages_df(spark, 50, 5, seed=42).orderBy("url").collect()
