@@ -63,10 +63,13 @@ def dequeue_wave(
     """
     wave = frontier.filter(F.col("state") == FRONTIER_STATE_DUE)
     if host_state is not None and now is not None:
-        allowed = host_state.filter(
-            (F.col("next_allowed_ts").isNull()) | (F.col("next_allowed_ts") <= F.lit(now))
+        # anti-join against CLOSED hosts: a host with no host_state row has
+        # no constraints and must pass
+        closed = host_state.filter(
+            F.col("next_allowed_ts").isNotNull()
+            & (F.col("next_allowed_ts") > F.lit(now).cast("timestamp"))
         ).select("host")
-        wave = wave.join(F.broadcast(allowed), "host", "left_semi")
+        wave = wave.join(F.broadcast(closed), "host", "left_anti")
     if per_host_budget is not None:
         if hot_host_salts > 1:
             key = salted_host_key(F.col("host_hash"), F.col("url"), hot_host_salts)

@@ -200,6 +200,83 @@ def q_neardup_simhash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# politeness + robots golden (north_rule: crawl-delay budgets + robots rules)
+# ---------------------------------------------------------------------------
+_POLITENESS_ORACLE = """
+    SELECT * FROM (VALUES
+      ('http://fast.x/a', 'done'), ('http://fast.x/b', 'done'),
+      ('http://fast.x/c', 'done'), ('http://slow.x/a', 'done'),
+      ('http://slow.x/b', 'done'), ('http://slow.x/c', 'due')
+    ) AS t(url, state)
+"""
+
+
+@register(
+    "crawl_politeness_states",
+    _POLITENESS_ORACLE,
+    "6 crawl rounds over a 2-host corpus where slow.x has robots "
+    "Crawl-delay 3 + Disallow /private: delay gates slow.x to 2 waves, "
+    "the disallowed url never enters the frontier (golden constant)",
+)
+def q_crawl_politeness(spark, sf_dir):
+    import datetime as dt
+
+    from ..functions.robots import host_state_from_pages
+    from ..operators.checkpoint import run_crawl
+    from ..schemas import PAGES_SCHEMA
+
+    rows = []
+
+    def page(url, links, robots=None):
+        html = (
+            None
+            if robots is not None
+            else ("".join(f'<a href="{l}">x</a>' for l in links) + "<p>b</p>").encode()
+        )
+        rows.append((url, dt.datetime(2026, 1, 1), html, robots, "en"))
+
+    page("http://slow.x/robots.txt", [], robots="User-agent: *\nCrawl-delay: 3\nDisallow: /private")
+    page("http://slow.x/a", ["http://slow.x/b", "http://slow.x/private/p", "http://fast.x/a"])
+    page("http://slow.x/b", ["http://slow.x/c"])
+    page("http://slow.x/c", [])
+    page("http://slow.x/private/p", [])
+    page("http://fast.x/a", ["http://fast.x/b"])
+    page("http://fast.x/b", ["http://fast.x/c"])
+    page("http://fast.x/c", [])
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    hs = host_state_from_pages(spark, pages)
+    res = run_crawl(
+        spark,
+        pages,
+        seeds=["http://slow.x/a", "http://fast.x/a"],
+        rounds=6,
+        host_state=hs,
+        stop_when_exhausted=False,
+    )
+    return res["frontier"].select("url", "state")
+
+
+@register(
+    "classify_documents_nb",
+    None,
+    "U1/U2 distributed multinomial NB (alpha=0.3): train on labeled half "
+    "(label = lang=='en'), predict the rest — rows-only (model output is "
+    "not SQL-expressible); math verified against sklearn in pytest",
+)
+def q_classify_documents(spark, sf_dir):
+    from ..operators.classifier import classify_documents
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_blocked",
+        F.when(F.col("doc_id") % 2 == 0, F.col("lang") == "en").otherwise(
+            F.lit(None).cast("boolean")
+        ),
+    )
+    out = classify_documents(spark, d)
+    return out.select("doc_id", "predicted_blocked")
+
+
 _ANN_ORACLE = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     scored AS (
