@@ -105,6 +105,35 @@ def search_listings(
     return out.orderBy(*order).offset(page * page_size).limit(page_size)
 
 
+def renest_listing(row_df: DataFrame) -> DataFrame:
+    """F13 (apiserver/index.js:172-280): flat row -> nested response shape.
+
+    vendor struct from node columns, thumbnail struct from the positional
+    5-way comma split (X2, apiserver/index.js:188,243-249; reference stores
+    5 urls comma-joined, crawler/db/mysql.go:407), price struct with
+    cast("double") ratings (X11), safeSplit null->[] (X3).
+    """
+    thumb = F.split(F.coalesce(F.col("thumbnail"), F.lit("")), ",")
+    return row_df.select(
+        "url",
+        F.struct(
+            F.col("peer_id").alias("peerID"),
+            F.col("node_name").alias("name"),
+            F.col("user_agent").alias("userAgent"),
+        ).alias("vendor"),
+        F.struct(
+            *[F.get(thumb, i).alias(n)  # get() -> null past the end (ANSI-safe)
+              for i, n in enumerate(["tiny", "small", "medium", "original", "large"])]
+        ).alias("thumbnail"),
+        F.struct(
+            F.col("price_amount").alias("amount"),
+            F.col("price_currency").alias("currencyCode"),
+        ).alias("price"),
+        F.col("avg_rating").cast("double").alias("averageRating"),
+        F.coalesce(F.split("tags_str", ","), F.array()).alias("tags"),
+    )
+
+
 def capitalize_first(col_name: str):
     """X4 (apiserver/tagsCache.js:87): first char upper + rest lower —
     deliberately NOT initcap (initcap capitalizes every word)."""
@@ -119,28 +148,55 @@ def top_tags(
     nodes_meta: DataFrame | None = None,
     k: int = 11,
     now=None,
+    fidelity: str = "fixed",
+    batch: int = 100,
+    order_col: str = "url",
 ) -> DataFrame:
     """A1 /search/toptags (apiserver/tagsCache.js:51-125): explode tags,
-    capitalize first char, count, top-K. One hash-agg job instead of the
-    reference's overlapping-page scan loop."""
+    capitalize first char, count, top-K — one hash-agg job instead of the
+    reference's page-scan loop.
+
+    fidelity='strict' reproduces the reference's pagination bug
+    (tagsCache.js:78-79: offset = batch*page but limit = batch*(page+1)), so
+    page p reads scan rows [p*b, p*b + b*(p+1)) and rows in the overlaps
+    count multiple times. Re-expressed exactly (no loop): row r of the
+    `order_col`-ordered scan is read by every page p <= r/b with
+    r < b*(2p+1); its tag occurrences get that multiplicity as a weight.
+    The multiplicity is a pure Catalyst expression (sequence + filter)."""
     df = documents
     if nodes_meta is not None and now is not None:
         fresh = nodes_meta.filter(
             F.col("last_crawled") > F.lit(now) - F.expr("INTERVAL 24 HOURS")
         ).select("peer_id")
         df = df.join(F.broadcast(fresh), "peer_id", "left_semi")
+
+    if fidelity == "strict":
+        w = Window.orderBy(F.asc(order_col))
+        df = df.withColumn("_r", F.row_number().over(w) - 1)
+        b = F.lit(batch)
+        mult = F.size(
+            F.filter(
+                F.sequence(F.lit(0), F.floor(F.col("_r") / b).cast("int")),
+                lambda p: F.col("_r") < b * (2 * p + 1),
+            )
+        )
+        df = df.withColumn("_w", mult.cast("long"))
+    else:
+        df = df.withColumn("_w", F.lit(1).cast("long"))
+
     tags = (
-        df.select(F.explode("tags").alias("tag"))
+        df.select(F.explode("tags").alias("tag"), "_w")
         .filter(F.col("tag") != "")
         .select(
             F.concat(
                 F.upper(F.substring("tag", 1, 1)), F.lower(F.expr("substring(tag, 2)"))
-            ).alias("tag")
+            ).alias("tag"),
+            "_w",
         )
     )
     return (
         tags.groupBy("tag")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("tag"))
         .limit(k)
     )

@@ -92,6 +92,33 @@ def test_top_tags_capitalization(domain):
     assert [(r.tag, r.cnt) for r in got] == [("Tools", 2), ("Adult", 1), ("Blue", 1)]
 
 
+def test_top_tags_strict_overlap_quirk(spark):
+    """strict fidelity == a literal simulation of the reference's paging
+    loop (offset=batch*page, limit=batch*(page+1), tagsCache.js:78-79)."""
+    import collections
+
+    n, b = 23, 4
+    rows = [(f"http://x/{i:03d}", [f"t{i % 5}"]) for i in range(n)]
+    df = spark.createDataFrame(rows, "url string, tags array<string>")
+
+    # literal reference loop
+    want = collections.Counter()
+    page = 0
+    while page * b < n:
+        for _, tags in rows[page * b : page * b + b * (page + 1)]:
+            for t in tags:
+                want[t.capitalize()] += 1
+        page += 1
+
+    got = {
+        r.tag: r.cnt
+        for r in top_tags(df, k=100, fidelity="strict", batch=b).collect()
+    }
+    assert got == dict(want)
+    # and the overlap really double-counts (total > n)
+    assert sum(got.values()) > n
+
+
 def test_user_agent_histogram(domain):
     _, nodes, _ = domain
     got = user_agent_histogram(nodes).collect()
