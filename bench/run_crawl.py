@@ -69,11 +69,24 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
     if args.bucketed:
         tbl = f"pages_b_{args.pages}_{args.hosts}_{args.body_repeat}_{args.outdeg_max}"
+        loc = f"/tmp/spark-warehouse/{tbl}"
+        if not spark.catalog.tableExists(tbl) and os.path.exists(loc):
+            # files written by a previous process whose metastore is gone:
+            # register them as an external bucketed table
+            spark.sql(
+                f"CREATE TABLE {tbl} (url STRING, warc_ts TIMESTAMP, html BINARY, "
+                f"text STRING, lang STRING) USING parquet "
+                f"CLUSTERED BY (url) INTO 32 BUCKETS LOCATION '{loc}'"
+            )
         if not spark.catalog.tableExists(tbl):
             # fixed bucket count — the input must be identical for every
-            # cluster size (the scaling criterion is same job, same input)
+            # cluster size (the scaling criterion is same job, same input).
+            # no sortBy: sorting KB-sized html rows inside bucket writers
+            # buffers the whole bucket on heap; repartition aligns each task
+            # to one bucket file instead
             (
-                pages.write.bucketBy(32, "url").sortBy("url")
+                pages.repartition(32, "url")
+                .write.bucketBy(32, "url")
                 .mode("overwrite").format("parquet").saveAsTable(tbl)
             )
         pages = spark.table(tbl)

@@ -55,7 +55,14 @@ def latest_round(ckpt: str) -> int | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return int(f.read().strip())
+        raw = f.read().strip()
+    try:
+        return int(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"corrupt checkpoint manifest {p!r}: expected a round number, "
+            f"got {raw!r}"
+        ) from e
 
 
 def load_frontier(spark: SparkSession, ckpt: str, k: int) -> DataFrame:
