@@ -109,6 +109,54 @@ def lsh_ann_topk(
     return brute_force_topk(cand, query, k, vec_col, id_col)
 
 
+def ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """IVF coarse quantizer: k-means centroids (deterministic seed) +
+    cell assignment. Returns (centroids ndarray, df + _cell column).
+
+    Scale shape: the indexed table is written partitioned by _cell, so a
+    query probes only nprobe/n_cells of the data (partition pruning)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = df.withColumn("_v", array_to_vector(_as_double(F.col(vec_col))))
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_v",
+                predictionCol="_cell")
+    model = km.fit(ml_df)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    assigned = model.transform(ml_df).drop("_v")
+    return centroids, assigned
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    index=None,
+) -> DataFrame:
+    """IVF ANN: probe the nprobe cells whose centroids are closest to the
+    query (L2), exact cosine re-rank inside them. Pass ``index`` (from
+    ivf_index) to amortize training across queries."""
+    centroids, assigned = index if index is not None else ivf_index(
+        df, n_cells=n_cells, vec_col=vec_col, seed=seed
+    )
+    qv = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
+    probe_cells = [int(c) for c in order[:nprobe]]
+    cand = assigned.filter(F.col("_cell").isin(probe_cells))
+    return brute_force_topk(cand, query, k, vec_col, id_col)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -110,6 +110,46 @@ def q_lang_id(spark, sf_dir):
 # dedup family
 # ---------------------------------------------------------------------------
 @register(
+    "bpe_token_estimate",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')) AS n_bpe
+    FROM documents
+    """,
+    "BPE-ish subword-count estimate (word-piece regex) for LLM token budgeting",
+)
+def q_bpe_token_estimate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.bpe_ish_token_estimate_col(F.col("text")).alias("n_bpe"))
+
+
+@register(
+    "set_ops",
+    """
+    SELECT user_id AS k, 'both' AS src FROM events
+    INTERSECT
+    SELECT c_custkey AS k, 'both' AS src FROM customer
+    UNION ALL
+    SELECT * FROM (
+      SELECT c_custkey AS k, 'cust_only' AS src FROM customer WHERE c_custkey < 500
+      EXCEPT
+      SELECT user_id AS k, 'cust_only' AS src FROM events
+    )
+    """,
+    "set operations (INTERSECT / UNION ALL / EXCEPT) over key domains "
+    "(SURVEY §2.7: the frontier merge's union family)",
+)
+def q_set_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    both = ev.intersect(cu).withColumn("src", F.lit("both"))
+    cust_only = (
+        cu.filter(F.col("k") < 500).exceptAll(ev).distinct().withColumn("src", F.lit("cust_only"))
+    )
+    return both.unionByName(cust_only)
+
+
+@register(
     "dedup_exact_groups",
     r"""
     SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
@@ -345,6 +385,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return similarity.lsh_ann_topk(e, query, k=10)
+
+
+@register(
+    "ann_ivf_topk",
+    None,
+    "IVF ANN top-10: k-means(16) coarse quantizer, 4-cell probe, exact "
+    "cosine re-rank — rows-only; recall vs brute force tested in pytest",
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_ann_topk(e, query, k=10)
 
 
 @register(

@@ -74,6 +74,26 @@ def test_embedding_neardup_subset_of_bruteforce(vecs):
     assert len(got) >= 0.3 * len(brute), f"{len(got)}/{len(brute)}"
 
 
+def test_ivf_ann_recall(vecs):
+    df, rows = vecs
+    q = rows[5][1]
+    exact = [r.vec_id for r in similarity.brute_force_topk(df, q, k=10).collect()]
+    index = similarity.ivf_index(df, n_cells=6)
+    ann = [
+        r.vec_id
+        for r in similarity.ivf_ann_topk(df, q, k=10, nprobe=2, index=index).collect()
+    ]
+    recall = len(set(exact) & set(ann)) / 10
+    # 3 tight clusters, 6 cells, 2 probes: the query's cluster is covered
+    assert recall >= 0.9, f"IVF recall {recall}: {ann} vs {exact}"
+    # determinism: same seed -> same assignment
+    c1, _ = similarity.ivf_index(df, n_cells=6)
+    c2, _ = similarity.ivf_index(df, n_cells=6)
+    import numpy as np
+
+    assert np.allclose(c1, c2)
+
+
 def test_scoring_stays_jvm_side(vecs):
     df, rows = vecs
     plan = (
