@@ -182,6 +182,13 @@ def run_crawl(
         size, due, visited = stats(frontier, round_ts)
         for df in res.metrics.get("persisted", []):
             df.unpersist()
+        if harvest_dir is not None:
+            # the harvest spill is a per-round intermediate: once the
+            # frontier snapshot and documents are written it is dead weight
+            # (a heavy crawl leaves ~GBs per round otherwise)
+            import shutil
+
+            shutil.rmtree(harvest_dir, ignore_errors=True)
         if host_state is not None:
             from .frontier import update_host_clock
 
