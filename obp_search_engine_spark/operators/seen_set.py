@@ -268,6 +268,47 @@ def update_seen_set(
     )
 
 
+def remove_from_seen_set(
+    seen: DataFrame, removed_urls: DataFrame, n_shards: int = 32
+) -> DataFrame:
+    """Delete url_hashes from their shards — ONLY cuckoo shards support
+    this (the reference deletes items on re-crawl, crawler/db/mysql.go:359;
+    blooms can't unset bits, which is why the deletion-capable shard kind
+    exists). Raises on bloom shards with deletions pending."""
+
+    def rm(keys_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        if blob_pdf.empty:
+            # nothing stored for this shard; deletion is a no-op
+            return pd.DataFrame(
+                {"shard": [], "kind": [], "filter_bytes": [], "n_items": []}
+            )
+        kind = str(blob_pdf["kind"].iloc[0])
+        f = shard_from_bytes(bytes(blob_pdf["filter_bytes"].iloc[0]))
+        if not keys_pdf.empty:
+            if kind != "cuckoo":
+                raise ValueError(
+                    "cannot delete from a bloom shard — rebuild it or use "
+                    "kind='cuckoo' (build_seen_set(kind='cuckoo'))"
+                )
+            keys = np.unique(keys_pdf["url_hash"].to_numpy(np.int64).astype(np.uint64))
+            f.delete_many(keys)
+        return pd.DataFrame(
+            {
+                "shard": [int(blob_pdf["shard"].iloc[0])],
+                "kind": [kind],
+                "filter_bytes": [f.to_bytes()],
+                "n_items": [int(f.n_items)],
+            }
+        )
+
+    keys = removed_urls.select("url_hash", _shard_col(n_shards).alias("shard"))
+    return (
+        keys.groupBy("shard")
+        .cogroup(seen.groupBy("shard"))
+        .applyInPandas(rm, SEEN_SET_SCHEMA)
+    )
+
+
 def bloom_probe(
     candidates: DataFrame, seen: DataFrame, n_shards: int = 32
 ) -> DataFrame:

@@ -71,6 +71,31 @@ def test_build_update_probe_dataframes(spark):
     assert probed2.filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_cuckoo_seen_set_deletion_dataframe_api(spark):
+    """Delete urls from cuckoo shards (reference deletes items on re-crawl,
+    crawler/db/mysql.go:359); bloom shards refuse."""
+    urls = [f"http://h{i % 5}.example/p/{i}" for i in range(400)]
+    df = with_url_keys(spark.createDataFrame([(u,) for u in urls], "url string"))
+    seen = ss.build_seen_set(spark, df, n_shards=4, kind="cuckoo").persist()
+
+    gone = df.filter(F.col("url").contains("/p/1"))  # /p/1, /p/1x, /p/1xx
+    kept = df.join(gone, "url", "left_anti")
+    seen2 = ss.remove_from_seen_set(seen, gone, n_shards=4).persist()
+
+    # deleted urls no longer (definitely) present; kept ones all still hit
+    gone_probe = ss.bloom_probe(gone, seen2, n_shards=4)
+    assert gone_probe.filter(F.col("maybe_seen")).count() <= int(0.05 * gone.count())
+    kept_probe = ss.bloom_probe(kept, seen2, n_shards=4)
+    assert kept_probe.filter(~F.col("maybe_seen")).count() == 0
+
+    # blooms refuse deletion
+    bseen = ss.build_seen_set(spark, df, n_shards=4, kind="bloom")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="cuckoo|bloom"):
+        ss.remove_from_seen_set(bseen, gone, n_shards=4).collect()
+
+
 def test_bloom_anti_join_equals_exact(spark):
     """bloom pre-filter + exact confirm == plain exact anti-join."""
     pages = synth_pages_df(spark, 300, 6, seed=5).cache()
