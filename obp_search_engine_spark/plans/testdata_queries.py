@@ -220,17 +220,20 @@ def q_histogram_count(spark, sf_dir):
 @register(
     "ban_ratio",
     """
-    SELECT o_custkey AS peer_id,
-           count(*) AS n_items,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_banned,
+    WITH agg AS (
+      SELECT o_custkey AS peer_id,
+             count(*) AS n_items,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_banned
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT peer_id, n_items, n_banned,
            CASE
-             WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 0
-                  THEN 'allow'
-             WHEN count(*) / SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0.5
-                  THEN 'ban'
+             WHEN n_banned = 0 OR n_items / NULLIF(n_banned, 0) < 0.1 THEN 'allow'
+             WHEN n_items / NULLIF(n_banned, 0) > 0.5 THEN 'ban'
              ELSE 'review'
            END AS decision
-    FROM orders GROUP BY o_custkey
+    FROM agg
     """,
     "A5 per-peer flag ratio -> allow/ban/review (strict reference semantics: "
     "bannedCnt==0 OR n/banned<0.1 -> allow; n/banned>0.5 -> ban; else review)",
