@@ -69,6 +69,16 @@ def load_frontier(spark: SparkSession, ckpt: str, k: int) -> DataFrame:
     return spark.read.parquet(os.path.join(_round_dir(ckpt, k), "frontier")).drop("shard")
 
 
+def load_host_state(spark: SparkSession, ckpt: str, k: int) -> DataFrame | None:
+    """Reload the politeness/robots host_state snapshot committed at round k
+    (None when the run never carried host_state). Mirrors load_frontier so a
+    resume restores crawl-delay clocks instead of silently dropping them."""
+    path = os.path.join(_round_dir(ckpt, k), "host_state")
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
 def append_metrics(spark: SparkSession, ckpt: str, row: dict) -> None:
     spark.createDataFrame([row], ROUND_METRICS_SCHEMA).coalesce(1).write.mode(
         "append"
@@ -104,12 +114,20 @@ def run_crawl(
         k = latest_round(ckpt_dir)
         assert k is not None, "nothing to resume from"
         frontier = load_frontier(spark, ckpt_dir, k)
+        if host_state is None:
+            host_state = load_host_state(spark, ckpt_dir, k)
         start_round = k
     else:
         assert seeds, "fresh run requires seeds"
         frontier = init_frontier(spark, seeds)
         if ckpt_dir:
             write_snapshot(frontier, os.path.join(_round_dir(ckpt_dir, 0), "frontier"))
+            if host_state is not None:
+                write_snapshot(
+                    host_state,
+                    os.path.join(_round_dir(ckpt_dir, 0), "host_state"),
+                    shard_col=None,
+                )
             commit_round(ckpt_dir, 0)
 
     def stats(df, round_ts=None):

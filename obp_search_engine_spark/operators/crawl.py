@@ -79,10 +79,15 @@ def discover_links(batch: DataFrame, pages: DataFrame, broadcast_batch: bool = T
     degenerates to a co-located join.
     """
     b = batch.select("url", "depth")
+    # html IS NOT NULL: a pages row with no body is an unreachable node
+    # (reference F2, crawler/crawling/crawler.go:86-88) — it must fall out of
+    # the fetch join so the merge marks it 'failed', not 'done'. The filter
+    # pushes to the parquet scan.
+    reachable_pages = pages.select("url", "html").filter(F.col("html").isNotNull())
     if broadcast_batch:
-        fetched = pages.select("url", "html").join(F.broadcast(b), "url", "inner")
+        fetched = reachable_pages.join(F.broadcast(b), "url", "inner")
     else:
-        fetched = b.join(pages.select("url", "html"), "url", "inner")
+        fetched = b.join(reachable_pages, "url", "inner")
     # harvest = url + extracted link array. This is what gets reused (and
     # persisted by the caller) — html is extracted from ONCE and never
     # cached: caching the raw-html wave at 10^5-10^6 rows x KBs thrashes
@@ -140,6 +145,10 @@ def strict_crawl(
     before processing, exactly as GetNextNodesChan's single SELECT).
     """
     del group_size  # parallelism knob only in the reference; no order effect
+    # strict mode is a FIDELITY oracle (driver-side loop, one Spark job per
+    # chunk — the reference does the same SELECT). It must never be pointed
+    # at a real corpus: the scale path is crawl_round/run_crawl.
+    STRICT_MAX_SEEN = 50_000
     seen: set[str] = {c for s in seeds if (c := canonicalize_url(s))}
     visits: list[tuple[int, int, str]] = []
     pages = pages.select("url", "html")
@@ -147,6 +156,12 @@ def strict_crawl(
         cursor = ""
         seq = 0
         while True:
+            if len(seen) > STRICT_MAX_SEEN:
+                raise RuntimeError(
+                    f"strict_crawl is the fixture-fidelity path (per-chunk "
+                    f"driver loop); seen-set grew past {STRICT_MAX_SEEN} — "
+                    f"use crawl_round/run_crawl for scale"
+                )
             chunk = sorted(u for u in seen if u > cursor)[:chunk_size]
             if not chunk:
                 break
@@ -222,10 +237,12 @@ def crawl_round(
         from ..functions.extract import extract_links_and_text_udf
 
         b = wave.select("url", "depth")
+        # null html = unreachable (F2) — same contract as discover_links
+        reachable_pages = pages.select("url", "html").filter(F.col("html").isNotNull())
         if broadcast_batch:
-            fetched = pages.select("url", "html").join(F.broadcast(b), "url", "inner")
+            fetched = reachable_pages.join(F.broadcast(b), "url", "inner")
         else:
-            fetched = b.join(pages.select("url", "html"), "url", "inner")
+            fetched = b.join(reachable_pages, "url", "inner")
         if extract_documents:
             # single Arrow pass over html: links + text together
             harvested = fetched.select(

@@ -72,17 +72,35 @@ def dequeue_wave(
         wave = wave.join(F.broadcast(closed), "host", "left_anti")
     if per_host_budget is not None:
         if hot_host_salts > 1:
+            # pass 1: rank inside salted partitions — the skew-defusing
+            # heavy lift (a mega-host's queue spreads over n_salts windows).
+            # ceil-div per-salt quota over-admits up to n_salts-1 rows when
+            # budget % n_salts != 0, so a second per-HOST re-rank over the
+            # (<= budget + n_salts - 1 per host) survivors enforces the
+            # exact budget. Pass 2's partitions are budget-bounded, so it
+            # cannot reintroduce the skew pass 1 defused.
             key = salted_host_key(F.col("host_hash"), F.col("url"), hot_host_salts)
             per_part = -(-per_host_budget // hot_host_salts)  # ceil div
+            w1 = Window.partitionBy(key).orderBy(*priority_order())
+            wave = (
+                wave.withColumn("_rank", F.row_number().over(w1))
+                .filter(F.col("_rank") <= per_part)
+                .drop("_rank")
+            )
+            if per_host_budget % hot_host_salts != 0:
+                w2 = Window.partitionBy(F.col("host_hash")).orderBy(*priority_order())
+                wave = (
+                    wave.withColumn("_rank", F.row_number().over(w2))
+                    .filter(F.col("_rank") <= per_host_budget)
+                    .drop("_rank")
+                )
         else:
-            key = F.col("host_hash")
-            per_part = per_host_budget
-        w = Window.partitionBy(key).orderBy(*priority_order())
-        wave = (
-            wave.withColumn("_rank", F.row_number().over(w))
-            .filter(F.col("_rank") <= per_part)
-            .drop("_rank")
-        )
+            w = Window.partitionBy(F.col("host_hash")).orderBy(*priority_order())
+            wave = (
+                wave.withColumn("_rank", F.row_number().over(w))
+                .filter(F.col("_rank") <= per_host_budget)
+                .drop("_rank")
+            )
     return wave
 
 

@@ -37,11 +37,13 @@ def base_predicate(nsfw: bool = False, testnet: bool = False):
     return p
 
 
-def keyword_predicate(q: str):
-    """F6: OR-of-LIKEs over title/description/tags (apiserver/index.js:85-102),
-    lower()ed on both sides to mirror MySQL's case-insensitive collation."""
+def keyword_predicate(q: str, fidelity: str = "strict"):
+    """F6: OR-of-LIKEs, lower()ed on both sides to mirror MySQL's
+    case-insensitive collation. strict searches TITLE and TAGS only — the
+    reference ORs the word-likes over exactly those two columns
+    (apiserver/index.js:96-101); 'fixed' widens to the body text too."""
     words = [w for w in q.split(" ") if w]
-    cols = ["title", "text", "tags_str"]
+    cols = ["title", "tags_str"] if fidelity == "strict" else ["title", "text", "tags_str"]
     return reduce(
         or_,
         [F.lower(F.col(c)).contains(w.lower()) for w in words for c in cols],
@@ -74,7 +76,7 @@ def search_listings(
 
     where = base_predicate(nsfw=nsfw, testnet=testnet)
     if q:
-        kw = keyword_predicate(q)
+        kw = keyword_predicate(q, fidelity=fidelity)
         # strict: keyword where REPLACES the base filters (reference quirk)
         where = kw if fidelity == "strict" else (where & kw)
     docs = docs.filter(where)
@@ -229,12 +231,20 @@ def ban_ratio_decision(
         F.sum(F.col("is_blocked").cast("int")).alias("n_banned"),
     )
     if fidelity == "strict":
+        # crawler.go:125-134: bannedCnt==0 OR items/banned < allow -> listed
+        # (allow); items/banned > ban -> blocked; else undecided. Strict
+        # inequalities, zero-banned short-circuits to allow.
         ratio = F.when(F.col("n_banned") > 0, F.col("n_items") / F.col("n_banned"))
+        decision = (
+            F.when((F.col("n_banned") == 0) | (ratio < allow_threshold), F.lit("allow"))
+            .when(ratio > ban_threshold, F.lit("ban"))
+            .otherwise(F.lit("review"))
+        )
     else:
         ratio = F.col("n_banned") / F.col("n_items")
-    return agg.withColumn("ratio", ratio).withColumn(
-        "decision",
-        F.when(F.col("ratio") >= ban_threshold, F.lit("ban"))
-        .when(F.col("ratio") <= allow_threshold, F.lit("allow"))
-        .otherwise(F.lit("review")),
-    )
+        decision = (
+            F.when(ratio > ban_threshold, F.lit("ban"))
+            .when(ratio < allow_threshold, F.lit("allow"))
+            .otherwise(F.lit("review"))
+        )
+    return agg.withColumn("ratio", ratio).withColumn("decision", decision)

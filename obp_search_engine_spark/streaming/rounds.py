@@ -32,9 +32,17 @@ def stream_crawl_rounds(
     """
     from ..operators.checkpoint import latest_round, run_crawl
 
+    # host_state is checkpointed per round: hand it to the SEED round only
+    # (which snapshots it) and let every resume trigger reload the snapshot —
+    # re-passing the original frame would reset crawl-delay clocks each
+    # micro-batch.
+    seed_host_state = crawl_kwargs.pop("host_state", None)
     if seeds is not None and latest_round(ckpt_dir) is None:
         # seed round 0 synchronously so every trigger is a pure resume
-        run_crawl(spark, pages, seeds=seeds, rounds=0, ckpt_dir=ckpt_dir)
+        run_crawl(
+            spark, pages, seeds=seeds, rounds=0, ckpt_dir=ckpt_dir,
+            host_state=seed_host_state,
+        )
 
     state = {"rounds_done": 0}
 

@@ -56,6 +56,22 @@ def test_salted_budget_bounds_hot_host(spark):
     assert 0 < n <= 8
 
 
+def test_salted_budget_exact_when_not_divisible(spark):
+    """budget % n_salts != 0: the per-host total must still be EXACTLY the
+    budget (the ceil-div per-salt quota alone would admit up to
+    n_salts*ceil(budget/n_salts) = 12)."""
+    rows = [_row(f"http://hot.x/{i:03d}", "hot.x", depth=i) for i in range(40)]
+    rows += [_row(f"http://cold.x/{i}", "cold.x", depth=i) for i in range(3)]
+    f = _frontier(spark, rows)
+    wave = dequeue_wave(f, per_host_budget=10, hot_host_salts=3)
+    per_host = {
+        r.host: r.n
+        for r in wave.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host["hot.x"] == 10
+    assert per_host["cold.x"] == 3
+
+
 def test_politeness_clock_excludes_hot_host(spark):
     import datetime as dt
 
