@@ -21,6 +21,7 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
+from obp_search_engine_spark.plans import api_queries  # noqa: F401,E402
 from obp_search_engine_spark.plans import pipeline_queries  # noqa: F401,E402
 from obp_search_engine_spark.plans import testdata_queries  # noqa: E402
 from obp_search_engine_spark.plans.testdata_queries import REGISTRY  # noqa: E402

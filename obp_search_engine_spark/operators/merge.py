@@ -61,6 +61,31 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
+def profile_branch_upsert(
+    target: DataFrame,
+    fetched: DataFrame,
+    key: str,
+    full_cols: list[str],
+    minimal_cols: list[str],
+    complete_col: str = "profile_complete",
+) -> DataFrame:
+    """F3 (crawler/crawling/crawler.go:92-104): the full-vs-minimal save
+    split. Fetched rows whose profile payload is COMPLETE (profile != nil &&
+    profile.Stats != nil) upsert the full column set (S10 SaveNode); rows
+    with a missing/partial profile upsert only the minimal columns (S11
+    SaveNodeUninitialized) — the minimal pass projects away the full-only
+    columns so an uninitialized insert leaves them NULL, exactly like the
+    reference's empty-node row.
+
+    Two disjoint merge passes over the same key — each one full-outer join;
+    when ``fetched`` is wave-sized Catalyst broadcasts it both times.
+    """
+    full = fetched.filter(F.col(complete_col)).drop(complete_col)
+    minimal = fetched.filter(~F.col(complete_col)).select(key, *minimal_cols)
+    out = merge_upsert(target, full, key, update_cols=full_cols)
+    return merge_upsert(out, minimal, key, update_cols=minimal_cols)
+
+
 def point_update(
     target: DataFrame, key: str, key_value, field: str, value
 ) -> DataFrame:

@@ -50,6 +50,43 @@ def keyword_predicate(q: str, fidelity: str = "strict"):
     )
 
 
+def moderator_filter(nodes_meta: DataFrame, mode: str | None = None) -> DataFrame:
+    """F8 (apiserver/index.js:113-120): the moderators radio filter on the
+    NODE side of the search join — 'verified_mods' keeps verified
+    moderators, 'all_mods' keeps any moderator, anything else keeps all."""
+    if mode == "verified_mods":
+        return nodes_meta.filter(F.col("verified_moderator"))
+    if mode == "all_mods":
+        return nodes_meta.filter(F.col("moderator"))
+    return nodes_meta
+
+
+def contract_type_predicate(contract_type: str | None):
+    """F9 (apiserver/index.js:127-129): item-side contractType equality,
+    skipped when the param is absent or 'all'. Returns a Column or None."""
+    if contract_type is None or contract_type == "all":
+        return None
+    return F.col("contract_type") == F.lit(contract_type)
+
+
+def verified_moderators(moderators: DataFrame) -> DataFrame:
+    """F12 (apiserver/index.js:295-309): the /verified_moderators endpoint —
+    moderators WHERE isVerified=true, projected into the response rows with
+    the endpoint's fixed badge metadata."""
+    return (
+        moderators.filter(F.col("is_verified"))
+        .select(
+            F.col("moderator_id"),
+            F.col("name"),
+            F.lit("standard").alias("mod_type"),
+            F.lit("https://search.example/images/verified_moderator_badge_tiny.png").alias(
+                "badge_tiny"
+            ),
+        )
+        .orderBy(F.asc("moderator_id"))
+    )
+
+
 def search_listings(
     documents: DataFrame,
     nodes_meta: DataFrame,
@@ -63,6 +100,8 @@ def search_listings(
     nsfw: bool = False,
     testnet: bool = False,
     now=None,
+    moderators_mode: str | None = None,
+    contract_type: str | None = None,
     fidelity: str = "strict",
 ) -> DataFrame:
     """/search/listings (apiserver/index.js:27-339) as one DataFrame plan.
@@ -84,6 +123,9 @@ def search_listings(
         docs = docs.filter(
             F.col("avg_rating") >= F.lit(RATING_THRESHOLDS[rating])
         )
+    ct = contract_type_predicate(contract_type)  # F9, item side
+    if ct is not None:
+        docs = docs.filter(ct)
 
     fresh_nodes = nodes_meta
     if now is not None:
@@ -92,6 +134,7 @@ def search_listings(
             & F.col("listed")
             & ~F.col("node_blocked")
         )
+    fresh_nodes = moderator_filter(fresh_nodes, moderators_mode)  # F8, node side
     out = docs.join(fresh_nodes, "peer_id", "inner")
 
     if doc_moderators is not None:

@@ -128,8 +128,9 @@ def test_user_agent_histogram(domain):
 def test_ban_ratio_strict_vs_fixed(domain, spark):
     docs, _, _ = domain
     strict = {r.peer_id: r.decision for r in ban_ratio_decision(docs).collect()}
-    # p1 has 1 flagged of 2 -> strict ratio = 2/1 = 2 >= 0.5 -> ban
+    # p1 has 1 flagged of 2 -> strict ratio = 2/1 = 2 > 0.5 -> ban
     assert strict["p1"] == "ban"
-    # p2 has 0 flagged -> sum is NULL-safe? n_banned null means no flags
+    # comparisons are STRICT (crawler.go:125-134 uses < and >), so the
+    # boundary ratio banned/items = 1/2 = 0.5 in fixed mode is NOT a ban
     fixed = {r.peer_id: r.decision for r in ban_ratio_decision(docs, fidelity="fixed").collect()}
-    assert fixed["p1"] == "ban"  # 0.5 >= 0.5
+    assert fixed["p1"] == "review"

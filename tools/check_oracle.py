@@ -23,13 +23,28 @@ sys.path.insert(0, str(REPO))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _canon(v):
+    """Canonical comparable form: dict/Row -> sorted-key dict, arrays ->
+    tuples, so struct-typed results from Spark and DuckDB compare equal."""
+    if isinstance(v, dict):
+        return {k: _canon(x) for k, x in sorted(v.items())}
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon(x) for x in v)
+    if hasattr(v, "asDict"):  # pyspark Row
+        return _canon(v.asDict())
+    return v
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
-            df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: _canon(v) if v is not None else None)
     if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+        # sort rows by a total-order repr key (nested dict/tuple values are
+        # not directly comparable across mixed None/str)
+        key = df.apply(lambda r: repr(tuple(r)), axis=1)
+        df = df.iloc[np.argsort(key.to_numpy(), kind="stable")].reset_index(drop=True)
     return df
 
 
