@@ -57,18 +57,34 @@ def train_nb(
     text_col: str = "text",
     label_col: str = "is_blocked",
     alpha: float = DEFAULT_ALPHA,
+    max_vocab: int = 1 << 18,
+    min_df: int = 1,
 ) -> NBModel:
     """Distributed NB training: one explode + one groupBy over the corpus.
 
     Only the (label, token) count table — vocab-bounded, not corpus-bounded
     — is collected to the driver (reference scans the whole labeled corpus
-    into process memory, learnNetwork.py:25-36)."""
+    into process memory, learnNetwork.py:25-36). On real webtext the raw
+    vocabulary is NOT bounded (typo/hash soup grows with the corpus), so
+    the vocabulary is capped DISTRIBUTIVELY before the collect: tokens are
+    ranked by total count (ties broken by token for determinism) and only
+    the top ``max_vocab`` with count >= ``min_df`` reach the driver —
+    the collect is O(max_vocab * C), independent of corpus size."""
     labeled = df.filter(F.col(label_col).isNotNull())
     tok = labeled.select(
         F.col(label_col).alias("_y"),
         F.explode(process_text_udf(F.col(text_col))).alias("_tok"),
     )
-    counts = tok.groupBy("_y", "_tok").count().collect()
+    by_label = tok.groupBy("_y", "_tok").count()
+    kept = (
+        by_label.groupBy("_tok")
+        .agg(F.sum("count").alias("_total"))
+        .filter(F.col("_total") >= min_df)
+        .orderBy(F.desc("_total"), F.asc("_tok"))
+        .limit(max_vocab)
+        .select("_tok")
+    )
+    counts = by_label.join(F.broadcast(kept), "_tok", "left_semi").collect()
     doc_counts = {
         r["_y"]: r["n"] for r in labeled.groupBy(label_col).agg(F.count("*").alias("n")).withColumnRenamed(label_col, "_y").collect()
     }
@@ -101,10 +117,28 @@ def nb_predict_udf(spark, model: NBModel, as_type: T.DataType | None = None):
     @F.pandas_udf(ret)
     def predict(texts: pd.Series) -> pd.Series:
         m: NBModel = bc.value
-        out = []
-        for t in texts:
-            out.append(m.predict_tokens(process_text(t or "")))
-        return pd.Series(out)
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        # vectorized batch scoring: flatten (row, token) pairs, map tokens to
+        # vocab rows once via a pandas hash lookup, scatter-add the per-token
+        # log-probs into the (n, C) score matrix — no per-row Python scoring
+        scores = np.tile(m.log_prior, (n, 1))
+        rows: list[int] = []
+        toks: list[str] = []
+        for i, t in enumerate(texts):
+            tk = process_text(t or "")
+            rows.extend([i] * len(tk))
+            toks.extend(tk)
+        if toks:
+            idx = pd.Series(toks).map(m.vocab)
+            hit = idx.notna().to_numpy()
+            if hit.any():
+                ridx = np.asarray(rows, dtype=np.int64)[hit]
+                tidx = idx.to_numpy()[hit].astype(np.int64)
+                np.add.at(scores, ridx, m.log_prob[tidx])
+        best = np.argmax(scores, axis=1)
+        return pd.Series([m.classes[j] for j in best])
 
     return predict
 

@@ -109,6 +109,72 @@ def lsh_ann_topk(
     return brute_force_topk(cand, query, k, vec_col, id_col)
 
 
+def build_srp_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 6,
+    tables: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the SRP-LSH index as a parquet table PARTITIONED BY
+    (tbl, bucket) — the 10^9-vector shape: bucket assignment is computed
+    once at build time (pure Catalyst, one pass per table), and a probe
+    becomes a partition-PRUNED scan of tables*1 buckets instead of a
+    full-corpus scan with an inline bucket expression."""
+    dim = df.select(F.size(vec_col)).first()[0]
+    parts = []
+    for t in range(tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.lit(t).alias("tbl"),
+                srp_bucket_col(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+
+
+def lsh_ann_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    tables: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k against a build_srp_index table. The (tbl, bucket)
+    predicate hits only partition columns, so the scan reads exactly the
+    probed buckets (PartitionFilters in the plan; asserted by
+    tests/test_plan_quality.py) — candidate I/O is ~tables/2^n_planes of
+    the corpus. Rows found in several tables dedupe before the exact
+    re-rank."""
+    dim = len(query)
+    qv = np.asarray(query, dtype=np.float64)
+    probe = None
+    for t in range(tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) >= 0))
+        cond = (F.col("tbl") == t) & (F.col("bucket") == qbucket)
+        probe = cond if probe is None else (probe | cond)
+    cand = (
+        spark.read.parquet(path)
+        .filter(probe)
+        .dropDuplicates([id_col])
+        .select(id_col, vec_col)
+    )
+    return brute_force_topk(cand, query, k, vec_col, id_col)
+
+
 def ivf_index(
     df: DataFrame,
     n_cells: int = 16,
@@ -157,16 +223,74 @@ def ivf_ann_topk(
     return brute_force_topk(cand, query, k, vec_col, id_col)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize the IVF index: rows written PARTITIONED BY _cell (probes
+    prune to nprobe/n_cells of the files), centroids (tiny: n_cells x dim)
+    saved next to the data for driver-side cell selection. Returns the
+    centroid matrix."""
+    centroids, assigned = ivf_index(df, n_cells=n_cells, vec_col=vec_col, seed=seed)
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/data")
+    np.save(f"{path}/centroids.npy", centroids)
+    return centroids
+
+
+def ivf_ann_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN against a build_ivf_index table: nearest-nprobe cell pick is
+    a driver-side numpy op over the saved centroids; the candidate read is
+    a partition-pruned scan of those cells only."""
+    centroids = np.load(f"{path}/centroids.npy")
+    qv = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((centroids - qv) ** 2).sum(axis=1))
+    probe_cells = [int(c) for c in order[:nprobe]]
+    cand = (
+        spark.read.parquet(f"{path}/data")
+        .filter(F.col("_cell").isin(probe_cells))
+        .select(id_col, vec_col)
+    )
+    return brute_force_topk(cand, query, k, vec_col, id_col)
+
+
+def auto_planes(n_rows: int, target_bucket: int = 1024, floor: int = 4) -> int:
+    """Plane count for SRP bucketing scaled with corpus size: enough planes
+    that the EXPECTED bucket holds ~target_bucket rows, so the bucket
+    self-join stays ~n*target_bucket candidate pairs instead of drifting
+    toward n^2/2^planes as the corpus grows."""
+    if n_rows <= target_bucket:
+        return floor
+    return max(floor, int(np.ceil(np.log2(n_rows / target_bucket))))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup: SRP bucket join (same bucket => candidate)
-    + exact cosine filter. Output (id_a, id_b, cos)."""
+    + exact cosine filter. Output (id_a, id_b, cos).
+
+    n_planes=None derives the plane count from the corpus size
+    (auto_planes), keeping the bucket join linear-ish at any scale; recall
+    for true near-dups stays high because cos >= 0.95 pairs collide with
+    probability (1 - theta/pi)^planes ~ (0.9)^planes per table."""
+    if n_planes is None:
+        n_planes = auto_planes(df.count())
     planes = hyperplanes(df.select(F.size(vec_col)).first()[0], n_planes, seed)
     base = df.select(
         F.col(id_col).alias("_id"),

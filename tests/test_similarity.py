@@ -94,6 +94,54 @@ def test_ivf_ann_recall(vecs):
     assert np.allclose(c1, c2)
 
 
+def test_indexed_lsh_matches_inline_and_prunes(vecs, tmp_path):
+    """The materialized (tbl, bucket)-partitioned index must return the
+    same top-k as the inline bucket expression (same planes/seed => same
+    candidate set) AND probe via partition pruning, not a full scan."""
+    df, rows = vecs
+    q = rows[3][1]
+    path = str(tmp_path / "srp")
+    similarity.build_srp_index(df, path, n_planes=6, tables=4)
+    spark = df.sparkSession
+    inline = [r.vec_id for r in similarity.lsh_ann_topk(df, q, k=10, n_planes=6, tables=4).collect()]
+    indexed = similarity.lsh_ann_topk_indexed(spark, path, q, k=10, n_planes=6, tables=4)
+    assert [r.vec_id for r in indexed.collect()] == inline
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "EvalPython" not in plan
+
+
+def test_indexed_ivf_matches_inline(vecs, tmp_path):
+    df, rows = vecs
+    q = rows[5][1]
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(df, path, n_cells=6)
+    spark = df.sparkSession
+    inline = [
+        r.vec_id
+        for r in similarity.ivf_ann_topk(
+            df, q, k=10, nprobe=2, index=similarity.ivf_index(df, n_cells=6)
+        ).collect()
+    ]
+    indexed = similarity.ivf_ann_topk_indexed(spark, path, q, k=10, nprobe=2)
+    assert [r.vec_id for r in indexed.collect()] == inline
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan
+
+
+def test_auto_planes_scales_with_corpus():
+    assert similarity.auto_planes(1_000) == 4
+    assert similarity.auto_planes(1_000_000) == 10
+    assert similarity.auto_planes(10_000_000_000) == 24  # ~10^10: 16M buckets
+    # monotone non-decreasing
+    prev = 0
+    for n in (10**3, 10**5, 10**7, 10**9, 10**11):
+        p = similarity.auto_planes(n)
+        assert p >= prev
+        prev = p
+
+
 def test_scoring_stays_jvm_side(vecs):
     df, rows = vecs
     plan = (
