@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "neardup_minhash_lsh",
     "ann_cosine_topk",
     "doc_quality_score",
+    "search_listings_page",
 ]
 
 
@@ -46,20 +47,40 @@ def main() -> None:
     t_setup = time.monotonic()
     from obp_search_engine_spark.operators.checkpoint import run_crawl
     from obp_search_engine_spark.session import get_spark
-    from obp_search_engine_spark.sources.pages import synth_pages_df, url_of
+    from obp_search_engine_spark.sources.pages import (
+        bucketed_pages_table,
+        synth_pages_df,
+        url_of,
+    )
     from obp_search_engine_spark.plans.testdata_queries import REGISTRY
+    from obp_search_engine_spark.plans import api_queries  # noqa: F401
     from obp_search_engine_spark.plans import pipeline_queries  # noqa: F401
 
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(8, int(CPUS)))
+    spark = get_spark(
+        "bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(8, int(CPUS)),
+        extra_conf={
+            "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
+            "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/derby",
+        },
+    )
 
     results: dict[str, float] = {}
 
     # --- crawl throughput (the BASELINE.json headline) ---
+    # deployment shape: url-BUCKETED pages table (co-located fetch join, no
+    # pages shuffle / driver broadcast) + sharded BLOOM seen-set dedup —
+    # the configuration the 10^10 design actually ships with.
     pages = synth_pages_df(spark, CRAWL_PAGES, CRAWL_HOSTS, seed=42)
     pages_path = f"/tmp/bench_pages_{CRAWL_PAGES}_{CRAWL_HOSTS}"
     if not os.path.exists(pages_path):
         pages.write.mode("overwrite").parquet(pages_path)
-    pages = spark.read.parquet(pages_path)
+    pages = bucketed_pages_table(
+        spark,
+        spark.read.parquet(pages_path),
+        f"bench_pages_b_{CRAWL_PAGES}_{CRAWL_HOSTS}",
+    )
     seeds = [url_of(i, 42, CRAWL_HOSTS) for i in range(2048)]
 
     t0 = time.monotonic()
@@ -70,7 +91,8 @@ def main() -> None:
         rounds=CRAWL_ROUNDS,
         per_host_budget=20000,
         hot_host_salts=8,
-        broadcast_batch=True,
+        broadcast_batch=False,  # co-located bucketed join IS the fast path
+        use_bloom_seen=True,
         extract_documents=True,  # full round incl. byte-identical text
     )
     crawl_wall = time.monotonic() - t0

@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--bucketed", action="store_true",
                     help="read pages as a url-bucketed table (co-located "
                          "fetch join — the 100TB design)")
+    ap.add_argument("--bloom", action="store_true",
+                    help="dedup via the sharded bloom seen-set probe "
+                         "(north_rule path) instead of the exact anti-join")
     ap.add_argument("--broadcast", default="auto", choices=["auto", "true", "false"])
     args = ap.parse_args()
     bcast = {"auto": "auto", "true": True, "false": False}[args.broadcast]
@@ -68,28 +71,10 @@ def main() -> None:
         ).write.mode("overwrite").parquet(pages_path)
     pages = spark.read.parquet(pages_path)
     if args.bucketed:
+        from obp_search_engine_spark.sources.pages import bucketed_pages_table
+
         tbl = f"pages_b_{args.pages}_{args.hosts}_{args.body_repeat}_{args.outdeg_max}"
-        loc = f"/tmp/spark-warehouse/{tbl}"
-        if not spark.catalog.tableExists(tbl) and os.path.exists(loc):
-            # files written by a previous process whose metastore is gone:
-            # register them as an external bucketed table
-            spark.sql(
-                f"CREATE TABLE {tbl} (url STRING, warc_ts TIMESTAMP, html BINARY, "
-                f"text STRING, lang STRING) USING parquet "
-                f"CLUSTERED BY (url) INTO 32 BUCKETS LOCATION '{loc}'"
-            )
-        if not spark.catalog.tableExists(tbl):
-            # fixed bucket count — the input must be identical for every
-            # cluster size (the scaling criterion is same job, same input).
-            # no sortBy: sorting KB-sized html rows inside bucket writers
-            # buffers the whole bucket on heap; repartition aligns each task
-            # to one bucket file instead
-            (
-                pages.repartition(32, "url")
-                .write.bucketBy(32, "url")
-                .mode("overwrite").format("parquet").saveAsTable(tbl)
-            )
-        pages = spark.table(tbl)
+        pages = bucketed_pages_table(spark, pages, tbl)
     # prewarm the OS page cache with the REAL bytes (a bare count() reads
     # only parquet footers) so every cluster size measures compute, not the
     # virtual disk
@@ -105,6 +90,7 @@ def main() -> None:
         per_host_budget=args.budget,
         hot_host_salts=args.salts,
         broadcast_batch=bcast,
+        use_bloom_seen=args.bloom,
         extract_documents=True,  # full round: links + byte-identical text
     )
     wall = time.monotonic() - t0
@@ -130,6 +116,9 @@ def main() -> None:
                 ],
                 "pages": args.pages,
                 "hosts": args.hosts,
+                "bucketed": args.bucketed,
+                "bloom": args.bloom,
+                "broadcast": args.broadcast,
                 "shuffle_partitions": max(8, args.cpus),
             }
         )

@@ -94,6 +94,8 @@ def run_crawl(
     per_host_budget: int | None = None,
     hot_host_salts: int = 1,
     seen_probe=None,
+    use_bloom_seen: bool = False,
+    seen_shards: int = N_FRONTIER_SHARDS,
     resume: bool = False,
     stop_when_exhausted: bool = True,
     broadcast_batch: bool | str = "auto",
@@ -129,6 +131,21 @@ def run_crawl(
                     shard_col=None,
                 )
             commit_round(ckpt_dir, 0)
+
+    seen_df = None
+    if use_bloom_seen and seen_probe is None:
+        # the 10^10-URL dedup path (north_rule): per-shard bloom blobs keyed
+        # by pmod(host_hash, n_shards). The probe pre-filters candidates to
+        # definitely-new + maybe-seen, and only the maybe residue pays the
+        # exact anti-join against the frontier. Blobs are rebuilt from the
+        # frontier on a fresh/resumed start and updated incrementally with
+        # each round's discoveries (tiny: n_shards rows of ~1 MB).
+        from .seen_set import build_seen_set, seen_probe_factory, update_seen_set
+
+        seen_df = build_seen_set(
+            spark, frontier.select("url_hash", "host_hash"), n_shards=seen_shards
+        ).localCheckpoint(eager=True)
+        seen_probe = seen_probe_factory(lambda: seen_df, n_shards=seen_shards)
 
     def stats(df, round_ts=None):
         """size / due / visited-this-round in ONE job (not 3)."""
@@ -193,11 +210,36 @@ def run_crawl(
             ).parquet(docs_dir)
             n_docs = int(obs.get["n"])
         if ckpt_dir:
-            write_snapshot(res.frontier, os.path.join(_round_dir(ckpt_dir, k), "frontier"))
+            # stats ride the snapshot write as an Observation — no second
+            # job re-reading the parquet just to count (scaling residual:
+            # every extra per-round action is a serial term)
+            from pyspark.sql import Observation
+
+            obs = Observation(f"frontier_stats_r{k}")
+            observed = res.frontier.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("state") == FRONTIER_STATE_DUE).cast("long")).alias("due"),
+                F.sum(
+                    (F.col("last_crawled") == F.lit(round_ts).cast("timestamp")).cast("long")
+                ).alias("vis"),
+            )
+            write_snapshot(observed, os.path.join(_round_dir(ckpt_dir, k), "frontier"))
             frontier = load_frontier(spark, ckpt_dir, k)
+            got = obs.get
+            size, due, visited = int(got["n"]), int(got["due"] or 0), int(got["vis"] or 0)
         else:
             frontier = res.frontier.localCheckpoint(eager=True)
-        size, due, visited = stats(frontier, round_ts)
+            size, due, visited = stats(frontier, round_ts)
+        if seen_df is not None:
+            from .seen_set import update_seen_set
+
+            new_keys = frontier.filter(
+                F.col("discovered_ts") == F.lit(round_ts).cast("timestamp")
+            ).select("url_hash", "host_hash")
+            seen_df = update_seen_set(
+                seen_df, new_keys, n_shards=seen_shards
+            ).localCheckpoint(eager=True)
         for df in res.metrics.get("persisted", []):
             df.unpersist()
         if harvest_dir is not None:

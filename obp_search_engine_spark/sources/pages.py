@@ -178,3 +178,37 @@ def load_testdata(spark, sf_dir: str, *names: str):
     """Load driver testdata parquet tables (TESTDATA.md)."""
     dfs = tuple(spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names)
     return dfs[0] if len(dfs) == 1 else dfs
+
+
+def bucketed_pages_table(spark, pages, table_name: str, n_buckets: int = 32):
+    """Register/load the pages corpus as a url-bucketed table — the 100 TB
+    deployment shape: the fetch join (wave x pages) co-locates on the url
+    bucketing, so the huge side never shuffles and the driver never
+    broadcasts (BENCH/BASELINE.md 'bucketed co-located fetch join').
+
+    Idempotent across processes: if the warehouse files exist but this
+    session's metastore doesn't know the table (fresh derby), it is
+    re-registered as an external bucketed table.
+    """
+    import os
+
+    loc = f"/tmp/spark-warehouse/{table_name}"
+    if not spark.catalog.tableExists(table_name) and os.path.exists(loc):
+        spark.sql(
+            f"CREATE TABLE {table_name} (url STRING, warc_ts TIMESTAMP, "
+            f"html BINARY, text STRING, lang STRING) USING parquet "
+            f"CLUSTERED BY (url) INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        )
+    if not spark.catalog.tableExists(table_name):
+        # fixed bucket count — identical input for every cluster size (the
+        # scaling criterion is same job, same input). No sortBy: sorting
+        # KB-html rows inside bucket writers buffers whole buckets on heap;
+        # repartition aligns each task to one bucket file instead.
+        (
+            pages.repartition(n_buckets, "url")
+            .write.bucketBy(n_buckets, "url")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
+    return spark.table(table_name)

@@ -142,3 +142,22 @@ def test_scale_crawl_matches_reference_seen_set(spark):
         want |= nxt
         frontier_wave = nxt
     assert got == want
+
+
+def test_bloom_seen_crawl_equals_exact(spark):
+    """use_bloom_seen must be RESULT-identical to the exact anti-join (bloom
+    false positives fall back to the exact check; false negatives are
+    impossible), only cheaper at scale."""
+    pages = synth_pages_df(spark, n_pages=500, n_hosts=10, seed=5).cache()
+    seed_url = pages.orderBy("url").first().url
+    exact = run_crawl(spark, pages, seeds=[seed_url], rounds=4)
+    bloom = run_crawl(spark, pages, seeds=[seed_url], rounds=4, use_bloom_seen=True)
+    a = {
+        (r.url, r.depth, r.state)
+        for r in exact["frontier"].select("url", "depth", "state").collect()
+    }
+    b = {
+        (r.url, r.depth, r.state)
+        for r in bloom["frontier"].select("url", "depth", "state").collect()
+    }
+    assert a == b
