@@ -91,7 +91,10 @@ def main() -> None:
         rounds=CRAWL_ROUNDS,
         per_host_budget=20000,
         hot_host_salts=8,
-        broadcast_batch=False,  # co-located bucketed join IS the fast path
+        # auto: small waves broadcast (no shuffle at all against the
+        # bucketed table), big waves fall back to the co-located bucketed
+        # join (only the wave shuffles — pages never does)
+        broadcast_batch="auto",
         use_bloom_seen=True,
         extract_documents=True,  # full round incl. byte-identical text
     )

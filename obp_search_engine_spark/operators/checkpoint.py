@@ -197,18 +197,29 @@ def run_crawl(
         )
         docs = res.metrics.get("documents")
         n_docs = 0
+        keep_harvest = False
         if docs is not None:
-            from pyspark.sql import Observation
+            if res.metrics.get("documents_inline"):
+                # the harvest spill already IS the documents store (text +
+                # stats written once, in the extraction pass); the count
+                # reads parquet footers only. Saves a full text write+read
+                # per round vs copying into a separate documents dir.
+                n_docs = docs.count()
+                keep_harvest = True
+            else:
+                from pyspark.sql import Observation
 
-            docs_dir = os.path.join(
-                _round_dir(ckpt_dir or os.path.dirname(os.path.dirname(harvest_dir)), k),
-                "documents",
-            )
-            obs = Observation(f"docs_r{k}")
-            docs.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-                "overwrite"
-            ).parquet(docs_dir)
-            n_docs = int(obs.get["n"])
+                docs_dir = os.path.join(
+                    _round_dir(
+                        ckpt_dir or os.path.dirname(os.path.dirname(harvest_dir)), k
+                    ),
+                    "documents",
+                )
+                obs = Observation(f"docs_r{k}")
+                docs.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                    "overwrite"
+                ).parquet(docs_dir)
+                n_docs = int(obs.get["n"])
         if ckpt_dir:
             # stats ride the snapshot write as an Observation — no second
             # job re-reading the parquet just to count (scaling residual:
@@ -242,10 +253,11 @@ def run_crawl(
             ).localCheckpoint(eager=True)
         for df in res.metrics.get("persisted", []):
             df.unpersist()
-        if harvest_dir is not None:
-            # the harvest spill is a per-round intermediate: once the
-            # frontier snapshot and documents are written it is dead weight
-            # (a heavy crawl leaves ~GBs per round otherwise)
+        if harvest_dir is not None and not keep_harvest:
+            # a links-only harvest spill is a per-round intermediate: once
+            # the frontier snapshot is written it is dead weight (a heavy
+            # crawl leaves ~GBs per round otherwise). When it doubles as
+            # the documents store (documents_inline) it is OUTPUT and stays.
             import shutil
 
             shutil.rmtree(harvest_dir, ignore_errors=True)

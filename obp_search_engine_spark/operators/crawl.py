@@ -244,7 +244,13 @@ def crawl_round(
         else:
             fetched = b.join(reachable_pages, "url", "inner")
         if extract_documents:
-            # single Arrow pass over html: links + text together
+            from ..functions import textstats as ts
+
+            # single Arrow pass over html: links + text together, with the
+            # JVM text stats computed IN the same pass — the spill file IS
+            # the round's documents store (plus _links/src_depth), so text
+            # is written exactly once per round instead of harvest +
+            # documents copies
             harvested = fetched.select(
                 "url",
                 F.col("depth").alias("src_depth"),
@@ -253,6 +259,11 @@ def crawl_round(
                 "url", "src_depth",
                 F.col("_h.links").alias("_links"),
                 F.col("_h.text").alias("text"),
+                F.lit(round_ts).cast("timestamp").alias("fetch_ts"),
+                ts.lang_id_col(F.col("_h.text")).alias("lang"),
+                ts.token_count_col(F.col("_h.text")).alias("n_tokens"),
+                ts.fingerprint_col(F.col("_h.text")).alias("fp"),
+                ts.quality_score_col(F.col("_h.text")).alias("quality"),
             )
         else:
             harvested = fetched.select(
@@ -274,18 +285,14 @@ def crawl_round(
         persisted.append(harvest)
 
     documents = None
+    documents_inline = False
     if extract_documents and "text" in harvest.columns:
-        from ..functions import textstats as ts
-
+        # the spill already carries the stats columns: documents is a
+        # column-pruned VIEW of the written file, not a second copy
         documents = harvest.select(
-            "url",
-            F.lit(round_ts).cast("timestamp").alias("fetch_ts"),
-            F.col("text"),
-            ts.lang_id_col(F.col("text")).alias("lang"),
-            ts.token_count_col(F.col("text")).alias("n_tokens"),
-            ts.fingerprint_col(F.col("text")).alias("fp"),
-            ts.quality_score_col(F.col("text")).alias("quality"),
+            "url", "fetch_ts", "text", "lang", "n_tokens", "fp", "quality"
         )
+        documents_inline = harvest_dir is not None
 
     # dedup: candidates not already in the frontier (J4 anti-join)
     if seen_probe is not None:
@@ -344,7 +351,11 @@ def crawl_round(
         frontier_size=-1,
         wall_sec=time.monotonic() - t0,
         host_state=host_state,
-        metrics={"persisted": persisted, "documents": documents},
+        metrics={
+            "persisted": persisted,
+            "documents": documents,
+            "documents_inline": documents_inline,
+        },
     )
 
 

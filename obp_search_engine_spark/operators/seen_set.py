@@ -351,14 +351,18 @@ def seen_probe_factory(get_seen, n_shards: int = 32):
     def seen_probe(candidates: DataFrame, frontier: DataFrame) -> DataFrame:
         cand = with_url_keys(candidates)
         probed = bloom_probe(cand, get_seen(), n_shards)
-        definitely_new = probed.filter(~F.col("maybe_seen"))
-        maybe = probed.filter(F.col("maybe_seen"))
-        confirmed_new = maybe.join(
+        # ONE anti-join with the bloom verdict folded into the condition:
+        # maybe_seen=False rows can never match (condition is false) and
+        # survive; maybe_seen=True rows drop iff the exact hash is present.
+        # A filter-split + union would execute the Arrow cogroup probe TWICE
+        # (once per branch) — this keeps it single-pass, and the join's
+        # frontier side only has to beat the maybe-residue, not all
+        # candidates.
+        out = probed.join(
             frontier.select(F.col("url_hash").alias("_seen_hash")),
-            maybe.url_hash == F.col("_seen_hash"),
+            (probed.url_hash == F.col("_seen_hash")) & probed.maybe_seen,
             "left_anti",
         )
-        out_cols = [c for c in candidates.columns]
-        return definitely_new.select(out_cols).unionByName(confirmed_new.select(out_cols))
+        return out.select([c for c in candidates.columns])
 
     return seen_probe

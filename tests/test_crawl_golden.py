@@ -85,3 +85,29 @@ def test_same_round_pickup_semantics():
     assert r1 == ["http://b.x/", "http://c.x/"]
     assert r2 == ["http://a.x/", "http://b.x/", "http://c.x/"]
     assert seen == {"http://a.x/", "http://b.x/", "http://c.x/"}
+
+
+def test_extract_documents_inline_store(spark, tmp_path):
+    """With extract_documents, the harvest spill IS the per-round documents
+    store: text + JVM stats written once, documents df is a pruned view,
+    and the spill survives the round's cleanup."""
+    import os
+
+    from obp_search_engine_spark.operators.checkpoint import run_crawl
+    from obp_search_engine_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, n_pages=300, n_hosts=6, seed=9).cache()
+    seed_url = pages.orderBy("url").first().url
+    ckpt = str(tmp_path / "ckpt")
+    res = run_crawl(
+        spark, pages, seeds=[seed_url], rounds=2, ckpt_dir=ckpt,
+        extract_documents=True,
+    )
+    total_docs = sum(r["n_documents"] for r in res["per_round"])
+    assert total_docs == res["visited"] > 0
+    # the last run round's harvest parquet carries the full documents schema
+    last = res["per_round"][-1]["round"]
+    h = spark.read.parquet(os.path.join(ckpt, f"round={last}", "harvest"))
+    for c in ("url", "text", "fetch_ts", "lang", "n_tokens", "fp", "quality"):
+        assert c in h.columns, c
+    assert h.filter(h.text.isNull()).count() == 0
