@@ -27,6 +27,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "240000"))
 CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "512"))
 CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "5"))
+# seen-set mode: 'bloom' (sharded bloom probe — the 10^10 deployment shape,
+# default) or 'exact' (plain anti-join; slightly faster at toy frontier
+# sizes, quadratically worse once frontier >> wave)
+SEEN_MODE = os.environ.get("BENCH_SEEN", "bloom")
 
 BENCH_QUERIES = [
     "filtered_join_agg",
@@ -95,7 +99,7 @@ def main() -> None:
         # bucketed table), big waves fall back to the co-located bucketed
         # join (only the wave shuffles — pages never does)
         broadcast_batch="auto",
-        use_bloom_seen=True,
+        use_bloom_seen=(SEEN_MODE == "bloom"),
         extract_documents=True,  # full round incl. byte-identical text
     )
     crawl_wall = time.monotonic() - t0
@@ -137,6 +141,7 @@ def main() -> None:
             "per_round_urls_per_sec": [round(r["urls_per_sec"], 1) for r in crawl["per_round"]],
         },
         "cpus": int(CPUS),
+        "seen_mode": SEEN_MODE,
         "setup_sec": round(time.monotonic() - t_setup, 1),
     }
     print(json.dumps(out))

@@ -87,7 +87,11 @@ def discover_links(batch: DataFrame, pages: DataFrame, broadcast_batch: bool = T
     if broadcast_batch:
         fetched = reachable_pages.join(F.broadcast(b), "url", "inner")
     else:
-        fetched = b.join(reachable_pages, "url", "inner")
+        # shuffle-HASH join, build on the wave: a sort-merge join would
+        # SORT the pages side — KB-sized html rows through the sorter is
+        # pure memory-bandwidth burn (and on a bucketed table wipes out the
+        # exchange-free win). The hash map is wave-sized.
+        fetched = b.hint("shuffle_hash").join(reachable_pages, "url", "inner")
     # harvest = url + extracted link array. This is what gets reused (and
     # persisted by the caller) — html is extracted from ONCE and never
     # cached: caching the raw-html wave at 10^5-10^6 rows x KBs thrashes
@@ -242,7 +246,8 @@ def crawl_round(
         if broadcast_batch:
             fetched = reachable_pages.join(F.broadcast(b), "url", "inner")
         else:
-            fetched = b.join(reachable_pages, "url", "inner")
+            # shuffle-hash, build on the wave — never sort html rows
+            fetched = b.hint("shuffle_hash").join(reachable_pages, "url", "inner")
         if extract_documents:
             from ..functions import textstats as ts
 
@@ -294,12 +299,17 @@ def crawl_round(
         )
         documents_inline = harvest_dir is not None
 
-    # dedup: candidates not already in the frontier (J4 anti-join)
+    # dedup: candidates not already in the frontier (J4 anti-join).
+    # shuffle-hash hint: the anti-join's build side is the FRONTIER (the big
+    # side at steady state) — a hash map of longs beats sort-merge sorting
+    # both sides every round.
     if seen_probe is not None:
         fresh = seen_probe(candidates, frontier)
     else:
         fresh = candidates.join(
-            frontier.select("url_hash").withColumnRenamed("url_hash", "_seen_hash"),
+            frontier.select("url_hash")
+            .withColumnRenamed("url_hash", "_seen_hash")
+            .hint("shuffle_hash"),
             F.xxhash64(F.col("url")) == F.col("_seen_hash"),
             "left_anti",
         )
@@ -322,9 +332,12 @@ def crawl_round(
         .select("url", F.coalesce(F.col("_r"), F.lit(False)).alias("_reachable"))
     )
     # broadcast the wave-sized mark so the frontier-side update (the huge
-    # side) never shuffles
+    # side) never shuffles; in shuffle mode, hash-build on the mark so the
+    # frontier is never sorted
     if broadcast_batch:
         visited_mark = F.broadcast(visited_mark)
+    else:
+        visited_mark = visited_mark.hint("shuffle_hash")
     updated = (
         frontier.join(visited_mark, "url", "left")
         .withColumn(

@@ -359,7 +359,9 @@ def seen_probe_factory(get_seen, n_shards: int = 32):
         # frontier side only has to beat the maybe-residue, not all
         # candidates.
         out = probed.join(
-            frontier.select(F.col("url_hash").alias("_seen_hash")),
+            # shuffle-hash: build a long-keyed map of the frontier instead
+            # of sort-merging both sides each round
+            frontier.select(F.col("url_hash").alias("_seen_hash")).hint("shuffle_hash"),
             (probed.url_hash == F.col("_seen_hash")) & probed.maybe_seen,
             "left_anti",
         )

@@ -1,0 +1,88 @@
+"""Pure-CPU scaling ceiling of THIS machine (no Spark): N independent
+python processes each run an identical fixed CPU-bound workload; aggregate
+throughput at two process counts bounds what ANY job can achieve when
+"cluster size" is simulated with local[N] on shared silicon (SMT, shared
+memory bus, host capping, CPU steal).
+
+Used by BENCH/BASELINE.md to normalize the crawl job's N->4N efficiency:
+  machine_relative = job_speedup / ceiling_speedup.
+
+Usage: python tools/cpu_ceiling.py [--n1 8] [--n2 32] [--secs 6]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import multiprocessing as mp
+import time
+
+
+def _cpu_worker(stop_at: float, out):
+    h = b"x" * 4096
+    n = 0
+    while time.monotonic() < stop_at:
+        h = hashlib.sha256(h).digest() * 128  # CPU-bound, cache-resident
+        n += 1
+    out.put(n)
+
+
+def _bw_worker(stop_at: float, out):
+    import numpy as np
+
+    buf = np.frombuffer(np.random.bytes(64 * 1024 * 1024), dtype=np.uint8)
+    n = 0
+    while time.monotonic() < stop_at:
+        buf.copy()  # 64 MB read + 64 MB write — memory-bus bound
+        n += 1
+    out.put(n)
+
+
+def measure(procs: int, secs: float, worker=_cpu_worker) -> float:
+    out: mp.Queue = mp.Queue()
+    stop_at = time.monotonic() + secs
+    ps = [mp.Process(target=worker, args=(stop_at, out)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(out.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / secs
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n1", type=int, default=8)
+    ap.add_argument("--n2", type=int, default=32)
+    ap.add_argument("--secs", type=float, default=6.0)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    def median(worker):
+        r1 = sorted(measure(args.n1, args.secs, worker) for _ in range(args.reps))
+        r2 = sorted(measure(args.n2, args.secs, worker) for _ in range(args.reps))
+        return r1[len(r1) // 2], r2[len(r2) // 2]
+
+    c1, c2 = median(_cpu_worker)
+    b1, b2 = median(_bw_worker)
+    ratio = args.n2 / args.n1
+    print(
+        json.dumps(
+            {
+                "n1": args.n1,
+                "n2": args.n2,
+                "cpu_speedup": round(c2 / c1, 3),
+                "cpu_efficiency": round(c2 / c1 / ratio, 3),
+                "bandwidth_mbps_n1": round(b1 * 128),
+                "bandwidth_mbps_n2": round(b2 * 128),
+                "bandwidth_speedup": round(b2 / b1, 3),
+                "bandwidth_efficiency": round(b2 / b1 / ratio, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
