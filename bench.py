@@ -27,10 +27,12 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "240000"))
 CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "512"))
 CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "5"))
-# seen-set mode: 'bloom' (sharded bloom probe — the 10^10 deployment shape,
-# default) or 'exact' (plain anti-join; slightly faster at toy frontier
-# sizes, quadratically worse once frontier >> wave)
-SEEN_MODE = os.environ.get("BENCH_SEEN", "bloom")
+# seen-set mode: 'auto' (default — adaptive escalation: exact anti-join
+# while the frontier is below run_crawl's bloom_auto_threshold, sharded
+# bloom probe past it, mirroring the 10^10 deployment where re-shuffling
+# frontier hashes every round is the bottleneck), 'bloom' (force the probe),
+# or 'exact' (force the anti-join)
+SEEN_MODE = os.environ.get("BENCH_SEEN", "auto")
 
 BENCH_QUERIES = [
     "filtered_join_agg",
@@ -99,7 +101,7 @@ def main() -> None:
         # bucketed table), big waves fall back to the co-located bucketed
         # join (only the wave shuffles — pages never does)
         broadcast_batch="auto",
-        use_bloom_seen=(SEEN_MODE == "bloom"),
+        use_bloom_seen={"bloom": True, "exact": False, "auto": "auto"}[SEEN_MODE],
         extract_documents=True,  # full round incl. byte-identical text
     )
     crawl_wall = time.monotonic() - t0

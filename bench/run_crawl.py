@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--bucketed", action="store_true",
                     help="read pages as a url-bucketed table (co-located "
                          "fetch join — the 100TB design)")
+    ap.add_argument("--buckets", type=int, default=128,
+                    help="bucket count for --bucketed. Must give >=2-4 tasks "
+                         "per core at the LARGEST cluster size measured: the "
+                         "whole co-located round runs at bucket parallelism, "
+                         "so buckets == cores means one straggler bucket sets "
+                         "the round wall (no task smoothing)")
     ap.add_argument("--bloom", action="store_true",
                     help="dedup via the sharded bloom seen-set probe "
                          "(north_rule path) instead of the exact anti-join")
@@ -73,8 +79,8 @@ def main() -> None:
     if args.bucketed:
         from obp_search_engine_spark.sources.pages import bucketed_pages_table
 
-        tbl = f"pages_b_{args.pages}_{args.hosts}_{args.body_repeat}_{args.outdeg_max}"
-        pages = bucketed_pages_table(spark, pages, tbl)
+        tbl = f"pages_b{args.buckets}_{args.pages}_{args.hosts}_{args.body_repeat}_{args.outdeg_max}"
+        pages = bucketed_pages_table(spark, pages, tbl, n_buckets=args.buckets)
     # prewarm the OS page cache with the REAL bytes (a bare count() reads
     # only parquet footers) so every cluster size measures compute, not the
     # virtual disk
@@ -117,6 +123,7 @@ def main() -> None:
                 "pages": args.pages,
                 "hosts": args.hosts,
                 "bucketed": args.bucketed,
+                "buckets": args.buckets if args.bucketed else None,
                 "bloom": args.bloom,
                 "broadcast": args.broadcast,
                 "shuffle_partitions": max(8, args.cpus),

@@ -41,6 +41,62 @@ def write_snapshot(df: DataFrame, path: str, shard_col: str | None = "host_hash"
         out.write.mode("overwrite").partitionBy("shard").parquet(path)
     else:
         out.write.mode("overwrite").parquet(path)
+    write_manifest(path)
+
+
+def write_manifest(path: str) -> dict:
+    """Iceberg-style per-partition lineage (north_rule): after the immutable
+    snapshot write, record every data file's shard, row count and byte size
+    in ``_MANIFEST.json`` next to the data. Counts come from parquet FOOTERS
+    read driver-side — no Spark job, no data scan (exactly how Iceberg
+    manifests carry per-file stats). The leading underscore keeps the file
+    invisible to Spark's directory reader."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        m = re.search(r"shard=(\d+)", root)
+        shard = int(m.group(1)) if m else None
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            entries.append(
+                {
+                    "file": os.path.relpath(fp, path),
+                    "shard": shard,
+                    "rows": pq.read_metadata(fp).num_rows,
+                    "bytes": os.path.getsize(fp),
+                }
+            )
+    entries.sort(key=lambda e: e["file"])
+    shards: dict = {}
+    for e in entries:
+        if e["shard"] is not None:
+            s = shards.setdefault(e["shard"], {"rows": 0, "bytes": 0, "n_files": 0})
+            s["rows"] += e["rows"]
+            s["bytes"] += e["bytes"]
+            s["n_files"] += 1
+    man = {
+        "n_files": len(entries),
+        "n_rows": sum(e["rows"] for e in entries),
+        "n_bytes": sum(e["bytes"] for e in entries),
+        "per_shard": {str(k): shards[k] for k in sorted(shards)},
+        "files": entries,
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+        json.dump(man, f)
+    return man
+
+
+def read_manifest(path: str) -> dict | None:
+    p = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def commit_round(ckpt: str, k: int) -> None:
@@ -94,7 +150,8 @@ def run_crawl(
     per_host_budget: int | None = None,
     hot_host_salts: int = 1,
     seen_probe=None,
-    use_bloom_seen: bool = False,
+    use_bloom_seen: bool | str = False,
+    bloom_auto_threshold: int = 5_000_000,
     seen_shards: int = N_FRONTIER_SHARDS,
     resume: bool = False,
     stop_when_exhausted: bool = True,
@@ -133,19 +190,32 @@ def run_crawl(
             commit_round(ckpt_dir, 0)
 
     seen_df = None
-    if use_bloom_seen and seen_probe is None:
+
+    def _activate_bloom():
         # the 10^10-URL dedup path (north_rule): per-shard bloom blobs keyed
         # by pmod(host_hash, n_shards). The probe pre-filters candidates to
         # definitely-new + maybe-seen, and only the maybe residue pays the
         # exact anti-join against the frontier. Blobs are rebuilt from the
-        # frontier on a fresh/resumed start and updated incrementally with
-        # each round's discoveries (tiny: n_shards rows of ~1 MB).
-        from .seen_set import build_seen_set, seen_probe_factory, update_seen_set
+        # frontier on activation and updated incrementally with each
+        # round's discoveries (tiny: n_shards rows of ~1 MB).
+        nonlocal seen_df, seen_probe
+        from .seen_set import build_seen_set, seen_probe_factory
 
         seen_df = build_seen_set(
             spark, frontier.select("url_hash", "host_hash"), n_shards=seen_shards
         ).localCheckpoint(eager=True)
         seen_probe = seen_probe_factory(lambda: seen_df, n_shards=seen_shards)
+
+    # 'auto' = adaptive dedup escalation, same logic as join selection: the
+    # exact anti-join re-shuffles the FRONTIER's url_hash column every round
+    # (8 B/row — 80 GB/round at 10^10), while the bloom probe's cost rides
+    # the CANDIDATES plus fixed-size shard blobs. Below the threshold the
+    # long-key shuffle is cheaper than the Arrow probe's fixed tax; past it
+    # the blooms win and are built once from the live frontier, then updated
+    # incrementally.
+    auto_bloom = use_bloom_seen == "auto"
+    if use_bloom_seen is True and seen_probe is None:
+        _activate_bloom()
 
     def stats(df, round_ts=None):
         """size / due / visited-this-round in ONE job (not 3)."""
@@ -168,6 +238,8 @@ def run_crawl(
         t0 = time.monotonic()
         if stop_when_exhausted and due == 0:
             break
+        if auto_bloom and seen_probe is None and prev_size > bloom_auto_threshold:
+            _activate_bloom()
         round_ts = f"2026-06-01 {k // 3600:02d}:{(k // 60) % 60:02d}:{k % 60:02d}"
         # broadcast is a DRIVER-serial cost: right for small waves, wrong
         # for big ones (a 500k-row wave serializes tens of MB through one

@@ -73,10 +73,11 @@ def discover_links(batch: DataFrame, pages: DataFrame, broadcast_batch: bool = T
     broadcast-hash join (build-right — a left-outer can't broadcast its
     preserved side) and pages is streamed exactly once with only
     (url, html) read. Reachability of wave urls missing from pages is
-    recovered small-side in crawl_round. With broadcast_batch=False both
-    sides shuffle (sort-merge) — the fallback when a wave outgrows the
-    broadcast budget; at real scale pages would be bucketed by url so this
-    degenerates to a co-located join.
+    recovered small-side in crawl_round. With broadcast_batch=False the
+    join is a shuffled-HASH join building on the wave — the fallback when a
+    wave outgrows the broadcast budget; at real scale pages is bucketed by
+    url so its side needs no exchange (co-located) and, because the build
+    side is the wave, no sort either.
     """
     b = batch.select("url", "depth")
     # html IS NOT NULL: a pages row with no body is an unreachable node

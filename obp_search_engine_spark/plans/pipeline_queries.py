@@ -363,6 +363,118 @@ def q_crawl_mock4_visits(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# streaming-shaped aggregations (batch path graded here; the identical plan
+# runs as a Structured Stream in tests/test_streaming_events.py)
+# ---------------------------------------------------------------------------
+@register(
+    "event_window_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "tumbling 1h window counts per event_type — the watermarked streaming "
+    "telemetry aggregation (same plan batch/stream; stream equality tested "
+    "in tests/test_streaming_events.py)",
+)
+def q_event_window_counts(spark, sf_dir):
+    from ..streaming.events import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "event_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    "per-user session windows (native session_window, 30-min gap; window "
+    "end exclusive so a gap of exactly 30min opens a new session) vs a "
+    "first-principles lag/cumsum SQL oracle",
+)
+def q_event_sessions(spark, sf_dir):
+    from ..streaming.events import session_windows
+
+    return session_windows(_t(spark, sf_dir, "events"))
+
+
+_MOCK4_BLOOM_FRONTIER_ORACLE = """
+    SELECT * FROM (VALUES
+      ('http://n1.example/', 0, 'done'), ('http://n2.example/', 1, 'done'),
+      ('http://n3.example/', 1, 'done'), ('http://n4.example/', 2, 'done')
+    ) AS t(url, depth, state)
+"""
+
+
+@register(
+    "crawl_mock4_bloom_frontier",
+    _MOCK4_BLOOM_FRONTIER_ORACLE,
+    "U5 driver-graded: scale-mode crawl on the reference mock graph with the "
+    "sharded BLOOM seen-set (probe + exact confirm on the maybe-residue — "
+    "result is exact, not probabilistic); final frontier must equal the "
+    "exact-anti-join path's (golden constant)",
+)
+def q_crawl_mock4_bloom_frontier(spark, sf_dir):
+    import tempfile
+
+    from ..operators.checkpoint import latest_round, load_frontier, run_crawl
+    from ..sources.pages import MOCK4_SEED_URL, mock4_pages_df
+
+    ckpt = tempfile.mkdtemp(prefix="mock4_bloom_")
+    run_crawl(
+        spark, mock4_pages_df(spark), seeds=[MOCK4_SEED_URL], rounds=4,
+        ckpt_dir=ckpt, use_bloom_seen=True,
+    )
+    f = load_frontier(spark, ckpt, latest_round(ckpt))
+    return f.select("url", "depth", "state")
+
+
+_MOCK4_METRICS_ORACLE = """
+    SELECT * FROM (VALUES
+      (1, 1, 3), (2, 2, 4), (3, 1, 4)
+    ) AS t(rnd, visited, frontier_size)
+"""
+
+
+@register(
+    "crawl_round_metrics",
+    _MOCK4_METRICS_ORACLE,
+    "A7 driver-graded: per-round metrics (visited count, frontier size) of a "
+    "scale-mode crawl on the mock graph; stops when exhausted (round 4 never "
+    "runs). Reference: crawler/crawling/crawler.go:184-238 round logging",
+)
+def q_crawl_round_metrics(spark, sf_dir):
+    from ..operators.checkpoint import run_crawl
+    from ..sources.pages import MOCK4_SEED_URL, mock4_pages_df
+
+    res = run_crawl(spark, mock4_pages_df(spark), seeds=[MOCK4_SEED_URL], rounds=4)
+    return spark.createDataFrame(
+        [(r["round"], r["visited"], r["frontier_size"]) for r in res["per_round"]],
+        "rnd int, visited int, frontier_size int",
+    )
+
+
 @register(
     "ann_cosine_topk",
     _ANN_ORACLE,

