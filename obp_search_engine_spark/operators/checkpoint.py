@@ -38,6 +38,13 @@ def write_snapshot(df: DataFrame, path: str, shard_col: str | None = "host_hash"
     out = df
     if shard_col is not None and shard_col in df.columns:
         out = df.withColumn("shard", F.pmod(F.col(shard_col), F.lit(N_FRONTIER_SHARDS)))
+        # repartition ON the partition column first: without it a dynamic
+        # partitionBy write fans out to tasks x shards files (1024 at 32
+        # cores — measured ANTI-scaling in tools/phase_scaling.py: 5.8 s at
+        # 8c -> 9.1 s at 32c, small-file churn + a serial driver-side
+        # manifest over every footer). One shuffle of slim frontier rows
+        # buys exactly one file per shard at any core count.
+        out = out.repartition(N_FRONTIER_SHARDS, "shard")
         out.write.mode("overwrite").partitionBy("shard").parquet(path)
     else:
         out.write.mode("overwrite").parquet(path)

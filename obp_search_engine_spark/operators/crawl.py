@@ -211,6 +211,7 @@ def crawl_round(
     broadcast_batch: bool = False,
     harvest_dir: str | None = None,
     extract_documents: bool = False,
+    wave_override: DataFrame | None = None,
 ) -> RoundResult:
     """One scale-mode wave. Pure DataFrame plan; caller materializes.
 
@@ -230,12 +231,16 @@ def crawl_round(
     t0 = time.monotonic()
     round_ts = round_ts or f"2026-06-01 {round_no // 3600:02d}:{(round_no // 60) % 60:02d}:{round_no % 60:02d}"
 
-    wave = dequeue_wave(
-        frontier,
-        per_host_budget=per_host_budget,
-        host_state=host_state,
-        now=round_ts,
-        hot_host_salts=hot_host_salts,
+    wave = (
+        wave_override
+        if wave_override is not None
+        else dequeue_wave(
+            frontier,
+            per_host_budget=per_host_budget,
+            host_state=host_state,
+            now=round_ts,
+            hot_host_salts=hot_host_salts,
+        )
     )
     persisted = []
     if harvest_dir is not None:
@@ -373,12 +378,47 @@ def crawl_round(
     )
 
 
+def crawl_one(
+    spark: SparkSession,
+    frontier: DataFrame,
+    pages: DataFrame,
+    url: str,
+    round_no: int = 1,
+    round_ts=None,
+    broadcast_batch: bool = True,
+) -> RoundResult:
+    """On-demand single-node crawl — the reference's ``GET /crawl/{nodeID}``
+    endpoint (crawler/server/server.go:26-40 → ProcessOneNodeSync,
+    crawler/crawling/crawler.go:150-174): crawl exactly ONE url through the
+    same fetch/extract/dedup/merge machinery, bypassing the frontier's
+    dequeue priorities. An unknown url is first inserted (the reference
+    crawls any id it is handed); an already-crawled url is re-crawled.
+    Always broadcasts by default — the wave is one row.
+    """
+    canon = canonicalize_url(url) or url
+    one = init_frontier(spark, [canon])
+    seeded = frontier.unionByName(
+        one.join(frontier.select("url"), "url", "left_anti")
+    )
+    wave = seeded.filter(F.col("url") == F.lit(canon))
+    return crawl_round(
+        spark,
+        seeded,
+        pages,
+        round_no=round_no,
+        round_ts=round_ts,
+        broadcast_batch=broadcast_batch,
+        wave_override=wave,
+    )
+
+
 __all__ = [
     "init_frontier",
     "discover_links",
     "new_frontier_rows",
     "strict_crawl",
     "crawl_round",
+    "crawl_one",
     "RoundResult",
     "reference_crawl",
 ]

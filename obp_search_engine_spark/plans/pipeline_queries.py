@@ -450,6 +450,28 @@ def q_crawl_mock4_bloom_frontier(spark, sf_dir):
     return f.select("url", "depth", "state")
 
 
+@register(
+    "crawl_one_node",
+    """
+    SELECT * FROM (VALUES
+      ('http://n1.example/', 0, 'due'), ('http://n3.example/', 0, 'done'),
+      ('http://n4.example/', 1, 'due')
+    ) AS t(url, depth, state)
+    """,
+    "on-demand single-node crawl (reference GET /crawl/{nodeID} -> "
+    "ProcessOneNodeSync, crawler/server/server.go:26-40): crawl n3 against "
+    "a frontier holding only n1 — n3 inserted+done, n4 discovered, n1's "
+    "discovery deduped (INSERT IGNORE), n1 untouched",
+)
+def q_crawl_one_node(spark, sf_dir):
+    from ..operators.crawl import crawl_one, init_frontier
+    from ..sources.pages import MOCK4_SEED_URL, mock4_pages_df
+
+    f = init_frontier(spark, [MOCK4_SEED_URL])
+    res = crawl_one(spark, f, mock4_pages_df(spark), "http://n3.example/")
+    return res.frontier.select("url", "depth", "state")
+
+
 _MOCK4_METRICS_ORACLE = """
     SELECT * FROM (VALUES
       (1, 1, 3), (2, 2, 4), (3, 1, 4)

@@ -69,6 +69,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd for OUR writes (snapshots, harvest/documents spills): trades
+        # CPU (scales with cores) for write bytes (the shared bus — the
+        # non-scaling resource). Measured in tools/phase_scaling.py: the
+        # merge+snapshot phase went 8c 5.8s / 32c 8.1s (snappy) to
+        # 8c 5.2s / 32c 4.7s (zstd); extraction-spill phase unchanged.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_CODEC", "zstd"),
+        )
         # InferFiltersFromGenerate turns explode(udf(x)) into an inferred
         # `size(udf(x))>0` filter that predicate-pushdown then moves BELOW
         # joins — running the Python UDF over the whole build-side corpus

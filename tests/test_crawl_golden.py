@@ -111,3 +111,30 @@ def test_extract_documents_inline_store(spark, tmp_path):
     for c in ("url", "text", "fetch_ts", "lang", "n_tokens", "fp", "quality"):
         assert c in h.columns, c
     assert h.filter(h.text.isNull()).count() == 0
+
+
+def test_crawl_one_on_demand_and_recrawl(spark):
+    """S4/S8 on-demand single-node crawl (GET /crawl/{nodeID} ->
+    ProcessOneNodeSync): unknown urls are inserted then crawled, discovered
+    neighbors dedup against the frontier (INSERT IGNORE), and an
+    already-done url is re-crawlable (the reference re-crawls any id it is
+    handed) without duplicating frontier rows."""
+    from obp_search_engine_spark.operators.crawl import crawl_one, init_frontier
+    from obp_search_engine_spark.sources.pages import MOCK4_SEED_URL, mock4_pages_df
+
+    pages = mock4_pages_df(spark)
+    f = init_frontier(spark, [MOCK4_SEED_URL])
+    r1 = crawl_one(spark, f, pages, MOCK4_SEED_URL)
+    f1 = r1.frontier.localCheckpoint(eager=True)
+    got1 = {(r.url, r.depth, r.state) for r in f1.select("url", "depth", "state").collect()}
+    assert got1 == {
+        ("http://n1.example/", 0, "done"),
+        ("http://n2.example/", 1, "due"),
+        ("http://n3.example/", 1, "due"),
+    }
+    # re-crawl the same node: same rows, no duplicates, still done
+    r2 = crawl_one(spark, f1, pages, MOCK4_SEED_URL, round_no=2)
+    f2 = r2.frontier.localCheckpoint(eager=True)
+    got2 = {(r.url, r.depth, r.state) for r in f2.select("url", "depth", "state").collect()}
+    assert got2 == got1
+    assert f2.count() == 3
