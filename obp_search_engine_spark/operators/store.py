@@ -1,0 +1,136 @@
+"""Documents-store lifecycle: incremental reads, export sinks, compaction.
+
+The crawl writes one documents store per round (the harvest spill IS the
+store — text + stats written once, operators/crawl.py). Downstream
+training-data pipelines consume it in three shapes this module provides:
+
+* ``read_documents(since_round=k)`` — Iceberg-style INCREMENTAL read: only
+  rounds committed after snapshot k (the consumer's bookmark), pruned to
+  the documents schema. At 100 TB nobody re-reads the corpus per batch —
+  they read the delta since their last offset.
+* ``export_documents_jsonl`` — the training-pipeline handoff format
+  (one JSON object per line, url-keyed), written distributed.
+* ``compact_documents`` — small-file compaction: a long crawl leaves one
+  file set per round per shard; compaction rewrites a round's store into
+  size-targeted files (content-identical, manifest-verified). The 100 TB
+  failure mode this prevents is millions of KB-files throttling the
+  namenode/scan planner.
+
+Reference analogue: the items corpus consumers (apiserver scans,
+listingfiltering training reads, crawler/db/mysql.go:339 re-inserts) all
+read the one MySQL table; our store is append-per-round, so the delta/
+export/compact trio is what replaces "SELECT * FROM items WHERE ...".
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_COLS = ["url", "fetch_ts", "text", "lang", "n_tokens", "fp", "quality"]
+
+
+def documents_rounds(ckpt_dir: str) -> list[int]:
+    """Rounds that committed a documents store (harvest dir), ascending."""
+    out = []
+    if not os.path.isdir(ckpt_dir):
+        return out
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"round=(\d+)", name)
+        if m and os.path.isdir(os.path.join(ckpt_dir, name, "harvest")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_documents(
+    spark: SparkSession,
+    ckpt_dir: str,
+    since_round: int = 0,
+    until_round: int | None = None,
+) -> DataFrame:
+    """Incremental documents read: rounds in (since_round, until_round].
+
+    ``since_round`` is the consumer's bookmark (exclusive) — pass the last
+    round it processed; 0 means everything. Each row carries its ``round``
+    so the consumer can advance the bookmark transactionally.
+    """
+    rounds = [
+        k for k in documents_rounds(ckpt_dir)
+        if k > since_round and (until_round is None or k <= until_round)
+    ]
+    if not rounds:
+        return spark.createDataFrame(
+            [], "url string, fetch_ts timestamp, text string, lang string, "
+                "n_tokens int, fp bigint, quality double, round int"
+        )
+    parts = [
+        spark.read.parquet(os.path.join(ckpt_dir, f"round={k}", "harvest"))
+        .select(*DOC_COLS)
+        .withColumn("round", F.lit(k))
+        for k in rounds
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def export_documents_jsonl(
+    spark: SparkSession,
+    ckpt_dir: str,
+    out_dir: str,
+    since_round: int = 0,
+) -> int:
+    """Export the incremental slice as JSONL (one object per line) for
+    training-data handoff; returns the exported row count (via a write
+    Observation — no second scan)."""
+    from pyspark.sql import Observation
+
+    docs = read_documents(spark, ckpt_dir, since_round=since_round)
+    obs = Observation("export_docs")
+    docs.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).json(out_dir)
+    return int(obs.get["n"])
+
+
+def compact_documents(
+    spark: SparkSession,
+    ckpt_dir: str,
+    round_no: int,
+    target_file_mb: int = 256,
+) -> dict:
+    """Rewrite one round's documents store into ceil(bytes/target)-many
+    files. Content-identical (same rows, same schema incl. the harvest
+    link columns so downstream re-reads are unaffected); the store is
+    swapped in atomically via directory rename. Returns {files_before,
+    files_after, rows}."""
+    import shutil
+
+    from .checkpoint import write_manifest
+
+    path = os.path.join(ckpt_dir, f"round={round_no}", "harvest")
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // (target_file_mb * 2**20)))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    tmp = path + "._compacting"
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    old = path + "._old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    write_manifest(path)
+    files_after = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    return {"files_before": len(files), "files_after": files_after, "rows": rows}

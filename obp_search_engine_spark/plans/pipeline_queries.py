@@ -451,6 +451,39 @@ def q_crawl_mock4_bloom_frontier(spark, sf_dir):
 
 
 @register(
+    "documents_incremental",
+    """
+    SELECT * FROM (VALUES
+      (2, 'http://n2.example/', 'peer node 2', 'en', 3, CAST(0.6088 AS DOUBLE)),
+      (2, 'http://n3.example/', 'peer peer node 3', 'en', 4, CAST(0.5128 AS DOUBLE)),
+      (3, 'http://n4.example/', 'peer node 4', 'en', 3, CAST(0.6088 AS DOUBLE))
+    ) AS t(rnd, url, text, lang, n_tokens, quality)
+    """,
+    "Iceberg-style incremental documents read (operators/store.py): crawl "
+    "3 rounds, consume only rounds > bookmark 1; each row carries its "
+    "round so consumers advance bookmarks transactionally. Replaces the "
+    "reference consumers' full-table re-scans (apiserver/listingfiltering "
+    "reads of items)",
+)
+def q_documents_incremental(spark, sf_dir):
+    import tempfile
+
+    from ..operators.checkpoint import run_crawl
+    from ..operators.store import read_documents
+    from ..sources.pages import MOCK4_SEED_URL, mock4_pages_df
+
+    ckpt = tempfile.mkdtemp(prefix="docs_incr_")
+    run_crawl(
+        spark, mock4_pages_df(spark), seeds=[MOCK4_SEED_URL], rounds=4,
+        ckpt_dir=ckpt, extract_documents=True,
+    )
+    d = read_documents(spark, ckpt, since_round=1)
+    return d.select(
+        F.col("round").alias("rnd"), "url", "text", "lang", "n_tokens", "quality"
+    )
+
+
+@register(
     "crawl_one_node",
     """
     SELECT * FROM (VALUES
