@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "doc_quality_score",
     "search_listings_page",
+    "event_window_counts",
+    "event_sessions",
 ]
 
 

@@ -136,6 +136,33 @@ def test_snapshot_manifest_lineage(spark):
             assert read_manifest(os.path.join(d, f"round={r}", "frontier"))
 
 
+def test_resume_ignores_uncommitted_round(spark):
+    """Crash safety: a round dir written but never committed to LATEST
+    (simulating a crash mid-snapshot) is invisible to resume — the run
+    continues from the last COMMITTED round and overwrites the orphan."""
+    import os
+    import shutil
+
+    from obp_search_engine_spark.operators.checkpoint import latest_round
+
+    pages = synth_pages_df(spark, n_pages=400, n_hosts=8, seed=11).cache()
+    seed_url = pages.orderBy("url").first().url
+    with tempfile.TemporaryDirectory() as d:
+        run_crawl(spark, pages, seeds=[seed_url], rounds=2, ckpt_dir=d)
+        assert latest_round(d) == 2
+        # fake a crashed round 3: partial frontier dir, LATEST not bumped
+        shutil.copytree(os.path.join(d, "round=2"), os.path.join(d, "round=3"))
+        os.remove(os.path.join(d, "round=3", "frontier", "_MANIFEST.json"))
+        assert latest_round(d) == 2
+        res = run_crawl(spark, pages, rounds=2, ckpt_dir=d, resume=True)
+        assert latest_round(d) == 4
+        # the orphan was overwritten by the real round 3 and re-manifested
+        assert os.path.exists(
+            os.path.join(d, "round=3", "frontier", "_MANIFEST.json")
+        )
+        assert res["per_round"][0]["round"] == 3
+
+
 def test_scale_crawl_matches_reference_seen_set(spark):
     """Scale mode visits every due row per round (no budget) — its seen set
     after k rounds equals the reference oracle's after k rounds, because
