@@ -60,7 +60,13 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
 
 def export_pages(pages: DataFrame, path: str, fmt: str = "json") -> None:
     """Write a PAGES_SCHEMA DataFrame in the text wire format (html as
-    base64). parquet export is just df.write.parquet — use that directly."""
+    base64). parquet export is just df.write.parquet — use that directly.
+
+    JSONL is the general wire (escapes everything). CSV is manifest-grade:
+    correct only while ``text`` carries no newlines — our extractor's
+    whitespace collapse guarantees that for crawled corpora, but foreign
+    text with embedded newlines needs the JSONL wire (a multiLine CSV read
+    would parse whole files single-threaded)."""
     if fmt not in ("json", "csv"):
         raise ValueError(f"export fmt {fmt!r}: json or csv")
     wire = pages.select(

@@ -83,6 +83,22 @@ def test_point_lookup_pushdown(spark):
     assert "EqualTo(o_orderkey,42)" in p
 
 
+def test_salted_dequeue_partitions_by_salted_key(spark):
+    """Hot-host skew defusal must be visible in the PLAN: with salts > 1
+    the dequeue window partitions on the salted key (concat of host_hash
+    and pmod(xxhash64(url), S)), never on the bare host — one mega-host's
+    queue spreads across S window partitions."""
+    from obp_search_engine_spark.operators.crawl import init_frontier
+    from obp_search_engine_spark.operators.frontier import dequeue_wave
+
+    f = init_frontier(spark, [f"http://hot.example/p/{i}" for i in range(50)])
+    wave = dequeue_wave(f, per_host_budget=8, hot_host_salts=8)
+    p = plan_of(wave)
+    assert "xxhash64" in p and "pmod" in p, p  # salted partition key
+    # and the salted path still respects the exact budget
+    assert wave.count() <= 8
+
+
 def test_fetch_join_never_sorts_pages(spark):
     """Non-broadcast fetch join must be a shuffled-HASH join building on the
     wave: a sort-merge join would push KB-sized html rows through a sorter
