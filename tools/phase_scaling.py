@@ -44,6 +44,9 @@ def main() -> None:
                     help="parquet write codec override (e.g. zstd): trades "
                          "CPU (scales with cores) for write bytes (the "
                          "non-scaling bus) on spill/snapshot writes")
+    ap.add_argument("--zstd-level", type=int, default=None,
+                    help="zstd encode level for parquet writes (parquet-mr "
+                         "default 3; 1 = faster encode, slightly larger)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -68,6 +71,11 @@ def main() -> None:
             "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
             "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/derby",
             **({"spark.sql.parquet.compression.codec": args.codec} if args.codec else {}),
+            **(
+                {"spark.hadoop.parquet.compression.codec.zstd.level": str(args.zstd_level)}
+                if args.zstd_level is not None
+                else {}
+            ),
         },
     )
     pages_path = (
