@@ -278,27 +278,15 @@ def run_crawl(
         n_docs = 0
         keep_harvest = False
         if docs is not None:
-            if res.metrics.get("documents_inline"):
-                # the harvest spill already IS the documents store (text +
-                # stats written once, in the extraction pass); the count
-                # reads parquet footers only. Saves a full text write+read
-                # per round vs copying into a separate documents dir.
-                n_docs = docs.count()
-                keep_harvest = True
-            else:
-                from pyspark.sql import Observation
-
-                docs_dir = os.path.join(
-                    _round_dir(
-                        ckpt_dir or os.path.dirname(os.path.dirname(harvest_dir)), k
-                    ),
-                    "documents",
-                )
-                obs = Observation(f"docs_r{k}")
-                docs.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-                    "overwrite"
-                ).parquet(docs_dir)
-                n_docs = int(obs.get["n"])
+            # documents exist only on the harvest-spill path (crawl_round
+            # emits them iff 'text' is in the spilled harvest), so the
+            # spill already IS the documents store — text + stats written
+            # once, in the extraction pass; the count reads parquet footers
+            # only. Saves a full text write+read per round vs copying into
+            # a separate documents dir.
+            assert res.metrics.get("documents_inline"), "documents imply spill"
+            n_docs = docs.count()
+            keep_harvest = True
         if ckpt_dir:
             # stats ride the snapshot write as an Observation — no second
             # job re-reading the parquet just to count (scaling residual:

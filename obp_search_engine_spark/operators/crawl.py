@@ -58,6 +58,29 @@ def init_frontier(spark: SparkSession, seeds: list[str], depth: int = 0) -> Data
     )
 
 
+def fetch_join(batch: DataFrame, pages: DataFrame, broadcast_batch: bool) -> DataFrame:
+    """THE fetch join (J5) — single definition for every caller so the join
+    strategy and the reachability contract can't diverge between the
+    in-memory path, the spill path, and the benchmark probes.
+
+    html IS NOT NULL: a pages row with no body is an unreachable node
+    (reference F2, crawler/crawling/crawler.go:86-88) — it must fall out of
+    the fetch join so the merge marks it 'failed', not 'done'. The filter
+    pushes to the parquet scan.
+
+    Strategy: small waves broadcast (build-right inner; pages streamed once,
+    never shuffled). Otherwise a shuffle-HASH join building on the wave — a
+    sort-merge join would SORT the pages side, and KB-sized html rows
+    through a sorter is pure memory-bandwidth burn (on a bucketed table it
+    also wipes out the exchange-free win). The hash map is wave-sized.
+    """
+    b = batch.select("url", "depth")
+    reachable_pages = pages.select("url", "html").filter(F.col("html").isNotNull())
+    if broadcast_batch:
+        return reachable_pages.join(F.broadcast(b), "url", "inner")
+    return b.hint("shuffle_hash").join(reachable_pages, "url", "inner")
+
+
 def discover_links(batch: DataFrame, pages: DataFrame, broadcast_batch: bool = True):
     """Fetch join + link extraction + canonicalization + validity filter.
 
@@ -79,20 +102,7 @@ def discover_links(batch: DataFrame, pages: DataFrame, broadcast_batch: bool = T
     url so its side needs no exchange (co-located) and, because the build
     side is the wave, no sort either.
     """
-    b = batch.select("url", "depth")
-    # html IS NOT NULL: a pages row with no body is an unreachable node
-    # (reference F2, crawler/crawling/crawler.go:86-88) — it must fall out of
-    # the fetch join so the merge marks it 'failed', not 'done'. The filter
-    # pushes to the parquet scan.
-    reachable_pages = pages.select("url", "html").filter(F.col("html").isNotNull())
-    if broadcast_batch:
-        fetched = reachable_pages.join(F.broadcast(b), "url", "inner")
-    else:
-        # shuffle-HASH join, build on the wave: a sort-merge join would
-        # SORT the pages side — KB-sized html rows through the sorter is
-        # pure memory-bandwidth burn (and on a bucketed table wipes out the
-        # exchange-free win). The hash map is wave-sized.
-        fetched = b.hint("shuffle_hash").join(reachable_pages, "url", "inner")
+    fetched = fetch_join(batch, pages, broadcast_batch)
     # harvest = url + extracted link array. This is what gets reused (and
     # persisted by the caller) — html is extracted from ONCE and never
     # cached: caching the raw-html wave at 10^5-10^6 rows x KBs thrashes
@@ -246,14 +256,7 @@ def crawl_round(
     if harvest_dir is not None:
         from ..functions.extract import extract_links_and_text_udf
 
-        b = wave.select("url", "depth")
-        # null html = unreachable (F2) — same contract as discover_links
-        reachable_pages = pages.select("url", "html").filter(F.col("html").isNotNull())
-        if broadcast_batch:
-            fetched = reachable_pages.join(F.broadcast(b), "url", "inner")
-        else:
-            # shuffle-hash, build on the wave — never sort html rows
-            fetched = b.hint("shuffle_hash").join(reachable_pages, "url", "inner")
+        fetched = fetch_join(wave, pages, broadcast_batch)
         if extract_documents:
             from ..functions import textstats as ts
 
@@ -414,6 +417,7 @@ def crawl_one(
 
 __all__ = [
     "init_frontier",
+    "fetch_join",
     "discover_links",
     "new_frontier_rows",
     "strict_crawl",

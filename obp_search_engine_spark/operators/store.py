@@ -34,13 +34,21 @@ DOC_COLS = ["url", "fetch_ts", "text", "lang", "n_tokens", "fp", "quality"]
 
 
 def documents_rounds(ckpt_dir: str) -> list[int]:
-    """Rounds that committed a documents store (harvest dir), ascending."""
+    """Rounds that committed a documents store (harvest dir), ascending.
+    Self-heals a compaction interrupted between its two renames: a round
+    with ``harvest._old`` but no ``harvest`` gets the old store renamed
+    back (the new one was never swapped in)."""
     out = []
     if not os.path.isdir(ckpt_dir):
         return out
     for name in os.listdir(ckpt_dir):
         m = re.fullmatch(r"round=(\d+)", name)
-        if m and os.path.isdir(os.path.join(ckpt_dir, name, "harvest")):
+        if not m:
+            continue
+        path = os.path.join(ckpt_dir, name, "harvest")
+        if not os.path.isdir(path) and os.path.isdir(path + "._old"):
+            os.rename(path + "._old", path)  # crash recovery
+        if os.path.isdir(path):
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -105,10 +113,16 @@ def compact_documents(
 ) -> dict:
     """Rewrite one round's documents store into ceil(bytes/target)-many
     files. Content-identical (same rows, same schema incl. the harvest
-    link columns so downstream re-reads are unaffected); the store is
-    swapped in atomically via directory rename. Returns {files_before,
-    files_after, rows}."""
+    link columns so downstream re-reads are unaffected). The swap is two
+    renames — not atomic: a crash in the microsecond gap leaves
+    ``harvest._old`` and no ``harvest``, which ``documents_rounds``
+    self-heals by renaming the old store back (the rewrite is then simply
+    retried); the old store is deleted only after the new one is in place,
+    so no state loses data. Returns {files_before, files_after, rows} —
+    the row count rides the rewrite as an Observation, no second scan."""
     import shutil
+
+    from pyspark.sql import Observation
 
     from .checkpoint import write_manifest
 
@@ -122,9 +136,12 @@ def compact_documents(
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total_bytes // (target_file_mb * 2**20)))
     df = spark.read.parquet(path)
-    rows = df.count()
     tmp = path + "._compacting"
-    df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    obs = Observation(f"compact_r{round_no}")
+    df.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(int(n_out)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    rows = int(obs.get["n"])
     old = path + "._old"
     os.rename(path, old)
     os.rename(tmp, path)

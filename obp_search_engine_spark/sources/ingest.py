@@ -45,10 +45,19 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
         if missing:
             raise ValueError(f"pages parquet at {path} missing columns {missing}")
         return df.select([f.name for f in PAGES_SCHEMA.fields])
+    # enforced-schema readers return all-null columns rather than failing
+    # when a field is absent from the file — inspect the actual field names
+    # of the first data file driver-side (one line, no scan) and fail loudly
+    present = _wire_columns(path, fmt)
+    if present is not None:
+        missing = [f.name for f in _WIRE_SCHEMA.fields if f.name not in present]
+        if missing:
+            raise ValueError(
+                f"pages {fmt} at {path} missing wire columns {missing} "
+                f"(found {sorted(present)})"
+            )
     reader = spark.read.schema(_WIRE_SCHEMA)
     raw = reader.json(path) if fmt == "json" else reader.option("header", True).csv(path)
-    # enforced-schema readers return all-null columns rather than failing
-    # when a field is absent from the file — probe the first row instead
     return raw.select(
         "url",
         "warc_ts",
@@ -56,6 +65,35 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
         "text",
         "lang",
     )
+
+
+def _wire_columns(path: str, fmt: str) -> set[str] | None:
+    """Field names of the first local data file (first JSONL object's keys /
+    CSV header). Returns None when the path isn't a local file/dir (e.g.
+    object store) — validation is then skipped rather than guessed."""
+    import csv as _csv
+    import json as _json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    if os.path.isdir(path):
+        suffix = ".json" if fmt == "json" else ".csv"
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(suffix) and not f.startswith(("_", "."))
+        )
+        if not files:
+            return None
+        path = files[0]
+    with open(path, encoding="utf-8") as fh:
+        line = fh.readline().strip()
+    if not line:
+        return None
+    if fmt == "json":
+        return set(_json.loads(line).keys())
+    return set(next(_csv.reader([line])))
 
 
 def export_pages(pages: DataFrame, path: str, fmt: str = "json") -> None:

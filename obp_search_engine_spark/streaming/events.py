@@ -109,31 +109,30 @@ def politeness_gate_stream(
 
     State is one double per host — O(hosts) total, never O(events): the
     100 TB shape for a billion-URL frontier over ~10^7 hosts. Within a
-    micro-batch events are processed in ts order (sorted inside the UDF),
-    so a replay with different batch boundaries yields the same decisions
-    as long as per-host event-time order is preserved across batches.
+    micro-batch a host's events are concatenated across Arrow chunks and
+    sorted ONCE (per-chunk sorting would make decisions depend on chunk
+    boundaries), costing transient O(per-host events per batch) memory;
+    a replay with different batch boundaries yields the same decisions as
+    long as per-host event-time order is preserved across batches.
     """
     import pandas as pd
 
     def gate(key, pdfs, state):
         (next_allowed,) = state.get if state.exists else (float("-inf"),)
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            epochs = pdf["ts"].astype("int64") / 1e9
-            allowed = []
-            for t in epochs:
-                ok = t >= next_allowed
-                if ok:
-                    next_allowed = t + crawl_delay_sec
-                allowed.append(ok)
-            out.append(
-                pd.DataFrame(
-                    {"host": key[0], "ts": pdf["ts"], "allowed": allowed}
-                )
-            )
+        # a group larger than one Arrow batch arrives as MULTIPLE chunks
+        # with no global ts order — concat before the single sort, or the
+        # clock would process chunk 2's earlier events after chunk 1's
+        # later ones and decisions would depend on batch boundaries
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        epochs = pdf["ts"].astype("int64") / 1e9
+        allowed = []
+        for t in epochs:
+            ok = t >= next_allowed
+            if ok:
+                next_allowed = t + crawl_delay_sec
+            allowed.append(ok)
         state.update((next_allowed,))
-        yield from out
+        yield pd.DataFrame({"host": key[0], "ts": pdf["ts"], "allowed": allowed})
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -54,3 +54,18 @@ def test_unknown_format_and_missing_columns(spark, tmp_path):
     mock4_pages_df(spark).drop("lang").write.parquet(bad)
     with pytest.raises(ValueError, match="missing columns.*lang"):
         read_pages(spark, bad, fmt="parquet")
+
+
+def test_misnamed_wire_column_fails_loudly(spark, tmp_path):
+    """An enforced-schema reader happily returns all-null columns for a
+    misspelled field; read_pages must instead fail naming the missing wire
+    column (the silent-null fetch-join poisoning the module guards against)."""
+    import json as _json
+
+    p = tmp_path / "bad_json"
+    p.mkdir()
+    rec = {"url": "http://x.example/", "warc_ts": "2026-01-01T00:00:00Z",
+           "html": "PGh0bWw+", "text": "t", "lang": "en"}  # 'html' not 'html_b64'
+    (p / "part-0.json").write_text(_json.dumps(rec) + "\n")
+    with pytest.raises(ValueError, match="missing wire columns.*html_b64"):
+        read_pages(spark, str(p), fmt="json")

@@ -79,3 +79,18 @@ def test_compaction_content_identical(spark, tmp_path):
     assert after == before
     man = read_manifest(path)
     assert man and man["n_rows"] == stats["rows"] == after_df.count()
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A compaction interrupted between its two renames leaves
+    harvest._old and no harvest; documents_rounds must self-heal by
+    renaming the old store back, and incremental reads see every round."""
+    import shutil
+
+    ckpt, res = _crawl(spark, tmp_path)
+    k = res["per_round"][-1]["round"]
+    path = os.path.join(ckpt, f"round={k}", "harvest")
+    os.rename(path, path + "._old")  # simulate the crash window
+    assert documents_rounds(ckpt) == [r["round"] for r in res["per_round"]]
+    assert os.path.isdir(path) and not os.path.isdir(path + "._old")
+    assert read_documents(spark, ckpt).count() == res["visited"]

@@ -127,3 +127,38 @@ def test_politeness_gate_stream_matches_oracle(spark, tmp_path):
     got = {(r.host, r.ts, r.allowed) for r in spark.table("gate").collect()}
     want = politeness_gate_oracle(rows, crawl_delay_sec=60.0)
     assert got == want
+
+
+def test_politeness_gate_multi_chunk_group(spark, tmp_path):
+    """A host whose micro-batch exceeds one Arrow batch arrives as several
+    unordered chunks; the gate must sort the whole group once (per-chunk
+    sorting would tie decisions to chunk boundaries). 5000 events at the
+    session's 2048-row Arrow batches span 3 chunks."""
+    import random
+
+    base = dt.datetime(2026, 3, 1)
+    rows = [("big.example", base + dt.timedelta(seconds=7 * i)) for i in range(5000)]
+    rng = random.Random(7)
+    rng.shuffle(rows)  # unordered within the batch
+    path = tmp_path / "fetches_big"
+    path.mkdir()
+    spark.createDataFrame(rows, "host string, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(path))
+    stream = spark.readStream.schema("host string, ts timestamp").parquet(str(path))
+    q = (
+        politeness_gate_stream(stream, crawl_delay_sec=60.0)
+        .writeStream.format("memory")
+        .queryName("gate_big")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.host, r.ts, r.allowed) for r in spark.table("gate_big").collect()}
+    want = politeness_gate_oracle(rows, crawl_delay_sec=60.0)
+    assert got == want
+    # exactly every 60s/7s≈9th event admitted
+    assert sum(1 for (_h, _t, ok) in got if ok) == len({i for i in range(5000) if (7 * i) % 63 == 0})

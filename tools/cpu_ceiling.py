@@ -20,36 +20,47 @@ import multiprocessing as mp
 import time
 
 
-def _cpu_worker(stop_at: float, out):
+def _cpu_worker(barrier, secs: float, out):
     h = b"x" * 4096
+    barrier.wait()  # setup (fork, import) outside the measured window
+    t0 = time.monotonic()
+    stop_at = t0 + secs
     n = 0
     while time.monotonic() < stop_at:
         h = hashlib.sha256(h).digest() * 128  # CPU-bound, cache-resident
         n += 1
-    out.put(n)
+    out.put(n / (time.monotonic() - t0))
 
 
-def _bw_worker(stop_at: float, out):
+def _bw_worker(barrier, secs: float, out):
     import numpy as np
 
     buf = np.frombuffer(np.random.bytes(64 * 1024 * 1024), dtype=np.uint8)
+    barrier.wait()  # the 64 MB buffer build must NOT be in the window
+    t0 = time.monotonic()
+    stop_at = t0 + secs
     n = 0
     while time.monotonic() < stop_at:
         buf.copy()  # 64 MB read + 64 MB write — memory-bus bound
         n += 1
-    out.put(n)
+    out.put(n / (time.monotonic() - t0))
 
 
 def measure(procs: int, secs: float, worker=_cpu_worker) -> float:
+    """Aggregate ops/sec of `procs` identical workers. Workers rendezvous
+    on a barrier AFTER setup and each measures its own window — spawn
+    serialization and buffer construction would otherwise eat a larger
+    fraction of the window at the higher process count, biasing the
+    ceiling (and every machine-relative number derived from it) downward."""
     out: mp.Queue = mp.Queue()
-    stop_at = time.monotonic() + secs
-    ps = [mp.Process(target=worker, args=(stop_at, out)) for _ in range(procs)]
+    barrier = mp.Barrier(procs)
+    ps = [mp.Process(target=worker, args=(barrier, secs, out)) for _ in range(procs)]
     for p in ps:
         p.start()
     total = sum(out.get() for _ in ps)
     for p in ps:
         p.join()
-    return total / secs
+    return total
 
 
 def main() -> None:

@@ -110,10 +110,10 @@ def main() -> None:
 
     # B: fetch join + single-pass extraction + stats + spill (the round's
     # dominant phase; mirrors crawl_round's harvest_dir path exactly)
+    from obp_search_engine_spark.operators.crawl import fetch_join
+
     spill = tempfile.mkdtemp(prefix="phase_spill_")
-    b = wave.select("url", "depth")
-    reachable = pages.select("url", "html").filter(F.col("html").isNotNull())
-    fetched = b.hint("shuffle_hash").join(reachable, "url", "inner")
+    fetched = fetch_join(wave, pages, broadcast_batch=False)
     harvested = fetched.select(
         "url",
         F.col("depth").alias("src_depth"),
