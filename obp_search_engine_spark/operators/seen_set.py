@@ -232,20 +232,29 @@ def build_seen_set(
 
 
 def update_seen_set(
-    seen: DataFrame, new_urls: DataFrame, n_shards: int = 32
+    seen: DataFrame, new_urls: DataFrame, n_shards: int = 32,
+    kind: str = "bloom",
 ) -> DataFrame:
     """Insert new url_hashes into their shard blobs (cogrouped update —
-    Iceberg-style: emits NEW blob rows; caller snapshots)."""
+    Iceberg-style: emits NEW blob rows; caller snapshots).
+
+    ``kind`` governs the filter created for a shard that has NO existing
+    blob (keys hashing to a previously-empty shard) — it must match the
+    set's build kind: silently creating a bloom blob inside a cuckoo set
+    would strand those keys undeletable."""
 
     def upd(keys_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
         if blob_pdf.empty:
-            f = BloomShard.sized_for(1 << 20)
+            blob_kind = kind
+            if blob_kind == "cuckoo":
+                f = CuckooShard(n_buckets=1 << 16)
+            else:
+                f = BloomShard.sized_for(1 << 20)
             shard = int(keys_pdf["shard"].iloc[0])
-            kind = "bloom"
         else:
             f = shard_from_bytes(bytes(blob_pdf["filter_bytes"].iloc[0]))
             shard = int(blob_pdf["shard"].iloc[0])
-            kind = str(blob_pdf["kind"].iloc[0])
+            blob_kind = str(blob_pdf["kind"].iloc[0])
         n_new = 0
         if not keys_pdf.empty:
             keys = np.unique(keys_pdf["url_hash"].to_numpy(np.int64).astype(np.uint64))
@@ -254,9 +263,9 @@ def update_seen_set(
         return pd.DataFrame(
             {
                 "shard": [shard],
-                "kind": [kind],
+                "kind": [blob_kind],
                 "filter_bytes": [f.to_bytes()],
-                "n_items": [int(f.n_items) if kind == "cuckoo" else int((blob_pdf["n_items"].iloc[0] if not blob_pdf.empty else 0) + n_new)],
+                "n_items": [int(f.n_items) if blob_kind == "cuckoo" else int((blob_pdf["n_items"].iloc[0] if not blob_pdf.empty else 0) + n_new)],
             }
         )
 

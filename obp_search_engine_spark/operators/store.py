@@ -72,7 +72,7 @@ def read_documents(
     if not rounds:
         return spark.createDataFrame(
             [], "url string, fetch_ts timestamp, text string, lang string, "
-                "n_tokens int, fp bigint, quality double, round int"
+                "n_tokens int, fp string, quality double, round int"
         )
     parts = [
         spark.read.parquet(os.path.join(ckpt_dir, f"round={k}", "harvest"))

@@ -194,8 +194,11 @@ def q_dedup_prefix(spark, sf_dir):
     r"""
     WITH sh AS (
       SELECT doc_id,
-             list_distinct([array_to_string(toks[i:i+2], ' ')
-                            for i in range(1, len(toks) - 1)]) AS shingles
+             CASE WHEN len(toks) < 3
+                  THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, len(toks) - 1)])
+             END AS shingles
       FROM (SELECT doc_id,
                    string_split_regex(trim(lower(text)), '\s+') AS toks
             FROM documents WHERE doc_id < 150)

@@ -43,6 +43,11 @@ def keyword_predicate(q: str, fidelity: str = "strict"):
     reference ORs the word-likes over exactly those two columns
     (apiserver/index.js:96-101); 'fixed' widens to the body text too."""
     words = [w for w in q.split(" ") if w]
+    if not words:
+        # whitespace-only q: the reference splits ' ' into empty words and
+        # each LIKE '%%' matches everything (apiserver/index.js:85-102) —
+        # and reduce() over an empty list would raise
+        return F.lit(True)
     cols = ["title", "tags_str"] if fidelity == "strict" else ["title", "text", "tags_str"]
     return reduce(
         or_,
@@ -271,7 +276,13 @@ def ban_ratio_decision(
     """
     agg = documents.groupBy("peer_id").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.col("is_blocked").cast("int")).alias("n_banned"),
+        # coalesce: a peer whose is_blocked values are ALL NULL (tri-state:
+        # never classified) has sum(NULL)=NULL, which would null out every
+        # threshold branch and land on 'review' — the reference counts it
+        # as bannedCnt==0 and lists the peer (crawler.go:125-134)
+        F.coalesce(
+            F.sum(F.col("is_blocked").cast("int")), F.lit(0)
+        ).alias("n_banned"),
     )
     if fidelity == "strict":
         # crawler.go:125-134: bannedCnt==0 OR items/banned < allow -> listed

@@ -120,4 +120,11 @@ def export_pages(pages: DataFrame, path: str, fmt: str = "json") -> None:
         "lang",
     )
     w = wire.write.mode("overwrite")
-    (w.json(path) if fmt == "json" else w.option("header", True).csv(path))
+    # keep null fields as explicit "key": null — the writer's default OMITS
+    # them, so a first row with null html would make read_pages' wire-column
+    # validation reject a perfectly valid export
+    (
+        w.option("ignoreNullFields", "false").json(path)
+        if fmt == "json"
+        else w.option("header", True).csv(path)
+    )

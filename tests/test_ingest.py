@@ -69,3 +69,20 @@ def test_misnamed_wire_column_fails_loudly(spark, tmp_path):
     (p / "part-0.json").write_text(_json.dumps(rec) + "\n")
     with pytest.raises(ValueError, match="missing wire columns.*html_b64"):
         read_pages(spark, str(p), fmt="json")
+
+
+def test_jsonl_roundtrip_with_null_html_first_row(spark, tmp_path):
+    """The JSON writer must keep explicit nulls: a first row with null html
+    (an unreachable page) would otherwise drop the html_b64 key and trip
+    the wire-column validation on a valid export."""
+    pages = spark.createDataFrame(
+        [("http://dead.x/", None, None, None, "en"),
+         ("http://ok.x/", None, bytearray(b"<html></html>"), "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(1).sortWithinPartitions("url")  # null-html row first in file
+    path = str(tmp_path / "null_first")
+    export_pages(pages, path, fmt="json")
+    back = read_pages(spark, path, fmt="json")
+    rows = {r.url: r.html for r in back.collect()}
+    assert rows["http://dead.x/"] is None
+    assert bytes(rows["http://ok.x/"]) == b"<html></html>"

@@ -85,3 +85,33 @@ def test_host_state_from_pages(spark):
     assert hs["a.x"][0] == 2.5
     assert "D:/private" in hs["a.x"][1]
     assert hs["b.x"][0] == 7.0
+
+
+def test_parse_robots_consecutive_ua_lines_form_one_group():
+    """RFC 9309 §2.2.1: consecutive User-agent lines share the group's
+    rules; a later User-agent line after rules starts a NEW group."""
+    body = "User-agent: bot\nUser-agent: *\nDisallow: /p\n\nUser-agent: other\nDisallow: /q"
+    assert parse_robots(body, user_agent="bot") == "D:/p"
+    assert parse_robots(body, user_agent="*") == "D:/p"
+    assert parse_robots(body, user_agent="other") == "D:/q"
+    # a matching-but-ruleless group would NOT fall back to '*' (RFC),
+    # but grouped agents share rules — 'bot' must see /p, not ''
+    assert "D:/p" in parse_robots(body, user_agent="bot")
+
+
+def test_host_state_one_row_per_host(spark):
+    """Scheme twins / deeper /robots.txt paths must not fan out the robots
+    join: exactly one host_state row per host (root robots only, lowest
+    url wins deterministically)."""
+    pages = spark.createDataFrame(
+        [
+            ("http://a.x/robots.txt", None, None, "User-agent: *\nDisallow: /p", "en"),
+            ("https://a.x/robots.txt", None, None, "User-agent: *\nDisallow: /q", "en"),
+            ("http://a.x/deep/robots.txt", None, None, "User-agent: *\nDisallow: /r", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    rows = host_state_from_pages(spark, pages).collect()
+    assert len(rows) == 1
+    assert rows[0].host == "a.x"
+    assert rows[0].robots_rules == "D:/p"  # http:// sorts before https://

@@ -134,3 +134,27 @@ def test_ban_ratio_strict_vs_fixed(domain, spark):
     # boundary ratio banned/items = 1/2 = 0.5 in fixed mode is NOT a ban
     fixed = {r.peer_id: r.decision for r in ban_ratio_decision(docs, fidelity="fixed").collect()}
     assert fixed["p1"] == "review"
+
+
+def test_keyword_whitespace_only_matches_all(domain):
+    """q=' ' must not crash (reduce over zero words) and mirrors the
+    reference's empty-word LIKE '%%' match-everything behavior."""
+    from obp_search_engine_spark.plans.search import keyword_predicate
+
+    docs, _nodes, _mods = domain
+    assert docs.filter(keyword_predicate("  ")).count() == docs.count()
+
+
+def test_ban_ratio_all_null_group_allows(spark):
+    """A peer whose is_blocked values are all NULL (never classified) has
+    bannedCnt 0 and must be listed -> 'allow' (crawler.go:125-134), not a
+    NULL-poisoned 'review'."""
+    from obp_search_engine_spark.plans.search import ban_ratio_decision
+
+    d = spark.createDataFrame(
+        [("p1", None), ("p1", None), ("p2", True), ("p2", False)],
+        "peer_id string, is_blocked boolean",
+    )
+    got = {r.peer_id: r.decision for r in ban_ratio_decision(d).collect()}
+    assert got["p1"] == "allow"
+    assert got["p2"] == "ban"  # strict: items/banned = 2/1 = 2 > 0.5
