@@ -40,8 +40,10 @@ class NBModel:
     classes: list  # sorted class labels
     vocab: dict  # token -> row index
     log_prior: np.ndarray  # (C,)
-    log_prob: np.ndarray  # (V, C) log P(token | class)
-    log_unseen: np.ndarray  # (C,) — smoothing mass for in-vocab-zero tokens
+    log_prob: np.ndarray  # (V, C) log P(token | class); alpha-smoothed, so
+    # in-vocab-zero tokens need no separate term, and out-of-vocab tokens
+    # are DROPPED at scoring — exactly CountVectorizer's transform behavior
+    # (sklearn parity is pytest-asserted)
 
     def predict_tokens(self, tokens: list[str]):
         score = self.log_prior.copy()
@@ -100,11 +102,10 @@ def train_nb(
         mat[vocab[r["_tok"]], cix[r["_y"]]] += r["count"]
     totals = mat.sum(axis=0)
     log_prob = np.log(mat + alpha) - np.log(totals + alpha * V)
-    log_unseen = -np.log(totals + alpha * V) + np.log(alpha)
     n = sum(doc_counts.values())
     log_prior = np.log(np.array([doc_counts[c] / n for c in classes]))
     return NBModel(classes=classes, vocab=vocab, log_prior=log_prior,
-                   log_prob=log_prob, log_unseen=log_unseen)
+                   log_prob=log_prob)
 
 
 def nb_predict_udf(spark, model: NBModel, as_type: T.DataType | None = None):
