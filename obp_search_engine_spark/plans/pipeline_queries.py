@@ -454,6 +454,56 @@ def q_crawl_mock4_bloom_frontier(spark, sf_dir):
 
 
 @register(
+    "stratified_topk",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents) t
+    WHERE rk <= 5
+    """,
+    "curation: deterministic stratified selection — top-5 documents per "
+    "language by size (window rank per group; the data-mix construction "
+    "counterpart of stratified sampling)",
+)
+def q_stratified_topk(spark, sf_dir):
+    from ..operators.curation import stratified_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_topk(d, "lang", [F.col("n_chars").desc(), F.col("doc_id")], 5)
+
+
+@register(
+    "token_budget_packing",
+    r"""
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2000.0) AS INT) AS bin
+    FROM (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                     AS n_tokens
+            FROM documents) a) b
+    """,
+    "curation: budget-aligned contiguous sequence packing - bin b holds docs whose "
+    "preceding-token total lies in [b*2000,(b+1)*2000), documents never "
+    "split (the pretraining concat-then-chunk shape; pure window "
+    "arithmetic)",
+)
+def q_token_budget_packing(spark, sf_dir):
+    from ..operators.curation import pack_by_token_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(ts.tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    out = pack_by_token_budget(d, "n_tokens", 2000, [F.col("doc_id")])
+    return out.select("doc_id", "n_tokens", "bin")
+
+
+@register(
     "documents_incremental",
     """
     SELECT * FROM (VALUES

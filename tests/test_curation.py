@@ -1,0 +1,56 @@
+"""Curation operators (operators/curation.py): stratified top-k membership
+and the packing invariants — bins contiguous and monotone, every closed bin
+reaches the budget, documents never split, oversized docs isolated."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from obp_search_engine_spark.operators.curation import (
+    pack_by_token_budget,
+    stratified_topk,
+)
+
+
+def test_stratified_topk_membership(spark):
+    rows = [(i, "en" if i % 2 else "de", 100 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_chars int")
+    got = stratified_topk(df, "lang", [F.col("n_chars").desc(), F.col("doc_id")], 2)
+    by_lang = {}
+    for r in got.collect():
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    # largest n_chars = smallest doc_id within each parity class
+    assert sorted(by_lang["de"]) == [0, 2]
+    assert sorted(by_lang["en"]) == [1, 3]
+
+
+def test_packing_invariants(spark):
+    budget = 100
+    toks = [30, 30, 30, 30, 250, 10, 95, 95, 5]  # includes an oversized doc
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id int, n_tokens int"
+    )
+    out = pack_by_token_budget(df, "n_tokens", budget, [F.col("doc_id")])
+    rows = sorted((r.doc_id, r.n_tokens, r.bin) for r in out.collect())
+    bins: dict[int, list[int]] = {}
+    for _i, t, b in rows:
+        bins.setdefault(b, []).append(t)
+    ids = [b for (_i, _t, b) in rows]
+    assert ids == sorted(ids), "bins must be monotone in pack order"
+    # ids may skip after a doc larger than the budget (it spans several
+    # budget multiples) but never elsewhere
+    present = sorted(bins)
+    for prev, nxt in zip(present, present[1:]):
+        if nxt != prev + 1:
+            assert max(bins[prev]) > budget, f"gap {prev}->{nxt} without oversized doc"
+    # budget ALIGNMENT: each doc's bin is its preceding-token total // budget
+    prefix = 0
+    for _i, t, b in rows:
+        assert b == prefix // budget
+        prefix += t
+    # every bin bounded by budget + its largest doc; totals average to
+    # budget across closed spans
+    for b, ts in bins.items():
+        assert sum(ts) < budget + max(ts)
+    big_bin = next(b for (_i, t, b) in rows if t == 250)
+    assert sum(bins[big_bin]) >= 250  # oversized doc dominates its bin
