@@ -60,10 +60,17 @@ def pack_by_token_budget(
     state. Closed form bin = floor((cumsum(tokens) - tokens) / budget) —
     pure window arithmetic, identical in ANSI SQL for the oracle.
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     part = [partition_col] if partition_col else []
-    w = Window.partitionBy(*part).orderBy(*order_cols)
-    cum = F.sum(F.col(token_col)).over(w)
-    return df.withColumn(
-        "bin",
-        F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("int"),
+    # ROWS frame, not the default RANGE: with tied order keys RANGE sums all
+    # peers into every row's cum, breaking the preceding-total invariant
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cum = F.sum(F.col(token_col)).over(w)
+    # bin stays BIGINT: ~25T tokens / budget 2000 is ~1.2e10 bins — an int
+    # cast would wrap silently under non-ANSI Spark
+    return df.withColumn("bin", F.floor((cum - F.col(token_col)) / F.lit(budget)))

@@ -478,7 +478,7 @@ def q_stratified_topk(spark, sf_dir):
     "token_budget_packing",
     r"""
     SELECT doc_id, n_tokens,
-           CAST(FLOOR((cum - n_tokens) / 2000.0) AS INT) AS bin
+           CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS bin
     FROM (
       SELECT doc_id, n_tokens,
              SUM(n_tokens) OVER (ORDER BY doc_id
@@ -497,7 +497,7 @@ def q_token_budget_packing(spark, sf_dir):
     from ..operators.curation import pack_by_token_budget
 
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(ts.tokens_col(F.col("text"))).alias("n_tokens")
+        "doc_id", ts.token_count_col(F.col("text")).alias("n_tokens")
     )
     out = pack_by_token_budget(d, "n_tokens", 2000, [F.col("doc_id")])
     return out.select("doc_id", "n_tokens", "bin")

@@ -24,6 +24,27 @@ def test_stratified_topk_membership(spark):
     assert sorted(by_lang["en"]) == [1, 3]
 
 
+def test_packing_rows_frame_on_tied_order_keys(spark):
+    # regression: the default RANGE frame gives all three tied rows cum=180
+    # (peers included) -> preceding=120 -> every doc lands in bin 1 and bin
+    # 0 is empty; the ROWS frame walks them 0/60/120 -> bins [0,0,1]
+    df = spark.createDataFrame(
+        [(1, "a", 60), (2, "a", 60), (3, "a", 60)],
+        "doc_id int, grp string, n_tokens int",
+    )
+    out = pack_by_token_budget(df, "n_tokens", 100, [F.col("grp")])
+    assert sorted(r.bin for r in out.collect()) == [0, 0, 1]
+
+
+def test_packing_rejects_nonpositive_budget(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id int, n_tokens int")
+    try:
+        pack_by_token_budget(df, "n_tokens", 0, [F.col("doc_id")])
+        raise AssertionError("budget=0 must raise")
+    except ValueError:
+        pass
+
+
 def test_packing_invariants(spark):
     budget = 100
     toks = [30, 30, 30, 30, 250, 10, 95, 95, 5]  # includes an oversized doc
