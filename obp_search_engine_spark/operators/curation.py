@@ -21,7 +21,7 @@ windows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -74,3 +74,93 @@ def pack_by_token_budget(
     # bin stays BIGINT: ~25T tokens / budget 2000 is ~1.2e10 bins — an int
     # cast would wrap silently under non-ANSI Spark
     return df.withColumn("bin", F.floor((cum - F.col(token_col)) / F.lit(budget)))
+
+
+def sample_bucket_col(key: Column, salt: str = "mix") -> Column:
+    """Deterministic uniform bucket in [0, 2^32) from a row key.
+
+    First 8 hex chars of md5(key || ':' || salt) as an integer — portable
+    arithmetic (DuckDB: ``('0x' || substr(md5(..),1,8))::BIGINT``), so the
+    driver's oracle reproduces it exactly; no RNG state, so re-runs,
+    retries and shard-local evaluation all agree (the property seeded
+    ``rand()`` does NOT give across partition re-splits).
+    """
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+def domain_mix_resample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-domain downsampling to a target data mix.
+
+    Keeps a ``weights[domain]`` fraction of each domain's rows (1.0 = keep
+    all; upsampling >1.0 is out of scope — repeat rows downstream). The
+    keep decision is a pure function of (key, salt), so the sampled set is
+    stable across runs and partitionings — a plain Catalyst filter: no
+    shuffle, predicate evaluated at the scan, scale-indifferent at 100 TB.
+    """
+    for d, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {d!r} must be in [0,1], got {w}")
+    if not 0.0 <= default_weight <= 1.0:
+        raise ValueError(f"default_weight must be in [0,1], got {default_weight}")
+    thresh = F.lit(int(default_weight * 2**32))
+    for d, w in weights.items():
+        thresh = F.when(F.col(domain_col) == d, F.lit(int(w * 2**32))).otherwise(
+            thresh
+        )
+    return df.filter(sample_bucket_col(F.col(key_col), salt) < thresh)
+
+
+def ngrams_col(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (empty when < n tokens).
+
+    The explicit when-guard matters: Spark's ``sequence(1, stop)`` counts
+    DOWNWARD when stop < 1, which would fabricate grams for short docs.
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def contamination_screen(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word ``n``-gram with a
+    benchmark/eval set, with the count of distinct shared grams.
+
+    Returns (id_col, n_shared_grams) for contaminated docs only. Grams are
+    compared via md5 (fixed 32 bytes through the join instead of arbitrary
+    text). The benchmark side is explicitly broadcast: eval sets are tiny
+    next to a 100 TB corpus, so the screen is a map-side hash semi-join —
+    the corpus never shuffles.
+    """
+    from ..functions import textstats as ts
+
+    def grams(d, idcols):
+        return d.select(
+            *idcols,
+            F.explode(
+                F.array_distinct(ngrams_col(ts.tokens_col(F.col(text_col)), n))
+            ).alias("_gram"),
+        ).select(*idcols, F.md5(F.col("_gram")).alias("_g"))
+
+    bench_grams = F.broadcast(grams(benchmark, []).distinct())
+    return (
+        grams(docs, [id_col])
+        .join(bench_grams, "_g")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("_g")).alias("n_shared_grams"))
+    )

@@ -504,6 +504,67 @@ def q_token_budget_packing(spark, sf_dir):
 
 
 @register(
+    "domain_mix_resample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
+               AS b,
+             CASE lang WHEN 'en' THEN 2147483648
+                       WHEN 'de' THEN 1073741824
+                       ELSE 4294967296 END AS thr
+      FROM documents) t
+    WHERE b < thr
+    """,
+    "curation: deterministic per-domain downsampling to a target data mix "
+    "(keep 50% en, 25% de, all else) — the keep decision is a pure md5 "
+    "function of (doc_id, salt), so it is stable across runs and "
+    "partitionings; a plain Catalyst filter, no shuffle",
+)
+def q_domain_mix_resample(spark, sf_dir):
+    from ..operators.curation import domain_mix_resample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return domain_mix_resample(
+        d, "lang", {"en": 0.5, "de": 0.25}, "doc_id", default_weight=1.0
+    )
+
+
+@register(
+    "contamination_screen",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t)-3, 0)),
+                    i -> md5(array_to_string(t[i:i+3], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+    SELECT corp.doc_id, CAST(COUNT(DISTINCT corp.g) AS BIGINT) AS n_shared_grams
+    FROM corp JOIN bench USING (g)
+    GROUP BY corp.doc_id
+    """,
+    "curation: benchmark decontamination — corpus docs sharing any word "
+    "4-gram with a held-out 'benchmark' slice (doc_id % 97), with the "
+    "count of distinct shared grams; the benchmark gram set is broadcast, "
+    "so the corpus side is a map-side semi-join (never shuffles). n=4 here "
+    "because the synthetic small-vocab corpus has no 8-gram overlap; real "
+    "decontamination uses the operator default n=8",
+)
+def q_contamination_screen(spark, sf_dir):
+    from ..operators.curation import contamination_screen
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_screen(corpus, bench, n=4)
+
+
+@register(
     "documents_incremental",
     """
     SELECT * FROM (VALUES

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from obp_search_engine_spark.operators.curation import (
+    contamination_screen,
+    domain_mix_resample,
     pack_by_token_budget,
     stratified_topk,
 )
@@ -43,6 +45,52 @@ def test_packing_rejects_nonpositive_budget(spark):
         raise AssertionError("budget=0 must raise")
     except ValueError:
         pass
+
+
+def test_domain_mix_resample_deterministic_and_weighted(spark):
+    rows = [(i, "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    out1 = domain_mix_resample(df, "lang", {"de": 0.0, "en": 0.5}, "doc_id")
+    got1 = sorted(r.doc_id for r in out1.collect())
+    # de fully dropped; en kept at ~50% (md5-uniform: loose 2-sided bound)
+    assert all(i % 2 == 1 for i in got1)
+    assert 350 < len(got1) < 650
+    # pure function of (key, salt): identical on re-evaluation and under a
+    # different partitioning
+    got2 = sorted(
+        r.doc_id
+        for r in domain_mix_resample(
+            df.repartition(7), "lang", {"de": 0.0, "en": 0.5}, "doc_id"
+        ).collect()
+    )
+    assert got1 == got2
+    # unknown domains fall back to default_weight
+    kept_all = domain_mix_resample(df, "lang", {"xx": 0.5}, "doc_id").count()
+    assert kept_all == 2000
+    try:
+        domain_mix_resample(df, "lang", {"en": 1.5}, "doc_id")
+        raise AssertionError("weight > 1 must raise")
+    except ValueError:
+        pass
+
+
+def test_contamination_screen_flags_only_overlapping_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    bench = spark.createDataFrame(
+        [(100, f"intro words {shared} trailing words here")],
+        "doc_id int, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix {shared} suffix tokens go here now"),  # contaminated
+            (2, "totally different words with no overlap at all present"),
+            (3, "short doc"),  # < 8 tokens: no grams at all
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.n_shared_grams for r in contamination_screen(docs, bench).collect()}
+    assert set(got) == {1}
+    assert got[1] == 1  # exactly the one shared 8-gram
 
 
 def test_packing_invariants(spark):
