@@ -95,6 +95,47 @@ def lang_id_col(text: Column) -> Column:
     return expr
 
 
+def ngrams_col(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (empty when < n tokens).
+
+    The explicit when-guard matters: Spark's ``sequence(1, stop)`` counts
+    DOWNWARD when stop < 1, which would fabricate grams for short docs.
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_ratio_col(text: Column, n: int = 3) -> Column:
+    """Intra-document repetition: fraction of word n-grams that are
+    repeats of an earlier gram (1 - distinct/total) — the duplicate-n-gram
+    family of Gopher-style quality rules. NULL when the doc has no grams
+    (shorter than n tokens); pure Catalyst, no shuffle."""
+    grams = ngrams_col(tokens_col(text), n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / total, 6),
+    ).cast("double")
+
+
+#: RE2-safe patterns (no backrefs/lookaround) so the DuckDB oracle's regex
+#: engine agrees with Java's character-for-character
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+
+
+def redact_pii_col(text: Column) -> Column:
+    """C4-style PII scrub: emails then phone-like digit runs replaced with
+    typed placeholders. Order is fixed (emails first, so their digits are
+    gone before the phone pass) and both patterns are RE2-safe, making the
+    redaction reproducible in the DuckDB oracle."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
 def fingerprint_col(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     Stable under reflow/case changes — the exact-dedup key."""

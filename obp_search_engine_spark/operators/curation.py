@@ -118,19 +118,6 @@ def domain_mix_resample(
     return df.filter(sample_bucket_col(F.col(key_col), salt) < thresh)
 
 
-def ngrams_col(tokens: Column, n: int) -> Column:
-    """Space-joined word n-grams of a token array (empty when < n tokens).
-
-    The explicit when-guard matters: Spark's ``sequence(1, stop)`` counts
-    DOWNWARD when stop < 1, which would fabricate grams for short docs.
-    """
-    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
-    return F.when(F.size(tokens) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def contamination_screen(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -153,7 +140,7 @@ def contamination_screen(
         return d.select(
             *idcols,
             F.explode(
-                F.array_distinct(ngrams_col(ts.tokens_col(F.col(text_col)), n))
+                F.array_distinct(ts.ngrams_col(ts.tokens_col(F.col(text_col)), n))
             ).alias("_gram"),
         ).select(*idcols, F.md5(F.col("_gram")).alias("_g"))
 

@@ -504,6 +504,63 @@ def q_token_budget_packing(spark, sf_dir):
 
 
 @register(
+    "doc_repetition_ratio",
+    r"""
+    SELECT doc_id,
+           CASE WHEN len(g) > 0
+                THEN round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6)
+           END AS rep_ratio
+    FROM (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                            i -> array_to_string(t[i:i+2], ' ')) AS g
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents) a) b
+    """,
+    "curation: intra-document repetition — fraction of word 3-grams that "
+    "repeat an earlier gram (duplicate-n-gram family of Gopher-style "
+    "quality rules); NULL for docs shorter than 3 tokens; pure Catalyst",
+)
+def q_doc_repetition_ratio(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", ts.repetition_ratio_col(F.col("text"), 3).alias("rep_ratio")
+    )
+
+
+@register(
+    "pii_redaction",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean
+    FROM (SELECT doc_id,
+                 text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1 (555) 010-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+          FROM documents) a
+    """,
+    "curation: C4-style PII scrub — emails then phone-like digit runs "
+    "replaced with typed placeholders; the query appends a synthetic "
+    "email+phone per doc so the redaction is actually exercised (the "
+    "corpus itself carries no PII); RE2-safe patterns so Java and DuckDB "
+    "regex engines agree byte-for-byte",
+)
+def q_pii_redaction(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select("doc_id", ts.redact_pii_col(text2).alias("clean"))
+
+
+@register(
     "domain_mix_resample",
     """
     SELECT doc_id, lang FROM (

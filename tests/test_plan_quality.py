@@ -60,6 +60,21 @@ def test_textstats_no_python(spark):
         assert "EvalPython" not in p, f"{name} fell back to Python:\n{p}"
 
 
+def test_curation_plans(spark):
+    # contamination screen: benchmark gram set broadcast (map-side
+    # semi-join — the corpus side must never shuffle), no Python anywhere
+    p = plan_of(REGISTRY["contamination_screen"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+    # domain-mix resample: a pure filter — no exchange at all
+    p2 = plan_of(REGISTRY["domain_mix_resample"].fn(spark, SF))
+    assert "Exchange" not in p2 and "EvalPython" not in p2
+    # repetition / redaction: scan-level projections, no Python, codegen'd
+    for name in ("doc_repetition_ratio", "pii_redaction"):
+        p3 = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "EvalPython" not in p3 and "*(1)" in p3
+
+
 def test_whole_stage_codegen_covers_filters(spark):
     p = plan_of(REGISTRY["rating_buckets"].fn(spark, SF))
     # toString marks codegen'd stages with '*(n)'
