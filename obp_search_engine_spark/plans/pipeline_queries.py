@@ -622,6 +622,93 @@ def q_contamination_screen(spark, sf_dir):
 
 
 @register(
+    "curation_pipeline",
+    r"""
+    WITH dedup AS (
+      SELECT doc_id, lang, text
+      FROM documents
+      QUALIFY row_number() OVER (
+          PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+          ORDER BY doc_id) = 1
+    ),
+    qual AS (
+      SELECT * FROM dedup
+      WHERE round(
+          0.4 * least(length(text) / 500.0, 1.0)
+          + 0.4 * (len(list_distinct(string_split_regex(trim(text), '\s+')))
+                   / len(string_split_regex(trim(text), '\s+')))
+          + 0.2 * (1.0 - least(
+              2.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> t IN ('a', 'the', 'row', 'value', 'table')))
+                  / len(string_split_regex(trim(text), '\s+')), 1.0)),
+          6) >= 0.5
+    ),
+    toks_all AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents),
+    grams AS (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(t)-3, 0)),
+                            i -> md5(array_to_string(t[i:i+3], ' ')))) AS g
+              FROM toks_all),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    contaminated AS (SELECT DISTINCT grams.doc_id FROM grams
+                     JOIN bench USING (g) WHERE grams.doc_id % 97 <> 0),
+    clean AS (SELECT * FROM qual WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    mixed AS (
+      SELECT doc_id, lang, text FROM clean
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
+            < CASE lang WHEN 'en' THEN 2147483648
+                        WHEN 'de' THEN 1073741824
+                        ELSE 4294967296 END
+    ),
+    sized AS (SELECT doc_id, lang,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                       AS n_tokens
+              FROM mixed)
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                       - n_tokens) / 2000.0) AS BIGINT) AS bin
+    FROM sized
+    """,
+    "the composed training-data curation pipeline, end to end: exact dedup "
+    "(keep-first by fingerprint) -> quality gate (score >= 0.5) -> "
+    "benchmark decontamination (4-gram overlap vs the held-out doc_id%97 "
+    "slice, broadcast semi-join) -> deterministic domain-mix resample "
+    "(50% en / 25% de) -> budget-aligned token packing. Every stage is the "
+    "same operator the standalone queries grade; the composition is what a "
+    "user actually runs before training",
+)
+def q_curation_pipeline(spark, sf_dir):
+    from ..operators.curation import (
+        contamination_screen,
+        domain_mix_resample,
+        pack_by_token_budget,
+        stratified_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = d.withColumn("fp", ts.fingerprint_col(F.col("text")))
+    d = stratified_topk(d, "fp", [F.col("doc_id")], 1).drop("fp")
+    d = d.filter(ts.quality_score_col(F.col("text")) >= 0.5)
+    bench = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "text")
+    )
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    contaminated = contamination_screen(corpus, bench, n=4).select("doc_id")
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    mixed = domain_mix_resample(clean, "lang", {"en": 0.5, "de": 0.25}, "doc_id")
+    sized = mixed.select(
+        "doc_id", "lang", ts.token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return pack_by_token_budget(sized, "n_tokens", 2000, [F.col("doc_id")]).select(
+        "doc_id", "lang", "n_tokens", "bin"
+    )
+
+
+@register(
     "documents_incremental",
     """
     SELECT * FROM (VALUES

@@ -73,6 +73,10 @@ def test_curation_plans(spark):
     for name in ("doc_repetition_ratio", "pii_redaction"):
         p3 = plan_of(REGISTRY[name].fn(spark, SF))
         assert "EvalPython" not in p3 and "*(1)" in p3
+    # the composed pipeline inherits all of it: benchmark side broadcast,
+    # zero Python anywhere in dedup->quality->decontam->mix->pack
+    p4 = plan_of(REGISTRY["curation_pipeline"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p4 and "EvalPython" not in p4
 
 
 def test_whole_stage_codegen_covers_filters(spark):
