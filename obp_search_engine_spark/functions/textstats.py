@@ -122,9 +122,18 @@ def repetition_ratio_col(text: Column, n: int = 3) -> Column:
 
 
 #: RE2-safe patterns (no backrefs/lookaround) so the DuckDB oracle's regex
-#: engine agrees with Java's character-for-character
+#: engine agrees with Java's character-for-character. PHONE_RE is
+#: structured — optional country code, then three 3-4/3-4/2-4 digit groups
+#: with AT MOST ONE separator char between groups (min 8 digits total) —
+#: rather than a greedy [\d\s().-]{7,} run: the greedy form bridges
+#: unrelated numbers in prose ("released in 2019. 2020 saw" or decimal
+#: tables) into one <PHONE>, destroying legitimate training text, and \s
+#: diverges between Java (includes \x0B) and RE2. Year ranges like
+#: 1914-1918 are rejected (only 8 digits but no 3-4/3-4/2-4 split
+#: consumes them); bare 8+-digit runs (IDs, compact dates) do redact —
+#: acceptable for a PII scrub, where a naked digit run may BE a phone.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+PHONE_RE = r"\+?(?:\d{1,3}[ .-]?)?\(?\d{3,4}\)?[ .-]?\d{3,4}[ .-]?\d{2,4}"
 
 
 def redact_pii_col(text: Column) -> Column:

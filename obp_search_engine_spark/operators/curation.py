@@ -83,9 +83,12 @@ def sample_bucket_col(key: Column, salt: str = "mix") -> Column:
     arithmetic (DuckDB: ``('0x' || substr(md5(..),1,8))::BIGINT``), so the
     driver's oracle reproduces it exactly; no RNG state, so re-runs,
     retries and shard-local evaluation all agree (the property seeded
-    ``rand()`` does NOT give across partition re-splits).
+    ``rand()`` does NOT give across partition re-splits). NULL keys yield
+    NULL (F.concat propagates, matching the oracle's ``||``), so
+    ``domain_mix_resample`` drops NULL-key rows on both engines —
+    concat_ws would instead silently collapse them all into one bucket.
     """
-    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(salt)))
+    h = F.md5(F.concat(key.cast("string"), F.lit(":" + salt)))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
 
 

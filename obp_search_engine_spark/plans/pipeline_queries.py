@@ -535,7 +535,8 @@ def q_doc_repetition_ratio(spark, sf_dir):
            regexp_replace(
              regexp_replace(text2,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean
+             '\+?(?:\d{1,3}[ .-]?)?\(?\d{3,4}\)?[ .-]?\d{3,4}[ .-]?\d{2,4}',
+             '<PHONE>', 'g') AS clean
     FROM (SELECT doc_id,
                  text || ' contact: user' || CAST(doc_id AS VARCHAR)
                       || '@example.com or +1 (555) 010-'

@@ -67,6 +67,13 @@ def test_domain_mix_resample_deterministic_and_weighted(spark):
     # unknown domains fall back to default_weight
     kept_all = domain_mix_resample(df, "lang", {"xx": 0.5}, "doc_id").count()
     assert kept_all == 2000
+    # NULL keys are dropped (NULL-propagating hash, matching the oracle's
+    # || semantics), never lumped into one shared bucket
+    with_null = spark.createDataFrame(
+        [(None, "en"), (1, "en")], "doc_id int, lang string"
+    )
+    kept = domain_mix_resample(with_null, "lang", {}, "doc_id").collect()
+    assert [r.doc_id for r in kept] == [1]
     try:
         domain_mix_resample(df, "lang", {"en": 1.5}, "doc_id")
         raise AssertionError("weight > 1 must raise")

@@ -45,6 +45,12 @@ def test_redact_pii(spark):
             ("write to jane.doe+x@mail.example.org today",),
             ("call +1 (555) 010-4242 or 555-010-9999 now",),
             ("no pii in this sentence",),
+            # prose numbers must SURVIVE: the structured pattern allows at
+            # most one separator char between digit groups, so unrelated
+            # runs are never bridged into one <PHONE>
+            ("released in 2019. 2020 saw a rise",),
+            ("scores 12.5 33.1 44.2 55.9 today",),
+            ("the war years 1914-1918 were hard",),
         ],
         "text string",
     )
@@ -52,3 +58,6 @@ def test_redact_pii(spark):
     assert got[0] == "write to <EMAIL> today"
     assert got[1] == "call <PHONE> or <PHONE> now"
     assert got[2] == "no pii in this sentence"
+    assert got[3] == "released in 2019. 2020 saw a rise"
+    assert got[4] == "scores 12.5 33.1 44.2 55.9 today"
+    assert got[5] == "the war years 1914-1918 were hard"
