@@ -116,6 +116,11 @@ def main() -> None:
     results["crawl_urls_per_sec"] = round(urls_per_sec, 1)
     results["crawl_visited"] = crawl["visited"]
     results["crawl_frontier"] = crawl["frontier_size"]
+    if crawl.get("harvest_base"):
+        # benchmark documents spill: dead weight once counted (~GBs/run)
+        import shutil
+
+        shutil.rmtree(crawl["harvest_base"], ignore_errors=True)
 
     # --- query latencies on the driver tables ---
     queries: dict[str, float] = {}

@@ -100,6 +100,12 @@ def main() -> None:
         extract_documents=True,  # full round: links + byte-identical text
     )
     wall = time.monotonic() - t0
+    if crawl.get("harvest_base"):
+        # the /tmp documents spill is dead weight once metrics are read —
+        # unreclaimed it strands ~2 GB per benchmark run
+        import shutil
+
+        shutil.rmtree(crawl["harvest_base"], ignore_errors=True)
     # steady state = the back half of the rounds: the front half carries
     # JIT, python-worker spawn, and first-big-wave warmup cliffs
     half = max(1, len(crawl["per_round"]) // 2)

@@ -240,6 +240,7 @@ def run_crawl(
 
     totals = {"visited": 0, "discovered": 0, "rounds": 0, "wall_sec": 0.0}
     per_round = []
+    tmp_harvest_base = None  # /tmp spill base when no ckpt_dir owns it
     prev_size, due, _ = stats(frontier)
     for k in range(start_round + 1, start_round + rounds + 1):
         t0 = time.monotonic()
@@ -259,6 +260,8 @@ def run_crawl(
             base = ckpt_dir or os.path.join(
                 "/tmp", f"crawl_harvest_{spark.sparkContext.applicationId}"
             )
+            if not ckpt_dir:
+                tmp_harvest_base = base
             harvest_dir = os.path.join(_round_dir(base, k), "harvest")
         res = crawl_round(
             spark,
@@ -368,4 +371,9 @@ def run_crawl(
     )
     totals["per_round"] = per_round
     totals["frontier"] = frontier
+    # the documents spill under /tmp (no ckpt_dir) is OUTPUT for a real
+    # caller but 1.7-2.9 GB of dead weight per benchmark run — expose the
+    # path so harnesses can rmtree it once they've read their metrics
+    # (a day of scaling pairs stranded ~60 GB before this existed)
+    totals["harvest_base"] = tmp_harvest_base
     return totals

@@ -46,6 +46,37 @@ def _bw_worker(barrier, secs: float, out):
     out.put(n / (time.monotonic() - t0))
 
 
+def _disk_worker(barrier, secs: float, out):
+    """fsync'd write throughput — the resource snapshot/spill writes ride.
+    Each worker overwrites ONE 8 MB region of its own /tmp file with fsync
+    per iteration (bounded space: n_procs x 8 MB total), so the number is
+    the virtio device grant, not the page cache. Always puts a result —
+    a worker that dies otherwise deadlocks the parent's queue.get."""
+    import os
+    import tempfile
+
+    chunk = b"\xa5" * (8 * 1024 * 1024)
+    n = 0
+    t0 = None
+    try:
+        fd, path = tempfile.mkstemp(prefix="diskprobe_")
+        try:
+            barrier.wait(timeout=60)
+            t0 = time.monotonic()
+            stop_at = t0 + secs
+            while time.monotonic() < stop_at:
+                os.lseek(fd, 0, os.SEEK_SET)
+                os.write(fd, chunk)
+                os.fsync(fd)
+                n += 1
+        finally:
+            os.close(fd)
+            os.unlink(path)
+    finally:
+        elapsed = (time.monotonic() - t0) if t0 else secs
+        out.put(n / elapsed)  # 8 MB ops/sec
+
+
 def measure(procs: int, secs: float, worker=_cpu_worker) -> float:
     """Aggregate ops/sec of `procs` identical workers. Workers rendezvous
     on a barrier AFTER setup and each measures its own window — spawn
@@ -69,6 +100,12 @@ def main() -> None:
     ap.add_argument("--n2", type=int, default=32)
     ap.add_argument("--secs", type=float, default=6.0)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--disk",
+        action="store_true",
+        help="also measure fsync'd disk-write throughput at both process "
+        "counts (off by default: it stresses the shared device)",
+    )
     args = ap.parse_args()
 
     def median(worker):
@@ -79,20 +116,27 @@ def main() -> None:
     c1, c2 = median(_cpu_worker)
     b1, b2 = median(_bw_worker)
     ratio = args.n2 / args.n1
-    print(
-        json.dumps(
+    result = {
+        "n1": args.n1,
+        "n2": args.n2,
+        "cpu_speedup": round(c2 / c1, 3),
+        "cpu_efficiency": round(c2 / c1 / ratio, 3),
+        "bandwidth_mbps_n1": round(b1 * 128),
+        "bandwidth_mbps_n2": round(b2 * 128),
+        "bandwidth_speedup": round(b2 / b1, 3),
+        "bandwidth_efficiency": round(b2 / b1 / ratio, 3),
+    }
+    if args.disk:
+        d1, d2 = median(_disk_worker)
+        result.update(
             {
-                "n1": args.n1,
-                "n2": args.n2,
-                "cpu_speedup": round(c2 / c1, 3),
-                "cpu_efficiency": round(c2 / c1 / ratio, 3),
-                "bandwidth_mbps_n1": round(b1 * 128),
-                "bandwidth_mbps_n2": round(b2 * 128),
-                "bandwidth_speedup": round(b2 / b1, 3),
-                "bandwidth_efficiency": round(b2 / b1 / ratio, 3),
+                "disk_write_mbps_n1": round(d1 * 8),
+                "disk_write_mbps_n2": round(d2 * 8),
+                "disk_speedup": round(d2 / d1, 3),
+                "disk_efficiency": round(d2 / d1 / ratio, 3),
             }
         )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

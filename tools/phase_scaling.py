@@ -93,6 +93,10 @@ def main() -> None:
         hot_host_salts=8, broadcast_batch=False, extract_documents=True,
     )
     frontier = setup["frontier"].localCheckpoint(eager=True)
+    if setup.get("harvest_base"):
+        import shutil
+
+        shutil.rmtree(setup["harvest_base"], ignore_errors=True)
     round_ts = "2026-06-01 00:00:03"
     timings: dict[str, float] = {}
 
