@@ -22,6 +22,28 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _proc_stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def host_telemetry(before: list[int], after: list[int]) -> dict:
+    """CPU-time shares over the measured window from /proc/stat: steal is
+    the hypervisor withholding cycles, iowait is the virtio-disk queue —
+    the two host effects the scaling writeup attributes variance to. With
+    these in every run's JSON a depressed pair is attributable on the spot
+    instead of by later conjecture."""
+    d = [a - b for a, b in zip(after, before)]
+    total = sum(d) or 1
+    # /proc/stat field order: user nice system idle iowait irq softirq steal
+    return {
+        "busy_pct": round(100 * (d[0] + d[1] + d[2]) / total, 1),
+        "idle_pct": round(100 * d[3] / total, 1),
+        "iowait_pct": round(100 * d[4] / total, 1),
+        "steal_pct": round(100 * d[7] / total, 1) if len(d) > 7 else None,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
@@ -88,6 +110,7 @@ def main() -> None:
     seeds = [url_of(i, 42, args.hosts) for i in range(args.seeds)]
 
     t0 = time.monotonic()
+    stat0 = _proc_stat()
     crawl = run_crawl(
         spark,
         pages,
@@ -100,6 +123,7 @@ def main() -> None:
         extract_documents=True,  # full round: links + byte-identical text
     )
     wall = time.monotonic() - t0
+    host = host_telemetry(stat0, _proc_stat())
     if crawl.get("harvest_base"):
         # the /tmp documents spill is dead weight once metrics are read —
         # unreclaimed it strands ~2 GB per benchmark run
@@ -133,6 +157,7 @@ def main() -> None:
                 "bloom": args.bloom,
                 "broadcast": args.broadcast,
                 "shuffle_partitions": max(8, args.cpus),
+                "host": host,
             }
         )
     )

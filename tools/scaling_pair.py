@@ -93,6 +93,7 @@ def main() -> None:
             "order": order,
             "bw_probes_gbps": [round(p, 1) for p in probes],
             "window_consistent": max(probes) / min(probes) <= args.tolerance,
+            "host": {c: sizes[c].get("host") for c in order},
             f"steady_{args.n1}c": t1,
             f"steady_{args.n2}c": t2,
             "speedup": round(t2 / t1, 3),
