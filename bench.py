@@ -105,6 +105,7 @@ def main() -> None:
         broadcast_batch="auto",
         use_bloom_seen={"bloom": True, "exact": False, "auto": "auto"}[SEEN_MODE],
         extract_documents=True,  # full round incl. byte-identical text
+        discard_harvest=True,  # benchmark spill is dead weight once counted
     )
     crawl_wall = time.monotonic() - t0
     # headline = steady-state throughput: drop round 1 (JIT + page-cache
@@ -116,11 +117,6 @@ def main() -> None:
     results["crawl_urls_per_sec"] = round(urls_per_sec, 1)
     results["crawl_visited"] = crawl["visited"]
     results["crawl_frontier"] = crawl["frontier_size"]
-    if crawl.get("harvest_base"):
-        # benchmark documents spill: dead weight once counted (~GBs/run)
-        import shutil
-
-        shutil.rmtree(crawl["harvest_base"], ignore_errors=True)
 
     # --- query latencies on the driver tables ---
     queries: dict[str, float] = {}

@@ -34,7 +34,10 @@ def host_telemetry(before: list[int], after: list[int]) -> dict:
     these in every run's JSON a depressed pair is attributable on the spot
     instead of by later conjecture."""
     d = [a - b for a, b in zip(after, before)]
-    total = sum(d) or 1
+    # first 8 fields only: the kernel already folds guest/guest_nice into
+    # user/nice, so summing all 10 would double-count guest jiffies and
+    # deflate every percentage on a guest-running host
+    total = sum(d[:8]) or 1
     # /proc/stat field order: user nice system idle iowait irq softirq steal
     return {
         "busy_pct": round(100 * (d[0] + d[1] + d[2]) / total, 1),
@@ -121,15 +124,10 @@ def main() -> None:
         broadcast_batch=bcast,
         use_bloom_seen=args.bloom,
         extract_documents=True,  # full round: links + byte-identical text
+        discard_harvest=True,  # benchmark spill is dead weight once counted
     )
     wall = time.monotonic() - t0
     host = host_telemetry(stat0, _proc_stat())
-    if crawl.get("harvest_base"):
-        # the /tmp documents spill is dead weight once metrics are read —
-        # unreclaimed it strands ~2 GB per benchmark run
-        import shutil
-
-        shutil.rmtree(crawl["harvest_base"], ignore_errors=True)
     # steady state = the back half of the rounds: the front half carries
     # JIT, python-worker spawn, and first-big-wave warmup cliffs
     half = max(1, len(crawl["per_round"]) // 2)

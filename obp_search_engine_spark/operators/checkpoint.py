@@ -167,12 +167,15 @@ def run_crawl(
     broadcast_threshold: int = 100_000,
     spill_harvest: bool = False,
     extract_documents: bool = False,
+    discard_harvest: bool = False,
 ) -> dict:
     """Run scale-mode crawl rounds; returns summary metrics.
 
     With ckpt_dir set, every round snapshots frontier + metrics and commits
     LATEST; ``resume=True`` continues from the last committed round (seeds
     ignored). Without ckpt_dir, lineage is truncated via localCheckpoint.
+    ``discard_harvest=True`` (benchmarks) deletes the /tmp documents spill
+    before returning; otherwise its path is returned as ``harvest_base``.
     """
     start_round = 0
     if resume:
@@ -372,8 +375,15 @@ def run_crawl(
     totals["per_round"] = per_round
     totals["frontier"] = frontier
     # the documents spill under /tmp (no ckpt_dir) is OUTPUT for a real
-    # caller but 1.7-2.9 GB of dead weight per benchmark run — expose the
-    # path so harnesses can rmtree it once they've read their metrics
-    # (a day of scaling pairs stranded ~60 GB before this existed)
+    # caller but 1.7-2.9 GB of dead weight per benchmark run (a day of
+    # scaling pairs stranded ~60 GB before this existed). Benchmarks pass
+    # discard_harvest=True — the frontier is localCheckpoint'ed (memory-
+    # backed) by this point, so nothing still reads the spill; other
+    # callers get the path in harvest_base and own the cleanup.
+    if discard_harvest and tmp_harvest_base:
+        import shutil
+
+        shutil.rmtree(tmp_harvest_base, ignore_errors=True)
+        tmp_harvest_base = None
     totals["harvest_base"] = tmp_harvest_base
     return totals

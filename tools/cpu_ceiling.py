@@ -59,10 +59,15 @@ def _disk_worker(barrier, secs: float, out):
     n = 0
     t0 = None
     try:
-        fd, path = tempfile.mkstemp(prefix="diskprobe_")
+        # barrier FIRST: a worker whose mkstemp fails must not strand the
+        # others at the rendezvous for the full timeout
+        barrier.wait(timeout=60)
+        t0 = time.monotonic()
+        # dir pinned to /tmp — the device checkpoint.py's spill/snapshot
+        # writes actually ride; honoring $TMPDIR could measure a different
+        # mount (e.g. tmpfs) and corrupt the ceiling
+        fd, path = tempfile.mkstemp(prefix="diskprobe_", dir="/tmp")
         try:
-            barrier.wait(timeout=60)
-            t0 = time.monotonic()
             stop_at = t0 + secs
             while time.monotonic() < stop_at:
                 os.lseek(fd, 0, os.SEEK_SET)
@@ -74,7 +79,7 @@ def _disk_worker(barrier, secs: float, out):
             os.unlink(path)
     finally:
         elapsed = (time.monotonic() - t0) if t0 else secs
-        out.put(n / elapsed)  # 8 MB ops/sec
+        out.put(n / elapsed)  # 8 MB ops/sec; 0 marks a failed worker
 
 
 def measure(procs: int, secs: float, worker=_cpu_worker) -> float:
@@ -132,8 +137,10 @@ def main() -> None:
             {
                 "disk_write_mbps_n1": round(d1 * 8),
                 "disk_write_mbps_n2": round(d2 * 8),
-                "disk_speedup": round(d2 / d1, 3),
-                "disk_efficiency": round(d2 / d1 / ratio, 3),
+                # d1 == 0 means every n1 worker failed (ENOSPC etc.) —
+                # report null rather than crash away the cpu/bw results
+                "disk_speedup": round(d2 / d1, 3) if d1 else None,
+                "disk_efficiency": round(d2 / d1 / ratio, 3) if d1 else None,
             }
         )
     print(json.dumps(result))

@@ -91,12 +91,9 @@ def main() -> None:
     setup = run_crawl(
         spark, pages, seeds=seeds, rounds=2, per_host_budget=100_000,
         hot_host_salts=8, broadcast_batch=False, extract_documents=True,
+        discard_harvest=True,
     )
     frontier = setup["frontier"].localCheckpoint(eager=True)
-    if setup.get("harvest_base"):
-        import shutil
-
-        shutil.rmtree(setup["harvest_base"], ignore_errors=True)
     round_ts = "2026-06-01 00:00:03"
     timings: dict[str, float] = {}
 
