@@ -199,7 +199,42 @@ def run_crawl(
                 )
             commit_round(ckpt_dir, 0)
 
-    seen_df = None
+    # --- async round machinery (the 28%-idle fix) ------------------------
+    # Telemetry showed 32 cores only ~72% busy during crawl rounds: the
+    # idle was inter-job serial terms — a stats job re-scanning the
+    # frontier, the snapshot write + re-read round trip, and the bloom
+    # update blocking the round boundary. Three changes:
+    #   1. stats ride the localCheckpoint job as an Observation (zero
+    #      extra passes — works on both the ckpt and no-ckpt paths);
+    #   2. the ckpt snapshot write + metrics + LATEST commit run on a
+    #      single-worker background thread over the memory-backed
+    #      checkpointed frontier (no recompute), overlapping the next
+    #      round's dequeue/fetch/extract; commit order is preserved by
+    #      the one-worker queue and the run only returns after drain;
+    #   3. the bloom seen-set update is submitted in the background and
+    #      resolved lazily — the probe first needs it only AFTER the next
+    #      round's harvest write (the big job), which it overlaps.
+    import concurrent.futures as _cf
+
+    writer = _cf.ThreadPoolExecutor(max_workers=1, thread_name_prefix="snap")
+    pending_write: _cf.Future | None = None
+
+    class _SeenHolder:
+        """seen_df handle that transparently resolves an in-flight async
+        update (single producer: the round loop; single consumer: the
+        probe inside the next round's plan build)."""
+
+        def __init__(self):
+            self.df = None
+            self.future: _cf.Future | None = None
+
+        def get(self):
+            if self.future is not None:
+                self.df = self.future.result()
+                self.future = None
+            return self.df
+
+    seen = _SeenHolder()
 
     def _activate_bloom():
         # the 10^10-URL dedup path (north_rule): per-shard bloom blobs keyed
@@ -208,13 +243,13 @@ def run_crawl(
         # exact anti-join against the frontier. Blobs are rebuilt from the
         # frontier on activation and updated incrementally with each
         # round's discoveries (tiny: n_shards rows of ~1 MB).
-        nonlocal seen_df, seen_probe
+        nonlocal seen_probe
         from .seen_set import build_seen_set, seen_probe_factory
 
-        seen_df = build_seen_set(
+        seen.df = build_seen_set(
             spark, frontier.select("url_hash", "host_hash"), n_shards=seen_shards
         ).localCheckpoint(eager=True)
-        seen_probe = seen_probe_factory(lambda: seen_df, n_shards=seen_shards)
+        seen_probe = seen_probe_factory(seen.get, n_shards=seen_shards)
 
     # 'auto' = adaptive dedup escalation, same logic as join selection: the
     # exact anti-join re-shuffles the FRONTIER's url_hash column every round
@@ -245,58 +280,60 @@ def run_crawl(
     per_round = []
     tmp_harvest_base = None  # /tmp spill base when no ckpt_dir owns it
     prev_size, due, _ = stats(frontier)
-    for k in range(start_round + 1, start_round + rounds + 1):
-        t0 = time.monotonic()
-        if stop_when_exhausted and due == 0:
-            break
-        if auto_bloom and seen_probe is None and prev_size > bloom_auto_threshold:
-            _activate_bloom()
-        round_ts = f"2026-06-01 {k // 3600:02d}:{(k // 60) % 60:02d}:{k % 60:02d}"
-        # broadcast is a DRIVER-serial cost: right for small waves, wrong
-        # for big ones (a 500k-row wave serializes tens of MB through one
-        # thread). 'auto' flips to the shuffle join past the threshold.
-        bcast = (
-            due <= broadcast_threshold if broadcast_batch == "auto" else broadcast_batch
-        )
-        harvest_dir = None
-        if spill_harvest or extract_documents:
-            base = ckpt_dir or os.path.join(
-                "/tmp", f"crawl_harvest_{spark.sparkContext.applicationId}"
+    try:
+        for k in range(start_round + 1, start_round + rounds + 1):
+            t0 = time.monotonic()
+            if stop_when_exhausted and due == 0:
+                break
+            if auto_bloom and seen_probe is None and prev_size > bloom_auto_threshold:
+                _activate_bloom()
+            round_ts = f"2026-06-01 {k // 3600:02d}:{(k // 60) % 60:02d}:{k % 60:02d}"
+            # broadcast is a DRIVER-serial cost: right for small waves, wrong
+            # for big ones (a 500k-row wave serializes tens of MB through one
+            # thread). 'auto' flips to the shuffle join past the threshold.
+            bcast = (
+                due <= broadcast_threshold if broadcast_batch == "auto" else broadcast_batch
             )
-            if not ckpt_dir:
-                tmp_harvest_base = base
-            harvest_dir = os.path.join(_round_dir(base, k), "harvest")
-        res = crawl_round(
-            spark,
-            frontier,
-            pages,
-            round_no=k,
-            per_host_budget=per_host_budget,
-            host_state=host_state,
-            hot_host_salts=hot_host_salts,
-            seen_probe=seen_probe,
-            round_ts=round_ts,
-            broadcast_batch=bcast,
-            harvest_dir=harvest_dir,
-            extract_documents=extract_documents,
-        )
-        docs = res.metrics.get("documents")
-        n_docs = 0
-        keep_harvest = False
-        if docs is not None:
-            # documents exist only on the harvest-spill path (crawl_round
-            # emits them iff 'text' is in the spilled harvest), so the
-            # spill already IS the documents store — text + stats written
-            # once, in the extraction pass; the count reads parquet footers
-            # only. Saves a full text write+read per round vs copying into
-            # a separate documents dir.
-            assert res.metrics.get("documents_inline"), "documents imply spill"
-            n_docs = docs.count()
-            keep_harvest = True
-        if ckpt_dir:
-            # stats ride the snapshot write as an Observation — no second
-            # job re-reading the parquet just to count (scaling residual:
-            # every extra per-round action is a serial term)
+            harvest_dir = None
+            if spill_harvest or extract_documents:
+                base = ckpt_dir or os.path.join(
+                    "/tmp", f"crawl_harvest_{spark.sparkContext.applicationId}"
+                )
+                if not ckpt_dir:
+                    tmp_harvest_base = base
+                harvest_dir = os.path.join(_round_dir(base, k), "harvest")
+            res = crawl_round(
+                spark,
+                frontier,
+                pages,
+                round_no=k,
+                per_host_budget=per_host_budget,
+                host_state=host_state,
+                hot_host_salts=hot_host_salts,
+                seen_probe=seen_probe,
+                round_ts=round_ts,
+                broadcast_batch=bcast,
+                harvest_dir=harvest_dir,
+                extract_documents=extract_documents,
+            )
+            docs = res.metrics.get("documents")
+            n_docs = 0
+            keep_harvest = False
+            if docs is not None:
+                # documents exist only on the harvest-spill path (crawl_round
+                # emits them iff 'text' is in the spilled harvest), so the
+                # spill already IS the documents store — text + stats written
+                # once, in the extraction pass; the count reads parquet footers
+                # only. Saves a full text write+read per round vs copying into
+                # a separate documents dir.
+                assert res.metrics.get("documents_inline"), "documents imply spill"
+                n_docs = docs.count()
+                keep_harvest = True
+            # stats ride the lineage-truncating localCheckpoint as an
+            # Observation: ONE job materializes the merged frontier in memory
+            # AND counts size/due/visited — the old separate stats job (a full
+            # frontier re-scan per round) and the ckpt-path's write+re-read
+            # round trip are both gone
             from pyspark.sql import Observation
 
             obs = Observation(f"frontier_stats_r{k}")
@@ -308,66 +345,99 @@ def run_crawl(
                     (F.col("last_crawled") == F.lit(round_ts).cast("timestamp")).cast("long")
                 ).alias("vis"),
             )
-            write_snapshot(observed, os.path.join(_round_dir(ckpt_dir, k), "frontier"))
-            frontier = load_frontier(spark, ckpt_dir, k)
+            frontier = observed.localCheckpoint(eager=True)
             got = obs.get
             size, due, visited = int(got["n"]), int(got["due"] or 0), int(got["vis"] or 0)
-        else:
-            frontier = res.frontier.localCheckpoint(eager=True)
-            size, due, visited = stats(frontier, round_ts)
-        if seen_df is not None:
-            from .seen_set import update_seen_set
+            if seen.df is not None or seen.future is not None:
+                from .seen_set import update_seen_set
 
-            new_keys = frontier.filter(
-                F.col("discovered_ts") == F.lit(round_ts).cast("timestamp")
-            ).select("url_hash", "host_hash")
-            seen_df = update_seen_set(
-                seen_df, new_keys, n_shards=seen_shards
-            ).localCheckpoint(eager=True)
-        for df in res.metrics.get("persisted", []):
-            df.unpersist()
-        if harvest_dir is not None and not keep_harvest:
-            # a links-only harvest spill is a per-round intermediate: once
-            # the frontier snapshot is written it is dead weight (a heavy
-            # crawl leaves ~GBs per round otherwise). When it doubles as
-            # the documents store (documents_inline) it is OUTPUT and stays.
-            import shutil
-
-            shutil.rmtree(harvest_dir, ignore_errors=True)
-        if host_state is not None:
-            from .frontier import update_host_clock
-
-            visited_hosts = frontier.filter(
-                F.col("last_crawled") == F.lit(round_ts).cast("timestamp")
-            ).select("host")
-            host_state = update_host_clock(
-                host_state, visited_hosts, round_ts
-            ).localCheckpoint(eager=True)
-            if ckpt_dir:
-                write_snapshot(
-                    host_state, os.path.join(_round_dir(ckpt_dir, k), "host_state"),
-                    shard_col=None,
+                new_keys = frontier.filter(
+                    F.col("discovered_ts") == F.lit(round_ts).cast("timestamp")
+                ).select("url_hash", "host_hash")
+                # resolve the previous round's update (main thread only — the
+                # background thread never touches the holder), then overlap
+                # this round's blob update with the next round's big jobs
+                prev_seen = seen.get()
+                seen.future = writer.submit(
+                    lambda prev=prev_seen, nk=new_keys: update_seen_set(
+                        prev, nk, n_shards=seen_shards
+                    ).localCheckpoint(eager=True)
                 )
-        wall = time.monotonic() - t0
-        row = {
-            "round": k,
-            "n_documents": n_docs,
-            "visited": int(visited),
-            "discovered": int(size - prev_size),
-            "frontier_size": int(size),
-            "wall_sec": float(wall),
-            "urls_per_sec": float(visited / wall if wall > 0 else 0.0),
-            "n_partitions": frontier.rdd.getNumPartitions(),
-        }
-        per_round.append(row)
-        if ckpt_dir:
-            append_metrics(spark, ckpt_dir, row)
-            commit_round(ckpt_dir, k)
-        totals["visited"] += row["visited"]
-        totals["discovered"] += row["discovered"]
-        totals["rounds"] += 1
-        totals["wall_sec"] += wall
-        prev_size = size
+            for df in res.metrics.get("persisted", []):
+                df.unpersist()
+            if harvest_dir is not None and not keep_harvest:
+                # a links-only harvest spill is a per-round intermediate: once
+                # the frontier snapshot is written it is dead weight (a heavy
+                # crawl leaves ~GBs per round otherwise). When it doubles as
+                # the documents store (documents_inline) it is OUTPUT and stays.
+                import shutil
+
+                shutil.rmtree(harvest_dir, ignore_errors=True)
+            if host_state is not None:
+                from .frontier import update_host_clock
+
+                visited_hosts = frontier.filter(
+                    F.col("last_crawled") == F.lit(round_ts).cast("timestamp")
+                ).select("host")
+                host_state = update_host_clock(
+                    host_state, visited_hosts, round_ts
+                ).localCheckpoint(eager=True)
+            wall = time.monotonic() - t0
+            row = {
+                "round": k,
+                "n_documents": n_docs,
+                "visited": int(visited),
+                "discovered": int(size - prev_size),
+                "frontier_size": int(size),
+                "wall_sec": float(wall),
+                "urls_per_sec": float(visited / wall if wall > 0 else 0.0),
+                "n_partitions": frontier.rdd.getNumPartitions(),
+            }
+            per_round.append(row)
+            if ckpt_dir:
+                # the whole durability tail (frontier + host_state snapshots,
+                # metrics append, LATEST commit) runs on the one-worker writer
+                # thread over MEMORY-BACKED checkpointed frames (no recompute),
+                # overlapping the next round's dequeue/fetch/extract. At most
+                # one round is in flight (we join the previous future first, so
+                # errors surface and commits stay ordered); crash semantics are
+                # unchanged — LATEST advances only after that round's files and
+                # manifests are fully written.
+                def _persist_round(fr=frontier, hs=host_state, row=row, k=k):
+                    write_snapshot(fr, os.path.join(_round_dir(ckpt_dir, k), "frontier"))
+                    if hs is not None:
+                        write_snapshot(
+                            hs,
+                            os.path.join(_round_dir(ckpt_dir, k), "host_state"),
+                            shard_col=None,
+                        )
+                    append_metrics(spark, ckpt_dir, row)
+                    commit_round(ckpt_dir, k)
+
+                if pending_write is not None:
+                    pending_write.result()
+                pending_write = writer.submit(_persist_round)
+            totals["visited"] += row["visited"]
+            totals["discovered"] += row["discovered"]
+            totals["rounds"] += 1
+            totals["wall_sec"] += wall
+            prev_size = size
+    finally:
+        # drain the background writer: on clean exit this is the last
+        # round's durability tail (counted into its wall below); on an
+        # exception it still surfaces/completes the queued commit
+        t_drain = time.monotonic()
+        if pending_write is not None:
+            pending_write.result()
+        writer.shutdown(wait=True)
+        drain = time.monotonic() - t_drain
+    if per_round and drain > 0:
+        last = per_round[-1]
+        last["wall_sec"] = float(last["wall_sec"] + drain)
+        last["urls_per_sec"] = float(
+            last["visited"] / last["wall_sec"] if last["wall_sec"] else 0.0
+        )
+        totals["wall_sec"] += drain
     totals["frontier_size"] = prev_size
     totals["urls_per_sec"] = (
         totals["visited"] / totals["wall_sec"] if totals["wall_sec"] else 0.0

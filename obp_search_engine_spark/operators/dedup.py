@@ -115,20 +115,40 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+def md5_32_col(c):
+    """Portable 32-bit hash: first 8 hex chars of md5, as a long.
+
+    Bit-identical in DuckDB as ``('0x' || substr(md5(x), 1, 8))::BIGINT`` —
+    the hash that makes the LSH families exactly SQL-oracle-checkable
+    (same pattern as curation.domain_mix_resample's md5 bucketing)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def _minhash_fn(hash: str):
+    if hash == "xxhash64":
+        return lambda i, s: F.xxhash64(F.lit(i), s)
+    if hash == "md5":
+        return lambda i, s: md5_32_col(F.concat(F.lit(f"{i}:"), s))
+    raise ValueError(f"unknown minhash hash {hash!r}")
+
+
 def with_minhash(df: DataFrame, k: int = 32, shingle_col: str = "shingles",
-                 out_col: str = "minhash") -> DataFrame:
+                 out_col: str = "minhash", hash: str = "xxhash64") -> DataFrame:
     """k-permutation MinHash signature, entirely as Catalyst expressions:
-    sig[i] = min over shingles of xxhash64(i, shingle). One pass, no UDF."""
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col(shingle_col), lambda s, i=i: F.xxhash64(F.lit(i), s)
-                )
-            )
-            for i in range(k)
-        ]
-    )
+    sig[i] = min over shingles of hash_i(shingle). One pass, no UDF.
+
+    hash='xxhash64' (default, fastest JVM hash — the scale path) or 'md5'
+    (portable: DuckDB computes the identical signature, so the full
+    LSH pipeline gets an exact SQL oracle)."""
+    h = _minhash_fn(hash)
+
+    # NB: bind i via a closure, NOT a defaulted lambda param — pyspark
+    # fills every declared lambda parameter with a named lambda variable,
+    # so `lambda s, i=i:` silently receives the ARRAY INDEX column as i
+    def _sig(i: int):
+        return F.array_min(F.transform(F.col(shingle_col), lambda s: h(i, s)))
+
+    sig = F.array(*[_sig(i) for i in range(k)])
     return df.withColumn(out_col, sig)
 
 
@@ -140,6 +160,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     k: int = 32,
     bands: int = 8,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -148,10 +169,21 @@ def minhash_lsh_pairs(
     the only O(corpus) shuffle, with tiny rows: id + 8-byte bucket). Then
     candidates join back their shingle sets and exact Jaccard filters false
     positives, so output == brute-force pairs minus LSH false-negative
-    misses (recall tested in tests/test_dedup.py)."""
+    misses (recall tested in tests/test_dedup.py).
+
+    hash='md5' makes signature AND band buckets portable (band key =
+    '-'-joined signature slice) so DuckDB reproduces the exact candidate
+    set — used by the driver-graded entry; xxhash64 stays the scale/bench
+    default."""
     rows = k // bands
     base = with_shingles(df.select(id_col, text_col), text_col, n)
-    sigs = with_minhash(base, k).persist()
+    sigs = with_minhash(base, k, hash=hash).persist()
+
+    def _bucket(b):
+        cols = [F.col("minhash")[b * rows + r] for r in range(rows)]
+        if hash == "xxhash64":
+            return F.xxhash64(*cols)
+        return F.concat_ws("-", *cols)
 
     bucket_rows = sigs.select(
         F.col(id_col).alias("_id"),
@@ -160,9 +192,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("minhash")[b * rows + r] for r in range(rows)]
-                        ).alias("bucket"),
+                        _bucket(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -252,6 +282,100 @@ def simhash_neardup_pairs(
     base = df.select(
         F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("sim")
     ).persist()
+    chunks = base.select(
+        "_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned("sim", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "sim", "c.ci", "c.cv")
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            on=[
+                F.col("x.ci") == F.col("y.ci"),
+                F.col("x.cv") == F.col("y.cv"),
+                F.col("x._id") < F.col("y._id"),
+            ],
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x.sim").alias("sim_a"),
+            F.col("y.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def simhash32_md5_col(text_col, nbits: int = 32):
+    """32-bit SimHash as a pure Catalyst expression over md5-portable token
+    hashes — no UDF, no shuffle, and DuckDB computes the identical value
+    (integer bit-votes, no floating point anywhere).
+
+    votes[b] = sum over distinct lowercased tokens t of
+               (+1 if bit b of md5_32(t) else -1); bit b set iff votes > 0."""
+    hashes = F.transform(
+        F.array_distinct(tokens_col(F.lower(text_col))), md5_32_col
+    )
+    # bind b via closures (see with_minhash note on defaulted lambda params)
+    def _votes(b: int):
+        mask = 1 << b
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+        )
+
+    bits = []
+    for b in range(nbits):
+        bits.append(
+            F.when(_votes(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    # null text -> null sim (the doc drops out of the pair join), matching
+    # the SQL oracle where unnest of a null token list emits no rows
+    return F.when(text_col.isNotNull(), out)
+
+
+def simhash_neardup_pairs_md5(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Portable-hash SimHash near-dup pairs: 32-bit md5 simhash + the same
+    pigeonhole chunk-join as simhash_neardup_pairs (4 chunks of 8 bits for
+    max_hamming=3). Every step is integer Catalyst arithmetic that DuckDB
+    mirrors exactly — this is the driver-graded variant; the 64-bit
+    vectorized simhash stays the scale default."""
+    nbits = 32
+    n_chunks = max_hamming + 1
+    widths = [nbits // n_chunks + (1 if i < nbits % n_chunks else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    base = df.select(
+        F.col(id_col).alias("_id"), simhash32_md5_col(F.col(text_col)).alias("sim")
+    ).filter(F.col("sim").isNotNull())
     chunks = base.select(
         "_id",
         "sim",

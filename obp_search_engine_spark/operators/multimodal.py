@@ -82,28 +82,40 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int, list[float]]:
 
 
 def decode_image_features(df: DataFrame, decoder: str = "real",
-                          batch_hint: int | None = None) -> DataFrame:
+                          batch_hint: int | None = None,
+                          decode_fn=None) -> DataFrame:
     """media rows -> image feature rows via mapInPandas.
 
     The iterator shape (yield per incoming Arrow batch) is what bounds
-    executor memory: one batch of payloads in flight per task."""
+    executor memory: one batch of payloads in flight per task.
+
+    Pluggable codec contract: pass ``decode_fn`` (bytes -> (width, height,
+    channels, phash, feature[8])) to plug a real library (PIL/opencv) on a
+    cluster image; the callable is serialized with the task closure. With
+    no decode_fn, decoder='fake' runs the deterministic stand-in kernel and
+    decoder='real' raises NotImplementedError (this container ships no
+    codecs) — the Spark plumbing (schema, Arrow batching, partitioning) is
+    identical on all three paths."""
     if decoder not in ("real", "fake"):
         raise ValueError(decoder)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = decode_fn
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real image decoding needs PIL/opencv, not present in "
-                    "this container — use decoder='fake' for the plumbing "
-                    "path, swap in a real kernel on a cluster image"
-                )
+            if fn is None:
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "real image decoding needs PIL/opencv, not present "
+                        "in this container — pass decode_fn= with a real "
+                        "codec, or decoder='fake' for the plumbing path"
+                    )
+                fn = _fake_decode
             rows = {
                 "media_id": [], "width": [], "height": [], "channels": [],
                 "phash": [], "feature": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, ch, ph, feat = _fake_decode(bytes(payload or b""))
+                w, h, ch, ph, feat = fn(bytes(payload or b""))
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
                 rows["height"].append(h)

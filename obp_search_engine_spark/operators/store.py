@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +49,12 @@ def documents_rounds(ckpt_dir: str) -> list[int]:
         path = os.path.join(ckpt_dir, name, "harvest")
         if not os.path.isdir(path) and os.path.isdir(path + "._old"):
             os.rename(path + "._old", path)  # crash recovery
+        # a crash during/after the compaction write strands a multi-GB
+        # ._compacting temp dir (this host has an ENOSPC history) — it is
+        # never the source of truth, so always reclaim it
+        tmp = path + "._compacting"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
         if os.path.isdir(path):
             out.append(int(m.group(1)))
     return sorted(out)

@@ -187,18 +187,21 @@ def q_search_listings_page(spark, sf_dir):
       SELECT *, string_split(coalesce(thumbnail, ''), ',') AS th FROM flat
     )
     SELECT url,
-           struct_pack(peerID := peer_id, name := node_name,
-                       userAgent := user_agent) AS vendor,
-           struct_pack(tiny := th[1], small := th[2], medium := th[3],
-                       original := th[4], large := th[5]) AS thumbnail,
-           struct_pack(amount := price_amount,
-                       currencyCode := price_currency) AS price,
+           peer_id AS vendor_peer_id,
+           node_name AS vendor_name,
+           user_agent AS vendor_user_agent,
+           th[1] AS th_tiny, th[2] AS th_small, th[3] AS th_medium,
+           th[4] AS th_original, th[5] AS th_large,
+           price_amount, price_currency,
            avg_rating AS averageRating,
-           coalesce(string_split(tags_str, ','), CAST([] AS VARCHAR[])) AS tags
+           coalesce(tags_str, '') AS tags_csv
     FROM split
     """,
     "F13 re-nesting: flat listing row -> vendor/thumbnail/price structs "
-    "with positional thumbnail split and null-safe tag split",
+    "with positional thumbnail split and null-safe tag split. Graded as the "
+    "FLATTENED scalar projection of the nested result (the driver's hash "
+    "canonicalizer cannot sort array/struct cells); the nested operator "
+    "itself (plans/search.py renest_listing) is exact-oracle pytest-covered",
 )
 def q_renest_listing(spark, sf_dir):
     from .search import renest_listing
@@ -235,7 +238,25 @@ def q_renest_listing(spark, sf_dir):
         .otherwise(F.array_join(F.split("p_type", " "), ","))
         .alias("tags_str"),
     )
-    return renest_listing(flat)
+    nested = renest_listing(flat)
+    # graded projection: flatten the nested result back to scalars so the
+    # driver's hash canonicalizer (which cannot sort list/struct cells) can
+    # grade it; the struct/array construction above is still exercised
+    return nested.select(
+        "url",
+        F.col("vendor.peerID").alias("vendor_peer_id"),
+        F.col("vendor.name").alias("vendor_name"),
+        F.col("vendor.userAgent").alias("vendor_user_agent"),
+        F.col("thumbnail.tiny").alias("th_tiny"),
+        F.col("thumbnail.small").alias("th_small"),
+        F.col("thumbnail.medium").alias("th_medium"),
+        F.col("thumbnail.original").alias("th_original"),
+        F.col("thumbnail.large").alias("th_large"),
+        F.col("price.amount").alias("price_amount"),
+        F.col("price.currencyCode").alias("price_currency"),
+        "averageRating",
+        F.array_join("tags", ",").alias("tags_csv"),
+    )
 
 
 # ---------------------------------------------------------------------------

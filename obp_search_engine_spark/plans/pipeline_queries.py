@@ -220,24 +220,99 @@ def q_neardup_jaccard_exact(spark, sf_dir):
 
 @register(
     "neardup_minhash_lsh",
-    None,
-    "MinHash(32)+LSH(8 bands) near-dup pairs, exact-Jaccard verified — "
-    "rows-only here; recall vs brute force property-tested in pytest",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3
+                  THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, len(toks) - 1)])
+             END AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    mh AS (
+      SELECT doc_id, i,
+             min(('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 8))::BIGINT) AS h
+      FROM ex, range(32) t(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+    bk AS (
+      SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], '-') AS bucket
+      FROM sig, range(8) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bk x JOIN bk y
+        ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+             AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+          >= 0.3
+    """,
+    "MinHash(32)+LSH(8 bands) near-dup pairs, exact-Jaccard verified. "
+    "Graded variant uses the portable md5-32 hash so DuckDB reproduces the "
+    "EXACT signature/band/candidate pipeline (not just the output contract); "
+    "the scale/bench default stays xxhash64 (identical plan shape, tested "
+    "for recall vs brute force in pytest)",
 )
 def q_neardup_minhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, threshold=0.3)
+    return dedup.minhash_lsh_pairs(d, threshold=0.3, hash="md5")
 
 
 @register(
     "neardup_simhash",
-    None,
-    "SimHash64 near-dup pairs (hamming<=3 via 16-bit chunk pigeonhole) — "
-    "rows-only; determinism + oracle tested in pytest",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+          FROM toks),
+    v AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+      FROM h, range(32) t(b)
+      GROUP BY doc_id, b
+    ),
+    sim AS (
+      SELECT doc_id,
+             SUM(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sim
+      FROM v GROUP BY doc_id
+    ),
+    ch AS (
+      SELECT doc_id, sim, c, (sim >> (c * 8)) & 255 AS cv
+      FROM sim, range(4) t(c)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                      x.sim AS sim_a, y.sim AS sim_b
+      FROM ch x JOIN ch y
+        ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+    "SimHash near-dup pairs (hamming<=3 via chunk pigeonhole). Graded "
+    "variant = 32-bit md5 simhash, pure integer Catalyst arithmetic with an "
+    "exact DuckDB oracle of the identical bit-vote pipeline; the 64-bit "
+    "vectorized simhash stays the scale default (pytest-covered)",
 )
 def q_neardup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(d, max_hamming=3)
+    return dedup.simhash_neardup_pairs_md5(d, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -300,12 +375,82 @@ def q_crawl_politeness(spark, sf_dir):
     return res["frontier"].select("url", "state")
 
 
+def _nb_oracle_sql() -> str:
+    """Full first-principles NB oracle: tokenization (process_text: strip
+    ASCII punctuation, split on whitespace, drop stopwords case-insensitively
+    — listingfiltering/learnNetwork.py:183-196), train counts with alpha=0.3
+    Lidstone smoothing (learnNetwork.py:38-47), score = prior + sum of
+    per-occurrence log-probs over in-vocab tokens, argmax with the
+    deterministic first-max tie-break (smallest class, i.e. FALSE)."""
+    from ..functions.tokenize import ENGLISH_STOPWORDS
+
+    stop = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ENGLISH_STOPWORDS))
+    # [!-/:-@[-`{-~] == string.punctuation (ASCII 33-47, 58-64, 91-96, 123-126)
+    tok_expr = (
+        r"unnest(string_split_regex("
+        r"regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'), '\s+'))"
+    )
+    return f"""
+    WITH labeled AS (
+      SELECT doc_id, (lang = 'en') AS y, text FROM documents
+      WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+    ),
+    unlabeled AS (
+      SELECT doc_id, text FROM documents
+      WHERE NOT (doc_id % 2 = 0 AND lang IS NOT NULL)
+    ),
+    lab_tok AS (
+      SELECT doc_id, y, tok FROM (
+        SELECT doc_id, y, {tok_expr} AS tok FROM labeled)
+      WHERE tok <> '' AND lower(tok) NOT IN ({stop})
+    ),
+    unl_tok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, {tok_expr} AS tok FROM unlabeled)
+      WHERE tok <> '' AND lower(tok) NOT IN ({stop})
+    ),
+    counts AS (SELECT y, tok, COUNT(*) AS c FROM lab_tok GROUP BY y, tok),
+    vocab AS (SELECT DISTINCT tok FROM lab_tok),
+    vs AS (SELECT COUNT(*)::DOUBLE AS v FROM vocab),
+    ct AS (SELECT y, SUM(c)::DOUBLE AS tot FROM counts GROUP BY y),
+    cls AS (SELECT y, COUNT(*)::DOUBLE AS nd FROM labeled GROUP BY y),
+    pri AS (SELECT y, ln(nd / (SELECT SUM(nd) FROM cls)) AS lp FROM cls),
+    lpr AS (
+      SELECT c2.y, v.tok,
+             ln(COALESCE(cnt.c, 0)::DOUBLE + 0.3)
+               - ln(ct.tot + 0.3 * (SELECT v FROM vs)) AS w
+      FROM vocab v
+      CROSS JOIN cls c2
+      JOIN ct ON ct.y = c2.y
+      LEFT JOIN counts cnt ON cnt.y = c2.y AND cnt.tok = v.tok
+    ),
+    sc AS (
+      SELECT u.doc_id, p.y, p.lp + COALESCE(SUM(l.w), 0) AS score
+      FROM unlabeled u
+      CROSS JOIN pri p
+      LEFT JOIN unl_tok t ON t.doc_id = u.doc_id
+      LEFT JOIN lpr l ON l.y = p.y AND l.tok = t.tok
+      GROUP BY u.doc_id, p.y, p.lp
+    ),
+    pred AS (
+      SELECT doc_id, y,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, y ASC) AS rn
+      FROM sc
+    )
+    SELECT doc_id, y AS predicted_blocked FROM labeled
+    UNION ALL
+    SELECT doc_id, y AS predicted_blocked FROM pred WHERE rn = 1
+    """
+
+
 @register(
     "classify_documents_nb",
-    None,
+    _nb_oracle_sql(),
     "U1/U2 distributed multinomial NB (alpha=0.3): train on labeled half "
-    "(label = lang=='en'), predict the rest — rows-only (model output is "
-    "not SQL-expressible); math verified against sklearn in pytest",
+    "(label = lang=='en'), predict the rest — EXACT first-principles DuckDB "
+    "oracle (tokenize -> smoothed counts -> argmax CTEs); sklearn parity "
+    "additionally pytest-asserted",
 )
 def q_classify_documents(spark, sf_dir):
     from ..operators.classifier import classify_documents
@@ -877,12 +1022,14 @@ def q_ann_ivf_indexed(spark, sf_dir):
 @register(
     "embedding_neardup",
     None,
-    "embedding-cosine near-dup pairs via SRP bucket join + exact cosine — "
-    "rows-only; subset-of-bruteforce tested in pytest",
+    "embedding-cosine near-dup pairs via SRP bucket join + exact cosine, "
+    "with the AUTO plane count (n_planes=None -> auto_planes sizes the "
+    "bucket fan-out to the corpus — the 100 TB knob) — rows-only; "
+    "subset-of-bruteforce tested in pytest",
 )
 def q_embedding_neardup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     # testdata embeddings are near-orthogonal (max pairwise cos ~0.46), so
-    # the demo threshold is 0.4 with few planes; real near-dup thresholds
-    # (>=0.95) use more planes and get far better bucket selectivity
-    return similarity.embedding_neardup_pairs(e, threshold=0.35, n_planes=4)
+    # the demo threshold is 0.35; real near-dup thresholds (>=0.95) have
+    # far better bucket selectivity at the same auto-derived plane count
+    return similarity.embedding_neardup_pairs(e, threshold=0.35, n_planes=None)

@@ -49,12 +49,22 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     # when a field is absent from the file — inspect the actual field names
     # of the first data file driver-side (one line, no scan) and fail loudly
     present = _wire_columns(path, fmt)
+    wire_names = [f.name for f in _WIRE_SCHEMA.fields]
     if present is not None:
-        missing = [f.name for f in _WIRE_SCHEMA.fields if f.name not in present]
+        missing = [n for n in wire_names if n not in present]
         if missing:
             raise ValueError(
                 f"pages {fmt} at {path} missing wire columns {missing} "
                 f"(found {sorted(present)})"
+            )
+        # the CSV reader applies the enforced schema POSITIONALLY (all wire
+        # fields are strings, so a reordered header would silently mis-map
+        # url/text/lang/html_b64) — require the exact wire column order
+        if fmt == "csv" and list(present) != wire_names:
+            raise ValueError(
+                f"pages csv at {path}: header order {list(present)} != wire "
+                f"order {wire_names}; the enforced schema maps columns "
+                f"positionally, so a reordered header would be mis-mapped"
             )
     reader = spark.read.schema(_WIRE_SCHEMA)
     raw = reader.json(path) if fmt == "json" else reader.option("header", True).csv(path)
@@ -67,10 +77,12 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     )
 
 
-def _wire_columns(path: str, fmt: str) -> set[str] | None:
+def _wire_columns(path: str, fmt: str) -> list[str] | None:
     """Field names of the first local data file (first JSONL object's keys /
-    CSV header). Returns None when the path isn't a local file/dir (e.g.
-    object store) — validation is then skipped rather than guessed."""
+    CSV header), IN FILE ORDER (CSV order is load-bearing: the enforced
+    schema maps positionally). Returns None when the path isn't a local
+    file/dir (e.g. object store) — validation is then skipped rather than
+    guessed."""
     import csv as _csv
     import json as _json
     import os
@@ -92,8 +104,8 @@ def _wire_columns(path: str, fmt: str) -> set[str] | None:
     if not line:
         return None
     if fmt == "json":
-        return set(_json.loads(line).keys())
-    return set(next(_csv.reader([line])))
+        return list(_json.loads(line).keys())
+    return list(next(_csv.reader([line])))
 
 
 def export_pages(pages: DataFrame, path: str, fmt: str = "json") -> None:
