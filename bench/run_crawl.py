@@ -73,6 +73,12 @@ def main() -> None:
                     help="dedup via the sharded bloom seen-set probe "
                          "(north_rule path) instead of the exact anti-join")
     ap.add_argument("--broadcast", default="auto", choices=["auto", "true", "false"])
+    ap.add_argument("--politeness", action="store_true",
+                    help="wire host_state (crawl-delay clocks, delay=0 so "
+                         "visit counts stay identical) + a parsed robots "
+                         "rule per host into the crawl, so the headline's "
+                         "exclusion of the politeness join is a MEASURED "
+                         "cost, not an omission")
     args = ap.parse_args()
     bcast = {"auto": "auto", "true": True, "false": False}[args.broadcast]
 
@@ -112,6 +118,32 @@ def main() -> None:
     pages.select(F.sum(F.length("html"))).collect()
     seeds = [url_of(i, 42, args.hosts) for i in range(args.seeds)]
 
+    host_state = None
+    if args.politeness:
+        # one host_state row per host with a REAL parsed robots rule set and
+        # a zero crawl delay: the dequeue's closed-host anti-join, the
+        # per-round host-clock full-outer update, and the robots rule-match
+        # over every candidate all execute, while visited counts stay
+        # byte-identical to the no-politeness run — the delta IS the
+        # politeness machinery's cost
+        from obp_search_engine_spark.functions.robots import parse_robots_udf
+        from obp_search_engine_spark.functions.urls import host_col, host_hash_col
+
+        host_state = (
+            pages.select(host_col(F.col("url")).alias("host"))
+            .distinct()
+            .select(
+                "host",
+                host_hash_col(F.col("host")).alias("host_hash"),
+                F.lit(0.0).alias("crawl_delay"),
+                F.lit(None).cast("timestamp").alias("next_allowed_ts"),
+                parse_robots_udf(
+                    F.lit("User-agent: *\nDisallow: /__none__\n")
+                ).alias("robots_rules"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
     t0 = time.monotonic()
     stat0 = _proc_stat()
     crawl = run_crawl(
@@ -123,6 +155,7 @@ def main() -> None:
         hot_host_salts=args.salts,
         broadcast_batch=bcast,
         use_bloom_seen=args.bloom,
+        host_state=host_state,
         extract_documents=True,  # full round: links + byte-identical text
         discard_harvest=True,  # benchmark spill is dead weight once counted
     )
@@ -154,6 +187,7 @@ def main() -> None:
                 "buckets": args.buckets if args.bucketed else None,
                 "bloom": args.bloom,
                 "broadcast": args.broadcast,
+                "politeness": args.politeness,
                 "shuffle_partitions": max(8, args.cpus),
                 "host": host,
             }

@@ -345,7 +345,9 @@ def run_crawl(
                     (F.col("last_crawled") == F.lit(round_ts).cast("timestamp")).cast("long")
                 ).alias("vis"),
             )
+            t_ck = time.monotonic()
             frontier = observed.localCheckpoint(eager=True)
+            merge_sec = time.monotonic() - t_ck
             got = obs.get
             size, due, visited = int(got["n"]), int(got["due"] or 0), int(got["vis"] or 0)
             if seen.df is not None or seen.future is not None:
@@ -392,6 +394,10 @@ def run_crawl(
                 "wall_sec": float(wall),
                 "urls_per_sec": float(visited / wall if wall > 0 else 0.0),
                 "n_partitions": frontier.rdd.getNumPartitions(),
+                # phase telemetry (not in ROUND_METRICS_SCHEMA — stripped
+                # before append_metrics): where the round wall actually went
+                "write_sec": round(float(res.metrics.get("write_sec") or 0.0), 3),
+                "merge_sec": round(merge_sec, 3),
             }
             per_round.append(row)
             if ckpt_dir:
@@ -411,7 +417,11 @@ def run_crawl(
                             os.path.join(_round_dir(ckpt_dir, k), "host_state"),
                             shard_col=None,
                         )
-                    append_metrics(spark, ckpt_dir, row)
+                    append_metrics(
+                        spark,
+                        ckpt_dir,
+                        {f.name: row[f.name] for f in ROUND_METRICS_SCHEMA.fields},
+                    )
                     commit_round(ckpt_dir, k)
 
                 if pending_write is not None:

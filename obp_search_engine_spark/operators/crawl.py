@@ -245,6 +245,7 @@ def crawl_round(
             "text column, so documents would silently be None)"
         )
     t0 = time.monotonic()
+    write_sec = 0.0  # harvest-spill job time (phase telemetry)
     round_ts = round_ts or f"2026-06-01 {round_no // 3600:02d}:{(round_no // 60) % 60:02d}:{round_no % 60:02d}"
 
     wave = (
@@ -291,7 +292,9 @@ def crawl_round(
                 F.col("depth").alias("src_depth"),
                 extract_links_udf(F.col("html")).alias("_links"),
             )
+        t_w = time.monotonic()
         harvested.write.mode("overwrite").parquet(harvest_dir)
+        write_sec = time.monotonic() - t_w
         harvest = spark.read.parquet(harvest_dir)
         candidates = candidates_from_harvest(harvest)
     else:
@@ -383,6 +386,7 @@ def crawl_round(
             "persisted": persisted,
             "documents": documents,
             "documents_inline": documents_inline,
+            "write_sec": write_sec,
         },
     )
 
