@@ -123,8 +123,12 @@ def main() -> None:
 
     # --- query latencies on the driver tables ---
     # neardup_minhash_lsh: the registry entry now grades the md5-portable
-    # hash variant; the bench keeps timing the xxhash64 scale path so the
-    # round-over-round numbers stay comparable
+    # hash variant; the bench times the xxhash64 scale path. NOTE on
+    # round-over-round comparability: the round-3 closure fix changed
+    # xxhash64 minhash SEMANTICS (pre-fix, a defaulted-lambda-param bug
+    # made all 32 signature slots identical — degenerate single-band LSH),
+    # so round-3+ latencies for this query are the first real banded-LSH
+    # numbers and are NOT comparable to rounds 1-2.
     def _minhash_xxhash(s, sf):
         from obp_search_engine_spark.operators import dedup
 

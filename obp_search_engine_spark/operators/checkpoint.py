@@ -434,12 +434,25 @@ def run_crawl(
             prev_size = size
     finally:
         # drain the background writer: on clean exit this is the last
-        # round's durability tail (counted into its wall below); on an
-        # exception it still surfaces/completes the queued commit
+        # round's durability tail (counted into its wall below) and a
+        # failed write must surface; on an exceptional exit the original
+        # loop error stays the root cause (a failed pending write is
+        # swallowed here — it was either already raised at the in-loop
+        # join or is secondary to the in-flight exception) and shutdown
+        # ALWAYS runs so the snap thread never leaks
+        import sys as _sys
+
         t_drain = time.monotonic()
-        if pending_write is not None:
-            pending_write.result()
-        writer.shutdown(wait=True)
+        exc_in_flight = _sys.exc_info()[0] is not None
+        try:
+            if pending_write is not None:
+                try:
+                    pending_write.result()
+                except Exception:
+                    if not exc_in_flight:
+                        raise
+        finally:
+            writer.shutdown(wait=True)
         drain = time.monotonic() - t_drain
     if per_round and drain > 0:
         last = per_round[-1]

@@ -263,25 +263,19 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash_neardup_pairs(
-    df: DataFrame,
-    max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
-
-    Scale path: split the 64 bits into (max_hamming + 1) chunks — by
-    pigeonhole, any pair within the hamming budget shares at least one
-    exact chunk — so candidates join on (chunk_idx, chunk_value) instead of
-    a cross product. Bigger budgets mean narrower chunks (more candidates);
-    the exact hamming filter keeps precision at 1."""
+def _pigeonhole_pairs(base: DataFrame, nbits: int, max_hamming: int) -> DataFrame:
+    """Shared chunk-join core for both simhash variants: split ``nbits``
+    into (max_hamming + 1) chunks — by pigeonhole any pair within the
+    hamming budget shares at least one exact chunk — join candidates on
+    (chunk_idx, chunk_value), then exact-hamming filter. ``base`` must
+    have columns (_id, sim); it is persisted so the simhash expression is
+    computed once, not once per self-join side."""
     n_chunks = max_hamming + 1
-    widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
+    widths = [
+        nbits // n_chunks + (1 if i < nbits % n_chunks else 0) for i in range(n_chunks)
+    ]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    base = df.select(
-        F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("sim")
-    ).persist()
+    base = base.persist()
     chunks = base.select(
         "_id",
         "sim",
@@ -321,6 +315,23 @@ def simhash_neardup_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Scale path: 64-bit vectorized simhash + the pigeonhole chunk join
+    (_pigeonhole_pairs). Bigger budgets mean narrower chunks (more
+    candidates); the exact hamming filter keeps precision at 1."""
+    base = df.select(
+        F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("sim")
+    )
+    return _pigeonhole_pairs(base, nbits=64, max_hamming=max_hamming)
 
 
 def simhash32_md5_col(text_col, nbits: int = 32):
@@ -366,52 +377,11 @@ def simhash_neardup_pairs_md5(
 ) -> DataFrame:
     """Portable-hash SimHash near-dup pairs: 32-bit md5 simhash + the same
     pigeonhole chunk-join as simhash_neardup_pairs (4 chunks of 8 bits for
-    max_hamming=3). Every step is integer Catalyst arithmetic that DuckDB
-    mirrors exactly — this is the driver-graded variant; the 64-bit
-    vectorized simhash stays the scale default."""
-    nbits = 32
-    n_chunks = max_hamming + 1
-    widths = [nbits // n_chunks + (1 if i < nbits % n_chunks else 0) for i in range(n_chunks)]
-    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    max_hamming=3, via the shared _pigeonhole_pairs core). Every step is
+    integer Catalyst arithmetic that DuckDB mirrors exactly — this is the
+    driver-graded variant; the 64-bit vectorized simhash stays the scale
+    default."""
     base = df.select(
         F.col(id_col).alias("_id"), simhash32_md5_col(F.col(text_col)).alias("sim")
     ).filter(F.col("sim").isNotNull())
-    chunks = base.select(
-        "_id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftrightunsigned("sim", offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("cv"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("_id", "sim", "c.ci", "c.cv")
-    cand = (
-        chunks.alias("x")
-        .join(
-            chunks.alias("y"),
-            on=[
-                F.col("x.ci") == F.col("y.ci"),
-                F.col("x.cv") == F.col("y.cv"),
-                F.col("x._id") < F.col("y._id"),
-            ],
-        )
-        .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            F.col("x.sim").alias("sim_a"),
-            F.col("y.sim").alias("sim_b"),
-        )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    return _pigeonhole_pairs(base, nbits=32, max_hamming=max_hamming)

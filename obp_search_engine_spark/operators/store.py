@@ -49,12 +49,6 @@ def documents_rounds(ckpt_dir: str) -> list[int]:
         path = os.path.join(ckpt_dir, name, "harvest")
         if not os.path.isdir(path) and os.path.isdir(path + "._old"):
             os.rename(path + "._old", path)  # crash recovery
-        # a crash during/after the compaction write strands a multi-GB
-        # ._compacting temp dir (this host has an ENOSPC history) — it is
-        # never the source of truth, so always reclaim it
-        tmp = path + "._compacting"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp, ignore_errors=True)
         if os.path.isdir(path):
             out.append(int(m.group(1)))
     return sorted(out)
@@ -134,6 +128,17 @@ def compact_documents(
     from .checkpoint import write_manifest
 
     path = os.path.join(ckpt_dir, f"round={round_no}", "harvest")
+    # reclaim debris from a PREVIOUS crashed compaction of this round —
+    # done here at the writer site (not in the documents_rounds read path,
+    # where it would race an in-flight compaction's live temp dir):
+    #  * a stranded multi-GB ._compacting temp (crash during/after write);
+    #  * a stranded ._old when the crash hit after the swap completed but
+    #    before the old store was deleted (harvest/ is then the valid new
+    #    store and ._old is pure dead weight — this host has an ENOSPC
+    #    history).
+    for debris in (path + "._compacting", path + "._old"):
+        if os.path.isdir(debris) and os.path.isdir(path):
+            shutil.rmtree(debris, ignore_errors=True)
     files = [
         os.path.join(r, f)
         for r, _d, fs in os.walk(path)

