@@ -271,6 +271,43 @@ def q_neardup_minhash(spark, sf_dir):
 
 
 @register(
+    "dup_substring_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([{'pos': i, 'fp': md5(array_to_string(t[i:i+7], ' '))}
+                     for i in range(1, len(t) - 6)]) AS g
+      FROM toks WHERE len(t) >= 8
+    ),
+    g2 AS (SELECT doc_id, g.pos AS pos, g.fp AS fp FROM grams),
+    dup AS (SELECT fp FROM g2 GROUP BY fp HAVING COUNT(*) >= 2),
+    dpos AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (fp)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dpos
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + 7 AS span_end,
+           MAX(pos) + 7 - MIN(pos) + 1 AS n_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+    "exact-substring duplication spans (Lee et al. 2022 style): 8-token "
+    "window fingerprints, corpus-wide >=2 occurrence mark, per-doc "
+    "gaps-and-islands merge to MAXIMAL spans — linear shuffle on 16-byte "
+    "fps, exact DuckDB oracle via portable md5",
+)
+def q_dup_substring_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(d, L=8)
+
+
+@register(
     "neardup_simhash",
     r"""
     WITH toks AS (

@@ -116,6 +116,9 @@ GRADE_PRIORITY: list[str] = [
     "ann_ivf_topk_indexed",
     "embedding_neardup",
     # ---- grading-window boundary (50) ----
+    # tail position 51: first to be graded if the driver's window ever
+    # widens; exact-oracle-verified locally via tools/check_oracle.py
+    "dup_substring_spans",
     "keyword_or_like",
     "rating_buckets",
     "freshness_window",

@@ -109,3 +109,42 @@ def test_shingles_jvm_only(spark, docs):
     sig = dedup.with_minhash(dedup.with_shingles(docs), k=8)
     plan = sig._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_duplicate_spans_golden(spark):
+    # doc 0 and doc 1 share tokens w5..w16 (12 tokens => 5 consecutive
+    # duplicated 8-gram positions in each doc, merged into ONE maximal
+    # span); doc 2 shares nothing. Tokens are unique words elsewhere.
+    shared = " ".join(f"w{i}" for i in range(5, 17))
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(4)) + " " + shared + " a99"),
+        (1, " ".join(f"b{i}" for i in range(4)) + " " + shared + " b99"),
+        (2, " ".join(f"c{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id): (r.span_start, r.span_end, r.n_tokens)
+        for r in dedup.duplicate_spans(df, L=8).collect()
+    }
+    # both docs: shared block at token positions 5..16 (1-based), grams
+    # 5..9 duplicated -> island 5..9 -> span 5..(9+7)=16, 12 tokens
+    assert out == {0: (5, 16, 12), 1: (5, 16, 12)}
+
+
+def test_duplicate_spans_within_doc_and_islands(spark):
+    # one doc repeating an 8-token block twice => both occurrences marked
+    # (within-doc repetition counts), yielding TWO islands
+    block = " ".join(f"x{i}" for i in range(8))
+    text = block + " gap1 gap2 gap3 " + block
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    spans = sorted(
+        (r.span_start, r.span_end) for r in dedup.duplicate_spans(df, L=8).collect()
+    )
+    assert spans == [(1, 8), (12, 19)]
+
+
+def test_duplicate_spans_jvm_only(spark):
+    df = spark.createDataFrame([(0, "a b c d e f g h i")], "doc_id long, text string")
+    plan = dedup.duplicate_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
