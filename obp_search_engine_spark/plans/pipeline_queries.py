@@ -13,6 +13,20 @@ from ..functions import textstats as ts
 from ..operators import dedup, similarity
 from .testdata_queries import QuerySpec, _t, register
 
+def _graded_tmpdir(name: str) -> str:
+    """Fixed, per-entry scratch dir under /tmp, wiped on entry: repeated
+    driver/check_oracle runs REUSE the path instead of stranding a fresh
+    mkdtemp each run (this host has an ENOSPC history). The returned
+    DataFrames stay readable until the caller collects because the wipe
+    happens before the new run's writes, never after."""
+    import os
+    import shutil
+
+    path = f"/tmp/graded_{name}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
 
 # ---------------------------------------------------------------------------
 # text analysis (all JVM-side; full oracles)
@@ -628,12 +642,10 @@ _MOCK4_BLOOM_FRONTIER_ORACLE = """
     "exact-anti-join path's (golden constant)",
 )
 def q_crawl_mock4_bloom_frontier(spark, sf_dir):
-    import tempfile
-
     from ..operators.checkpoint import latest_round, load_frontier, run_crawl
     from ..sources.pages import MOCK4_SEED_URL, mock4_pages_df
 
-    ckpt = tempfile.mkdtemp(prefix="mock4_bloom_")
+    ckpt = _graded_tmpdir("mock4_bloom")
     run_crawl(
         spark, mock4_pages_df(spark), seeds=[MOCK4_SEED_URL], rounds=4,
         ckpt_dir=ckpt, use_bloom_seen=True,
@@ -914,13 +926,11 @@ def q_curation_pipeline(spark, sf_dir):
     "reads of items)",
 )
 def q_documents_incremental(spark, sf_dir):
-    import tempfile
-
     from ..operators.checkpoint import run_crawl
     from ..operators.store import read_documents
     from ..sources.pages import MOCK4_SEED_URL, mock4_pages_df
 
-    ckpt = tempfile.mkdtemp(prefix="docs_incr_")
+    ckpt = _graded_tmpdir("docs_incr")
     run_crawl(
         spark, mock4_pages_df(spark), seeds=[MOCK4_SEED_URL], rounds=4,
         ckpt_dir=ckpt, extract_documents=True,
