@@ -106,6 +106,56 @@ def extract_links_and_text_udf(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"links": links, "text": texts})
 
 
+@F.pandas_udf(_HARVEST_TYPE)
+def extract_canonical_links_and_text_udf(html: pd.Series) -> pd.DataFrame:
+    """Single-pass harvest with links CANONICALIZED in the same Python
+    visit (invalid urls dropped).
+
+    Why: the spill path previously extracted raw links here, wrote them,
+    and then the frontier-merge job shipped every exploded link (Zipf
+    corpora: ~10x the page count) through a SECOND ArrowEvalPython stage
+    just to run canonicalize_url. The links are already Python strings in
+    this loop — canonicalizing here deletes that entire Arrow round trip
+    from the merge job. Byte-identical by construction: same
+    canonicalize_url pure function (functions/urls.py), equality with the
+    two-stage path asserted in tests/test_extract.py."""
+    from .urls import canonicalize_url
+
+    links, texts = [], []
+    for b in html:
+        if b is None:
+            links.append([])
+            texts.append(None)
+            continue
+        doc = b.decode("utf-8", errors="replace")
+        links.append(
+            [c for l in _HREF_RE.findall(doc) if (c := canonicalize_url(l)) is not None]
+        )
+        doc = _SCRIPT_STYLE_RE.sub(" ", doc)
+        doc = _TAG_RE.sub(" ", doc)
+        doc = _htmllib.unescape(doc)
+        texts.append(" ".join(doc.split()))
+    return pd.DataFrame({"links": links, "text": texts})
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_canonical_links_udf(html: pd.Series) -> pd.Series:
+    """Links-only variant of extract_canonical_links_and_text_udf (the
+    spill path without document extraction)."""
+    from .urls import canonicalize_url
+
+    out = []
+    for b in html:
+        if b is None:
+            out.append([])
+            continue
+        doc = b.decode("utf-8", errors="replace")
+        out.append(
+            [c for l in _HREF_RE.findall(doc) if (c := canonicalize_url(l)) is not None]
+        )
+    return pd.Series(out)
+
+
 def links_from_pages(pages_df, url_col: str = "url"):
     """pages -> (src_url, link) exploded edge list.
 

@@ -115,16 +115,24 @@ def discover_links(batch: DataFrame, pages: DataFrame, broadcast_batch: bool = T
     return harvest, candidates_from_harvest(harvest)
 
 
-def candidates_from_harvest(harvest: DataFrame) -> DataFrame:
-    """(url, src_depth, _links) -> deduped canonical candidates."""
+def candidates_from_harvest(harvest: DataFrame, canonical: bool = False) -> DataFrame:
+    """(url, src_depth, _links) -> deduped canonical candidates.
+
+    canonical=True: _links were canonicalized inside the extraction UDF
+    (spill path) — the explode/self-filter/groupBy run entirely JVM-side,
+    no Python in this job. canonical=False: raw links pay the
+    canonicalize_udf here (in-memory path)."""
     links = harvest.select(
         F.col("url").alias("src"),
         F.col("src_depth"),
         F.explode("_links").alias("raw_link"),
     )
+    if canonical:
+        canon = links.withColumn("link", F.col("raw_link"))
+    else:
+        canon = links.withColumn("link", canonicalize_udf(F.col("raw_link")))
     return (
-        links.withColumn("link", canonicalize_udf(F.col("raw_link")))
-        .filter(F.col("link").isNotNull() & (F.col("link") != F.col("src")))
+        canon.filter(F.col("link").isNotNull() & (F.col("link") != F.col("src")))
         .groupBy(F.col("link").alias("url"))
         .agg(F.min("src_depth").alias("src_depth"))
     )
@@ -261,7 +269,13 @@ def crawl_round(
     )
     persisted = []
     if harvest_dir is not None:
-        from ..functions.extract import extract_links_and_text_udf
+        # spill path extracts links ALREADY CANONICALIZED (one Python pass;
+        # the merge job then needs no second ArrowEvalPython stage over the
+        # exploded links — see extract_canonical_links_and_text_udf)
+        from ..functions.extract import (
+            extract_canonical_links_and_text_udf,
+            extract_canonical_links_udf,
+        )
 
         fetched = fetch_join(wave, pages, broadcast_batch)
         if extract_documents:
@@ -275,7 +289,7 @@ def crawl_round(
             harvested = fetched.select(
                 "url",
                 F.col("depth").alias("src_depth"),
-                extract_links_and_text_udf(F.col("html")).alias("_h"),
+                extract_canonical_links_and_text_udf(F.col("html")).alias("_h"),
             ).select(
                 "url", "src_depth",
                 F.col("_h.links").alias("_links"),
@@ -290,13 +304,13 @@ def crawl_round(
             harvested = fetched.select(
                 "url",
                 F.col("depth").alias("src_depth"),
-                extract_links_udf(F.col("html")).alias("_links"),
+                extract_canonical_links_udf(F.col("html")).alias("_links"),
             )
         t_w = time.monotonic()
         harvested.write.mode("overwrite").parquet(harvest_dir)
         write_sec = time.monotonic() - t_w
         harvest = spark.read.parquet(harvest_dir)
-        candidates = candidates_from_harvest(harvest)
+        candidates = candidates_from_harvest(harvest, canonical=True)
     else:
         harvest, candidates = discover_links(
             wave, pages, broadcast_batch=broadcast_batch

@@ -80,3 +80,61 @@ def test_synth_pages_deterministic(spark):
     assert a == b
     c = synth_pages_df(spark, 50, 5, seed=43).orderBy("url").collect()
     assert a != c
+
+
+def test_canonical_links_udf_equals_two_stage(spark):
+    """extract_canonical_links_udf == canonicalize_url mapped over
+    extract_links_udf output (invalid dropped) — the spill-path fusion
+    must be byte-identical to the two-stage path it replaced."""
+    from obp_search_engine_spark.functions.extract import (
+        extract_canonical_links_and_text_udf,
+        extract_canonical_links_udf,
+        extract_text_udf,
+    )
+    from obp_search_engine_spark.functions.urls import canonicalize_url
+
+    df = synth_pages_df(spark, n_pages=200, n_hosts=8, seed=11)
+    got = {
+        r.url: r.links
+        for r in df.select(
+            "url", extract_canonical_links_udf("html").alias("links")
+        ).collect()
+    }
+    raw = {
+        r.url: r.links
+        for r in df.select("url", extract_links_udf("html").alias("links")).collect()
+    }
+    want = {
+        u: [c for l in ls if (c := canonicalize_url(l)) is not None]
+        for u, ls in raw.items()
+    }
+    assert got == want
+
+    both = {
+        r.url: (r.h.links, r.h.text)
+        for r in df.select(
+            "url", extract_canonical_links_and_text_udf("html").alias("h")
+        ).collect()
+    }
+    texts = {
+        r.url: r.t for r in df.select("url", extract_text_udf("html").alias("t")).collect()
+    }
+    assert {u: v[0] for u, v in both.items()} == want
+    assert {u: v[1] for u, v in both.items()} == texts
+
+
+def test_spill_path_equals_memory_path(spark, tmp_path):
+    """crawl_round's spill path (canonical-in-extract) must produce the
+    same frontier as the in-memory path (canonicalize in the merge job)."""
+    from obp_search_engine_spark.operators.checkpoint import run_crawl
+    from obp_search_engine_spark.sources.pages import MOCK4_SEED_URL, mock4_pages_df
+
+    mem = run_crawl(spark, mock4_pages_df(spark), seeds=[MOCK4_SEED_URL], rounds=4)
+    spill = run_crawl(
+        spark, mock4_pages_df(spark), seeds=[MOCK4_SEED_URL], rounds=4,
+        spill_harvest=True, ckpt_dir=str(tmp_path / "ck"),
+    )
+    cols = ["url", "depth", "state"]
+    a = sorted(tuple(r) for r in mem["frontier"].select(*cols).collect())
+    b = sorted(tuple(r) for r in spill["frontier"].select(*cols).collect())
+    assert a == b
