@@ -51,6 +51,44 @@ BENCH_QUERIES = [
 ]
 
 
+# Telemetry bracketing the graded run: /proc/stat steal/iowait over the
+# bench window plus a one-shot memory-bus probe GB/s before and after.
+# This host shows documented 60% same-config swings (hypervisor steal +
+# bus throttling); with these fields in the graded artifact a headline
+# swing like round-3's -16% is adjudicatable from the JSON alone instead
+# of by conjecture. (Helpers duplicated from bench/run_crawl.py because
+# this file shadows the bench/ directory on import.)
+def _proc_stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def _host_telemetry(before: list[int], after: list[int]) -> dict:
+    d = [a - b for a, b in zip(after, before)]
+    # first 8 fields only: guest jiffies are already folded into user/nice
+    total = sum(d[:8]) or 1
+    # /proc/stat field order: user nice system idle iowait irq softirq steal
+    return {
+        "busy_pct": round(100 * (d[0] + d[1] + d[2]) / total, 1),
+        "idle_pct": round(100 * d[3] / total, 1),
+        "iowait_pct": round(100 * d[4] / total, 1),
+        "steal_pct": round(100 * d[7] / total, 1) if len(d) > 7 else None,
+    }
+
+
+def _host_window() -> dict:
+    return {"stat": _proc_stat(), "t": time.monotonic()}
+
+
+def _bus_probe_gbps() -> float | None:
+    try:
+        from tools.scaling_pair import bw_probe
+
+        return round(bw_probe(procs=8, secs=2.0), 1)
+    except Exception:
+        return None
+
+
 def main() -> None:
     t_setup = time.monotonic()
     from obp_search_engine_spark.operators.checkpoint import run_crawl
@@ -63,6 +101,9 @@ def main() -> None:
     from obp_search_engine_spark.plans.testdata_queries import REGISTRY
     from obp_search_engine_spark.plans import api_queries  # noqa: F401
     from obp_search_engine_spark.plans import pipeline_queries  # noqa: F401
+
+    bus_before = _bus_probe_gbps()
+    win_start = _host_window()
 
     spark = get_spark(
         "bench",
@@ -136,15 +177,25 @@ def main() -> None:
             s.read.parquet(f"{sf}/documents.parquet"), threshold=0.3
         )
 
-    overrides = {"neardup_minhash_lsh": _minhash_xxhash}
+    # keys are self-describing where the timed plan differs from the graded
+    # registry entry: neardup_minhash_lsh_xxhash64 IS the substitution
+    # marker (the graded entry runs the md5-portable variant; the bench
+    # times the xxhash64 scale path) — BENCH_r0N.json consumers comparing
+    # across rounds see the variant in the key itself
+    overrides = {"neardup_minhash_lsh": ("neardup_minhash_lsh_xxhash64", _minhash_xxhash)}
     queries: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = overrides.get(name) or REGISTRY[name].fn
+        out_key, fn = overrides.get(name) or (name, REGISTRY[name].fn)
         fn(spark, SF_DIR).limit(1).collect()  # warm (plan + scan caches)
         t0 = time.monotonic()
         # noop sink: materializes every row/column without driver collect
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        queries[name] = round(time.monotonic() - t0, 3)
+        queries[out_key] = round(time.monotonic() - t0, 3)
+
+    win_end = _host_window()
+    host = _host_telemetry(win_start["stat"], win_end["stat"])
+    host["window_sec"] = round(win_end["t"] - win_start["t"], 1)
+    host["bus_probe_gbps"] = {"before": bus_before, "after": _bus_probe_gbps()}
 
     out = {
         "metric": "frontier_urls_per_sec",
@@ -164,6 +215,7 @@ def main() -> None:
             "per_round_urls_per_sec": [round(r["urls_per_sec"], 1) for r in crawl["per_round"]],
         },
         "cpus": int(CPUS),
+        "host": host,
         "seen_mode": SEEN_MODE,
         "setup_sec": round(time.monotonic() - t_setup, 1),
     }
