@@ -345,18 +345,24 @@ def duplicate_spans(
     2022), re-expressed for Spark: instead of a suffix array (quadratic
     memory pressure at corpus scale), every L-token window gets a portable
     md5 fingerprint; a fingerprint occurring >= 2 times in the corpus
-    (across OR within docs) marks its positions as duplicated, and
-    per-document gaps-and-islands (pos - row_number window) merges
-    adjacent duplicated positions into MAXIMAL spans.
+    (across OR within docs) marks its token coverage [pos, pos+L-1] as
+    duplicated, and a per-document gaps-and-islands pass merges gram
+    positions whose coverage overlaps or touches (gap <= L) into MAXIMAL
+    spans of duplicated tokens — gram islands separated by 1..L-1
+    positions collapse into one span instead of emitting overlapping
+    spans that double-count tokens.
 
     Output: (doc_id, span_start, span_end, n_tokens) — 1-based inclusive
     token indices of each maximal duplicated span.
 
-    100 TB shape: one explode to O(total_tokens) rows carrying only
-    (id, pos, 16-byte fp); one shuffle on fp with map-side partial agg;
-    one per-doc window. No text moves after tokenization; nothing is
-    quadratic. Exactly mirrored in DuckDB (md5 is portable), so the
-    graded entry is exact-oracle."""
+    100 TB shape: the tokenize+explode runs ONCE — the >=2-occurrence
+    mark is a count window over the fp partition, so the plan is one
+    shuffle on the 16-byte fp (no second gram pass, no agg+semi-join
+    double shuffle) followed by one per-doc window. No text moves after
+    tokenization; nothing is quadratic. Exactly mirrored in DuckDB (md5
+    is portable), so the graded entry is exact-oracle."""
+    from pyspark.sql import Window
+
     toks = tokens_col(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).filter(
         F.size("_t") >= L
@@ -373,15 +379,21 @@ def duplicate_spans(
             )
         ).alias("g"),
     ).select("_id", "g.pos", "g.fp")
-    dup = grams.groupBy("fp").agg(F.count("*").alias("n_occ")).filter(
-        F.col("n_occ") >= 2
+    # single-pass duplicate mark: count over the fp partition instead of
+    # groupBy + left-semi re-join (which re-ran the tokenize+explode)
+    dpos = (
+        grams.withColumn("_n_occ", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("_n_occ") >= 2)
+        .select("_id", "pos")
     )
-    dpos = grams.join(dup.select("fp"), "fp", "left_semi").select("_id", "pos")
-    from pyspark.sql import Window
-
     w = Window.partitionBy("_id").orderBy("pos")
+    # new island when the gap to the previous duplicated gram exceeds L:
+    # gram p covers tokens [p, p+L-1], so p' <= p+L keeps coverage
+    # contiguous (lag is NULL on the first row -> otherwise(0) -> island 0)
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > L, 1).otherwise(0)
     return (
-        dpos.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        dpos.withColumn("_brk", brk)
+        .withColumn("_grp", F.sum("_brk").over(w))
         .groupBy("_id", "_grp")
         .agg(F.min("pos").alias("span_start"), F.max("pos").alias("_last_gram"))
         .select(

@@ -298,23 +298,34 @@ def q_neardup_minhash(spark, sf_dir):
       FROM toks WHERE len(t) >= 8
     ),
     g2 AS (SELECT doc_id, g.pos AS pos, g.fp AS fp FROM grams),
-    dup AS (SELECT fp FROM g2 GROUP BY fp HAVING COUNT(*) >= 2),
-    dpos AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (fp)),
+    marked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY fp) AS n_occ
+      FROM g2
+    ),
+    dpos AS (SELECT doc_id, pos FROM marked WHERE n_occ >= 2),
     isl AS (
       SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
       FROM dpos
+    ),
+    grpd AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM isl
     )
     SELECT doc_id,
            MIN(pos) AS span_start,
            MAX(pos) + 7 AS span_end,
            MAX(pos) + 7 - MIN(pos) + 1 AS n_tokens
-    FROM isl GROUP BY doc_id, grp
+    FROM grpd GROUP BY doc_id, grp
     """,
     "exact-substring duplication spans (Lee et al. 2022 style): 8-token "
-    "window fingerprints, corpus-wide >=2 occurrence mark, per-doc "
-    "gaps-and-islands merge to MAXIMAL spans — linear shuffle on 16-byte "
-    "fps, exact DuckDB oracle via portable md5",
+    "window fingerprints, corpus-wide >=2 occurrence mark via a single "
+    "count-over-fp window pass, per-doc gaps-and-islands merge (gap <= 8 "
+    "keeps token coverage contiguous) to MAXIMAL non-overlapping spans — "
+    "linear shuffle on 16-byte fps, exact DuckDB oracle via portable md5",
 )
 def q_dup_substring_spans(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

@@ -148,3 +148,42 @@ def test_duplicate_spans_jvm_only(spark):
     plan = dedup.duplicate_spans(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_duplicate_spans_overlapping_islands_merge(spark):
+    # doc 10 = w1..w10; doc 11 duplicates its tokens 1-8, doc 12 its
+    # tokens 3-10. Doc 10's dup gram positions are 1 and 3 (gap 2 <= L):
+    # their token coverage [1,8] and [3,10] overlaps, so they must merge
+    # into ONE maximal span [1,10] — not two overlapping spans that
+    # double-count tokens 3..8 (the pre-round-4 behavior).
+    w = [f"w{i}" for i in range(1, 11)]
+    rows = [
+        (10, " ".join(w)),
+        (11, " ".join(w[0:8])),
+        (12, " ".join(w[2:10])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in dedup.duplicate_spans(df, L=8).collect():
+        out.setdefault(r.doc_id, []).append((r.span_start, r.span_end, r.n_tokens))
+    assert out[10] == [(1, 10, 10)]
+    assert out[11] == [(1, 8, 8)] and out[12] == [(1, 8, 8)]
+
+
+def test_duplicate_spans_touching_islands_merge(spark):
+    # gap == L: dup grams at positions 1 and 9 cover tokens [1,8] and
+    # [9,16] — contiguous coverage, one maximal span [1,16]
+    blk_a = " ".join(f"p{i}" for i in range(8))
+    blk_b = " ".join(f"q{i}" for i in range(8))
+    rows = [
+        (20, blk_a + " " + blk_b),
+        (21, blk_a),
+        (22, blk_b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, L=8).collect()
+        if r.doc_id == 20
+    )
+    assert spans == [(1, 16)]
