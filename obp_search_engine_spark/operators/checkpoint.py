@@ -451,6 +451,14 @@ def run_crawl(
                 except Exception:
                     if not exc_in_flight:
                         raise
+            # the in-flight seen-set update must surface too: shutdown
+            # below waits for it but discards its exception, so a failed
+            # final-round bloom update would otherwise report success
+            try:
+                seen.get()
+            except Exception:
+                if not exc_in_flight:
+                    raise
         finally:
             writer.shutdown(wait=True)
         drain = time.monotonic() - t_drain

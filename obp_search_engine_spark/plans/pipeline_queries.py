@@ -14,15 +14,34 @@ from ..operators import dedup, similarity
 from .testdata_queries import QuerySpec, _t, register
 
 def _graded_tmpdir(name: str) -> str:
-    """Fixed, per-entry scratch dir under /tmp, wiped on entry: repeated
-    driver/check_oracle runs REUSE the path instead of stranding a fresh
-    mkdtemp each run (this host has an ENOSPC history). The returned
-    DataFrames stay readable until the caller collects because the wipe
-    happens before the new run's writes, never after."""
+    """Per-entry scratch dir under /tmp, wiped on entry: repeated runs in
+    one Spark app REUSE the path instead of stranding a fresh mkdtemp each
+    run (this host has an ENOSPC history). The path is suffixed with the
+    Spark applicationId so a driver grading run and a concurrent
+    check_oracle run (separate apps) cannot rmtree each other's live
+    checkpoint mid-query; per-app reuse keeps the no-strand property. The
+    returned DataFrames stay readable until the caller collects because
+    the wipe happens before the new run's writes, never after."""
     import os
     import shutil
 
-    path = f"/tmp/graded_{name}"
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    app = spark.sparkContext.applicationId if spark is not None else "noapp"
+    path = f"/tmp/graded_{name}_{app}"
+    # reap siblings from finished apps (mtime > 2 h — graded queries run
+    # seconds) so the per-app suffix can't re-grow into the ENOSPC strand
+    import glob
+    import time
+
+    for old in glob.glob(f"/tmp/graded_{name}_*"):
+        if old != path:
+            try:
+                if time.time() - os.path.getmtime(old) > 7200:
+                    shutil.rmtree(old, ignore_errors=True)
+            except OSError:
+                pass
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
