@@ -168,6 +168,7 @@ def run_crawl(
     spill_harvest: bool = False,
     extract_documents: bool = False,
     discard_harvest: bool = False,
+    split_harvest_write: bool = False,
 ) -> dict:
     """Run scale-mode crawl rounds; returns summary metrics.
 
@@ -176,6 +177,14 @@ def run_crawl(
     ignored). Without ckpt_dir, lineage is truncated via localCheckpoint.
     ``discard_harvest=True`` (benchmarks) deletes the /tmp documents spill
     before returning; otherwise its path is returned as ``harvest_base``.
+
+    ``split_harvest_write=True`` (spill path only): the harvest parquet
+    write runs as a pure-JVM background job over localCheckpoint blocks,
+    overlapping the same round's merge and the NEXT round's Python
+    extraction (the SPARK-44705 alternation experiment). One write in
+    flight at a time on a dedicated 1-worker executor; in ckpt mode the
+    round commit joins the write first, so LATEST never advances past an
+    unflushed harvest.
     """
     start_round = 0
     if resume:
@@ -218,6 +227,15 @@ def run_crawl(
 
     writer = _cf.ThreadPoolExecutor(max_workers=1, thread_name_prefix="snap")
     pending_write: _cf.Future | None = None
+    # split-write shape: harvest parquet encodes run on their OWN 1-worker
+    # executor (not `writer`) so a multi-second harvest write never delays
+    # the seen-set update the next round's probe build resolves lazily
+    hwriter = (
+        _cf.ThreadPoolExecutor(max_workers=1, thread_name_prefix="harvest")
+        if split_harvest_write
+        else None
+    )
+    prev_harvest: tuple | None = None  # (future, blocks_df) of round k-1
 
     class _SeenHolder:
         """seen_df handle that transparently resolves an in-flight async
@@ -315,6 +333,7 @@ def run_crawl(
                 broadcast_batch=bcast,
                 harvest_dir=harvest_dir,
                 extract_documents=extract_documents,
+                async_writer=hwriter,
             )
             docs = res.metrics.get("documents")
             n_docs = 0
@@ -348,6 +367,18 @@ def run_crawl(
             t_ck = time.monotonic()
             frontier = observed.localCheckpoint(eager=True)
             merge_sec = time.monotonic() - t_ck
+            if prev_harvest is not None:
+                # round k-1's background write has had its own round tail
+                # plus all of round k to finish; join it (errors surface
+                # here) and drop the block reference so ContextCleaner can
+                # reap the checkpointed text blocks
+                prev_harvest[0].result()
+                prev_harvest = None
+            if res.metrics.get("harvest_write_future") is not None:
+                prev_harvest = (
+                    res.metrics["harvest_write_future"],
+                    res.metrics["harvest_blocks"],
+                )
             got = obs.get
             size, due, visited = int(got["n"]), int(got["due"] or 0), int(got["vis"] or 0)
             if seen.df is not None or seen.future is not None:
@@ -409,7 +440,17 @@ def run_crawl(
                 # errors surface and commits stay ordered); crash semantics are
                 # unchanged — LATEST advances only after that round's files and
                 # manifests are fully written.
-                def _persist_round(fr=frontier, hs=host_state, row=row, k=k):
+                def _persist_round(
+                    fr=frontier,
+                    hs=host_state,
+                    row=row,
+                    k=k,
+                    hfut=res.metrics.get("harvest_write_future"),
+                ):
+                    if hfut is not None:
+                        # durability order: LATEST must not advance past an
+                        # unflushed harvest (split-write mode)
+                        hfut.result()
                     write_snapshot(fr, os.path.join(_round_dir(ckpt_dir, k), "frontier"))
                     if hs is not None:
                         write_snapshot(
@@ -459,8 +500,16 @@ def run_crawl(
             except Exception:
                 if not exc_in_flight:
                     raise
+            if prev_harvest is not None:
+                try:
+                    prev_harvest[0].result()
+                except Exception:
+                    if not exc_in_flight:
+                        raise
         finally:
             writer.shutdown(wait=True)
+            if hwriter is not None:
+                hwriter.shutdown(wait=True)
         drain = time.monotonic() - t_drain
     if per_round and drain > 0:
         last = per_round[-1]

@@ -230,6 +230,7 @@ def crawl_round(
     harvest_dir: str | None = None,
     extract_documents: bool = False,
     wave_override: DataFrame | None = None,
+    async_writer=None,
 ) -> RoundResult:
     """One scale-mode wave. Pure DataFrame plan; caller materializes.
 
@@ -245,6 +246,18 @@ def crawl_round(
     extract_documents: also produce the per-round ``documents`` rows (text
     extraction + JVM text stats — SURVEY.md §7 step 6); returned as
     ``res.documents`` for the caller to write.
+
+    async_writer: optional 1-worker Executor enabling the split
+    extract->write shape on the spill path: the extraction output is
+    materialized via localCheckpoint (the Python pass), the parquet
+    encode+write is submitted to the executor, and downstream consumers
+    read the blocks — so the pure-JVM write of wave k overlaps the
+    Python extraction of wave k+1 instead of alternating with it inside
+    one stage (SPARK-44705 strict JVM/Python alternation measured at
+    22/32 threads parked). The future and block handle are returned in
+    metrics["harvest_write_future"/"harvest_blocks"]; the CALLER joins
+    the future before committing the round and drops the block reference
+    afterwards.
     """
     if extract_documents and harvest_dir is None:
         raise ValueError(
@@ -268,6 +281,8 @@ def crawl_round(
         )
     )
     persisted = []
+    harvest_write_future = None
+    harvest_blocks = None
     if harvest_dir is not None:
         # spill path extracts links ALREADY CANONICALIZED (one Python pass;
         # the merge job then needs no second ArrowEvalPython stage over the
@@ -307,9 +322,30 @@ def crawl_round(
                 extract_canonical_links_udf(F.col("html")).alias("_links"),
             )
         t_w = time.monotonic()
-        harvested.write.mode("overwrite").parquet(harvest_dir)
-        write_sec = time.monotonic() - t_w
-        harvest = spark.read.parquet(harvest_dir)
+        if async_writer is not None:
+            # split shape: foreground job = fetch join + Arrow extraction +
+            # block store (no parquet encode); the write becomes a pure-JVM
+            # background job over the blocks
+            harvest = harvested.localCheckpoint(eager=True)
+            harvest_blocks = harvest
+
+            def _bg_write(df=harvest, p=harvest_dir):
+                # own FAIR pool: under spark.scheduler.mode=FAIR the write
+                # SHARES cores with the foreground pool instead of taking
+                # FIFO priority over the next extraction (thread-local
+                # property; pinned-thread mode maps it to the JVM thread).
+                # Harmless no-op under FIFO.
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "harvest_write"
+                )
+                df.write.mode("overwrite").parquet(p)
+
+            harvest_write_future = async_writer.submit(_bg_write)
+            write_sec = time.monotonic() - t_w  # extraction leg only
+        else:
+            harvested.write.mode("overwrite").parquet(harvest_dir)
+            write_sec = time.monotonic() - t_w
+            harvest = spark.read.parquet(harvest_dir)
         candidates = candidates_from_harvest(harvest, canonical=True)
     else:
         harvest, candidates = discover_links(
@@ -401,6 +437,8 @@ def crawl_round(
             "documents": documents,
             "documents_inline": documents_inline,
             "write_sec": write_sec,
+            "harvest_write_future": harvest_write_future,
+            "harvest_blocks": harvest_blocks,
         },
     )
 
