@@ -22,29 +22,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _proc_stat() -> list[int]:
-    with open("/proc/stat") as f:
-        return [int(x) for x in f.readline().split()[1:]]
-
-
-def host_telemetry(before: list[int], after: list[int]) -> dict:
-    """CPU-time shares over the measured window from /proc/stat: steal is
-    the hypervisor withholding cycles, iowait is the virtio-disk queue —
-    the two host effects the scaling writeup attributes variance to. With
-    these in every run's JSON a depressed pair is attributable on the spot
-    instead of by later conjecture."""
-    d = [a - b for a, b in zip(after, before)]
-    # first 8 fields only: the kernel already folds guest/guest_nice into
-    # user/nice, so summing all 10 would double-count guest jiffies and
-    # deflate every percentage on a guest-running host
-    total = sum(d[:8]) or 1
-    # /proc/stat field order: user nice system idle iowait irq softirq steal
-    return {
-        "busy_pct": round(100 * (d[0] + d[1] + d[2]) / total, 1),
-        "idle_pct": round(100 * d[3] / total, 1),
-        "iowait_pct": round(100 * d[4] / total, 1),
-        "steal_pct": round(100 * d[7] / total, 1) if len(d) > 7 else None,
-    }
+from obp_search_engine_spark.telemetry import host_telemetry
+from obp_search_engine_spark.telemetry import proc_stat as _proc_stat
 
 
 def main() -> None:

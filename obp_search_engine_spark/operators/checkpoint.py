@@ -370,15 +370,13 @@ def run_crawl(
             if prev_harvest is not None:
                 # round k-1's background write has had its own round tail
                 # plus all of round k to finish; join it (errors surface
-                # here) and drop the block reference so ContextCleaner can
-                # reap the checkpointed text blocks
-                prev_harvest[0].result()
-                prev_harvest = None
-            if res.metrics.get("harvest_write_future") is not None:
-                prev_harvest = (
-                    res.metrics["harvest_write_future"],
-                    res.metrics["harvest_blocks"],
+                # here), stamp its duration into that round's telemetry,
+                # and drop the block reference so ContextCleaner can reap
+                # the checkpointed text blocks
+                prev_harvest[2]["harvest_write_sec"] = round(
+                    float(prev_harvest[0].result()), 3
                 )
+                prev_harvest = None
             got = obs.get
             size, due, visited = int(got["n"]), int(got["due"] or 0), int(got["vis"] or 0)
             if seen.df is not None or seen.future is not None:
@@ -403,8 +401,17 @@ def run_crawl(
                 # the frontier snapshot is written it is dead weight (a heavy
                 # crawl leaves ~GBs per round otherwise). When it doubles as
                 # the documents store (documents_inline) it is OUTPUT and stays.
+                # Split mode: the background write to this very dir may still
+                # be in flight (it is normally joined only at the next
+                # round's merge) — join it first or the rmtree yanks the
+                # _temporary dir out from under it mid-write.
                 import shutil
 
+                if res.metrics.get("harvest_write_future") is not None:
+                    res.metrics["harvest_write_sec"] = round(
+                        float(res.metrics["harvest_write_future"].result()), 3
+                    )
+                    res.metrics["harvest_write_future"] = None
                 shutil.rmtree(harvest_dir, ignore_errors=True)
             if host_state is not None:
                 from .frontier import update_host_clock
@@ -428,9 +435,24 @@ def run_crawl(
                 # phase telemetry (not in ROUND_METRICS_SCHEMA — stripped
                 # before append_metrics): where the round wall actually went
                 "write_sec": round(float(res.metrics.get("write_sec") or 0.0), 3),
+                # split mode, links-only spill: the background write was
+                # already joined at the rmtree — carry its duration here;
+                # the keep-harvest path stamps it when the future resolves
+                # at the next round's merge (or the final drain)
+                **(
+                    {"harvest_write_sec": res.metrics["harvest_write_sec"]}
+                    if res.metrics.get("harvest_write_sec") is not None
+                    else {}
+                ),
                 "merge_sec": round(merge_sec, 3),
             }
             per_round.append(row)
+            if res.metrics.get("harvest_write_future") is not None:
+                prev_harvest = (
+                    res.metrics["harvest_write_future"],
+                    res.metrics["harvest_blocks"],
+                    row,
+                )
             if ckpt_dir:
                 # the whole durability tail (frontier + host_state snapshots,
                 # metrics append, LATEST commit) runs on the one-worker writer
@@ -502,7 +524,9 @@ def run_crawl(
                     raise
             if prev_harvest is not None:
                 try:
-                    prev_harvest[0].result()
+                    prev_harvest[2]["harvest_write_sec"] = round(
+                        float(prev_harvest[0].result()), 3
+                    )
                 except Exception:
                     if not exc_in_flight:
                         raise

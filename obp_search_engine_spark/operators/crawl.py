@@ -334,11 +334,16 @@ def crawl_round(
                 # SHARES cores with the foreground pool instead of taking
                 # FIFO priority over the next extraction (thread-local
                 # property; pinned-thread mode maps it to the JVM thread).
-                # Harmless no-op under FIFO.
+                # Harmless no-op under FIFO. Returns the write's wall time
+                # so the caller can stamp harvest_write_sec into the round
+                # telemetry (write_sec means extraction-leg-only in split
+                # mode — the A/B needs both numbers).
                 spark.sparkContext.setLocalProperty(
                     "spark.scheduler.pool", "harvest_write"
                 )
+                t = time.monotonic()
                 df.write.mode("overwrite").parquet(p)
+                return time.monotonic() - t
 
             harvest_write_future = async_writer.submit(_bg_write)
             write_sec = time.monotonic() - t_w  # extraction leg only

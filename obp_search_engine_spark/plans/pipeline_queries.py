@@ -35,7 +35,8 @@ def _graded_tmpdir(name: str) -> str:
     import glob
     import time
 
-    for old in glob.glob(f"/tmp/graded_{name}_*"):
+    # the bare path is the pre-round-4 scheme (no app suffix) — reap it too
+    for old in glob.glob(f"/tmp/graded_{name}_*") + [f"/tmp/graded_{name}"]:
         if old != path:
             try:
                 if time.time() - os.path.getmtime(old) > 7200:
@@ -1130,11 +1131,15 @@ def q_embedding_neardup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _ANN_LSH_MD5_ORACLE = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dim AS (SELECT len(qe) AS n FROM q),
     signs AS (
+      -- plane length derived from the data (the Spark side uses
+      -- len(query)) so a fixture dim change cannot desynchronize the
+      -- hyperplanes between the two sides
       SELECT t.t AS tbl, p.p AS plane,
              [CASE WHEN ('0x' || substr(md5(t.t || '_' || p.p || '_' || j), 1, 8))::BIGINT & 1 = 1
                    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
-              FOR j IN range(0, 64)] AS sv
+              FOR j IN range(0, (SELECT n FROM dim))] AS sv
       FROM range(2) t(t), range(4) p(p)
     ),
     pb AS (
