@@ -72,7 +72,10 @@ GRADE_PRIORITY: list[str] = [
     "renest_listing",
     "json_decode_fallback",
     "moderator_radio_filter",
-    "contract_type_filter",
+    # round 4: the sampling family's exact-oracle variant takes this slot;
+    # contract_type_filter (a simple equality filter, r03-green) rotates
+    # to the tail
+    "seeded_sample_md5",
     "verified_moderators_endpoint",
     "point_update",
     "label_writeback",
@@ -128,6 +131,7 @@ GRADE_PRIORITY: list[str] = [
     "embedding_neardup",
     "keyword_or_like",
     "two_hop_join",
+    "contract_type_filter",
     "rating_buckets",
     "freshness_window",
     "histogram_count",
@@ -774,6 +778,33 @@ def q_seeded_sample(spark, sf_dir):
     return (
         _t(spark, sf_dir, "documents")
         .orderBy(F.rand(seed=42), F.asc("doc_id"))
+        .limit(250)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "seeded_sample_md5",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5('42_' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 250
+    """,
+    "S16 deterministic-sample variant with an exact oracle: ORDER BY "
+    "md5(seed || doc_id) is a portable pseudo-random permutation (the "
+    "md5-portable pattern that upgraded minhash/simhash/ANN), so the "
+    "sample-family semantics — uniform pseudo-random pick of 250 rows — "
+    "grade exactly; the F.rand(seed) variant stays for "
+    "reference-parity (rows-only, Spark RNG is engine-specific)",
+)
+def q_seeded_sample_md5(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy(
+            F.md5(F.concat(F.lit("42_"), F.col("doc_id").cast("string"))),
+            F.asc("doc_id"),
+        )
         .limit(250)
         .select("doc_id", "lang", "source")
     )
