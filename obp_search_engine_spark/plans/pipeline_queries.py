@@ -736,6 +736,40 @@ def q_token_budget_packing(spark, sf_dir):
 
 
 @register(
+    "token_budget_packing_dist",
+    r"""
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS bin
+    FROM (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                     AS n_tokens
+            FROM documents) a) b
+    """,
+    "curation: the DISTRIBUTED two-level packing (per-shard cum-sum + "
+    "exclusive shard-offset prefix over a bounded n_shards frame; shard = "
+    "doc_id range bucket) graded against the SAME single-global-window "
+    "SQL oracle as token_budget_packing — the exact match proves the "
+    "scale decomposition",
+)
+def q_token_budget_packing_dist(spark, sf_dir):
+    from ..operators.curation import pack_by_token_budget_distributed
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ts.token_count_col(F.col("text")).alias("n_tokens"),
+        F.floor(F.col("doc_id") / F.lit(64)).alias("_shard"),
+    )
+    out = pack_by_token_budget_distributed(
+        d, "n_tokens", 2000, [F.col("doc_id")], "_shard"
+    )
+    return out.select("doc_id", "n_tokens", "bin")
+
+
+@register(
     "doc_repetition_ratio",
     r"""
     SELECT doc_id,

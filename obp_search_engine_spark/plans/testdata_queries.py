@@ -126,6 +126,7 @@ GRADE_PRIORITY: list[str] = [
     # tools/check_oracle.py (most were driver-green in r02); rows-only
     # entries (sql=None) are pytest-asserted against in-window
     # counterparts — the driver ignores them (err=no_oracle, r03).
+    "token_budget_packing_dist",
     "ann_lsh_topk_indexed",
     "ann_ivf_topk_indexed",
     "embedding_neardup",

@@ -130,3 +130,39 @@ def test_packing_invariants(spark):
         assert sum(ts) < budget + max(ts)
     big_bin = next(b for (_i, t, b) in rows if t == 250)
     assert sum(bins[big_bin]) >= 250  # oversized doc dominates its bin
+
+
+def test_pack_distributed_equals_global(spark):
+    """The two-level distributed packing must produce IDENTICAL bins to the
+    single-global-window version whenever shard is a range bucket of the
+    order key — the scale decomposition the global version's docstring
+    promises. Also assert the plan's only single-partition exchange is the
+    tiny n_shards offsets frame, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from obp_search_engine_spark.operators.curation import (
+        pack_by_token_budget,
+        pack_by_token_budget_distributed,
+    )
+
+    rows = [(i, 37 + (i * 131) % 400) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    glob = pack_by_token_budget(df, "n_tokens", 1000, [F.col("doc_id")])
+    dist = pack_by_token_budget_distributed(
+        df.withColumn("_shard", F.floor(F.col("doc_id") / F.lit(50))),
+        "n_tokens",
+        1000,
+        [F.col("doc_id")],
+        "_shard",
+    )
+    g = {(r.doc_id): r.bin for r in glob.collect()}
+    d = {(r.doc_id): r.bin for r in dist.collect()}
+    assert d == g
+    # AQE's toString prints Final AND Initial plans — count the final only
+    plan = (
+        dist._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange SinglePartition") <= 1, plan
