@@ -458,3 +458,72 @@ def simhash_neardup_pairs_md5(
         F.col(id_col).alias("_id"), simhash32_md5_col(F.col(text_col)).alias("sim")
     ).filter(F.col("sim").isNotNull())
     return _pigeonhole_pairs(base, nbits=32, max_hamming=max_hamming)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node's label converges to the MINIMUM node id in
+    its component — an algorithm-independent result (any correct CC
+    produces identical labels), which is what makes an exact SQL oracle
+    possible (DuckDB recursive CTE computes min-reachable-id).
+
+    The near-dup pipeline use: minhash/simhash candidate PAIRS in,
+    cluster labels out; keep min(doc_id) per cluster as the canonical
+    document (the reference dedup contract, crawler/db/mysql.go:293,
+    lifted from exact keys to similarity clusters).
+
+    Output: (node, cluster) for every node in ``nodes`` (defaults to the
+    edge endpoints); singletons label themselves.
+
+    100 TB shape: per iteration one edge⋈label join + one min-agg, with
+    lineage truncated via localCheckpoint; iterations are bounded by
+    component diameter — near-dup clusters are small and dense (clique-ish
+    LSH buckets), so convergence is a handful of rounds, not the long-path
+    worst case. Convergence check is a single sum(label) aggregate riding
+    the checkpoint as an Observation (labels only ever decrease, so an
+    unchanged sum IS the fixpoint — no compare-join, no second scan)."""
+    from pyspark.sql import Observation
+
+    und = edges.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    # materialize the symmetric edge list ONCE — it is joined every
+    # iteration, and without truncation each iteration would recompute the
+    # full upstream candidate-pair pipeline (minhash signatures etc.)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    endpoints = sym.select(F.col("a").alias("node")).distinct()
+    if nodes is not None:
+        endpoints = (
+            nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+            .unionByName(endpoints)
+            .distinct()
+        )
+    labels = endpoints.select("node", F.col("node").alias("cluster"))
+    prev_sum = None
+    for it in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.a == labels.node)
+            .select(F.col("b").alias("node"), "cluster")
+        )
+        obs = Observation(f"cc_sum_{it}")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
+            .observe(obs, F.sum("cluster").alias("s"), F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        got = obs.get
+        cur = (int(got["s"] or 0), int(got["n"]))
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels

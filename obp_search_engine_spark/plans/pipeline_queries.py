@@ -305,6 +305,80 @@ def q_neardup_minhash(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_labels",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3
+                  THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, len(toks) - 1)])
+             END AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    mh AS (
+      SELECT doc_id, i,
+             min(('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 8))::BIGINT) AS h
+      FROM ex, range(32) t(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+    bk AS (
+      SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], '-') AS bucket
+      FROM sig, range(8) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bk x JOIN bk y
+        ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+            >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)
+    SELECT d.doc_id, CAST(COALESCE(cc.cluster, d.doc_id) AS BIGINT) AS cluster
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """,
+    "near-dup CLUSTERING: connected components over the md5-portable "
+    "MinHash-LSH candidate pairs by distributed min-label propagation; "
+    "cluster label = min doc_id in the component (algorithm-independent, "
+    "hence exactly oracle-checkable via a DuckDB recursive CTE computing "
+    "min-reachable-id); singletons label themselves. The reference's "
+    "PK-dedup contract (crawler/db/mysql.go:293) lifted from exact keys "
+    "to similarity clusters — keep min(doc_id) per cluster to dedup",
+)
+def q_dedup_cluster_labels(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.3, hash="md5").select(
+        "id_a", "id_b"
+    )
+    labels = dedup.connected_components(
+        pairs, nodes=d.select("doc_id")
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("cluster")
+    ).orderBy("doc_id")
+
+
+@register(
     "dup_substring_spans",
     r"""
     WITH toks AS (

@@ -71,7 +71,6 @@ GRADE_PRIORITY: list[str] = [
     # API-surface queries
     "renest_listing",
     "json_decode_fallback",
-    "moderator_radio_filter",
     # round 4: the sampling family's exact-oracle variant takes this slot;
     # contract_type_filter (a simple equality filter, r03-green) rotates
     # to the tail
@@ -103,6 +102,10 @@ GRADE_PRIORITY: list[str] = [
     "dedup_prefix_groups",
     "neardup_jaccard_exact",
     "neardup_minhash_lsh",
+    # round 4: connected-components clustering over the minhash pairs —
+    # new family (cluster labels), exact recursive-CTE oracle; takes the
+    # slot of moderator_radio_filter (simple filter, r03-green, now tail)
+    "dedup_cluster_labels",
     "neardup_simhash",
     "classify_documents_nb",
     # LLM-data-pipeline: curation
@@ -133,6 +136,7 @@ GRADE_PRIORITY: list[str] = [
     "keyword_or_like",
     "two_hop_join",
     "contract_type_filter",
+    "moderator_radio_filter",
     "rating_buckets",
     "freshness_window",
     "histogram_count",

@@ -187,3 +187,28 @@ def test_duplicate_spans_touching_islands_merge(spark):
         if r.doc_id == 20
     )
     assert spans == [(1, 16)]
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # pair {10, 11}, singleton 99 via nodes
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "n long")
+    got = {
+        r.node: r.cluster
+        for r in dedup.connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_merging_clusters(spark):
+    # two cliques joined by a bridge edge -> one component labeled by the
+    # global min; long path 0-5-6-7-8-9 checks convergence over diameter 5
+    edges = spark.createDataFrame(
+        [(5, 0), (5, 6), (6, 7), (7, 8), (8, 9), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.cluster for r in dedup.connected_components(edges).collect()}
+    assert got == {0: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 0, 20: 20, 21: 20, 22: 20}
