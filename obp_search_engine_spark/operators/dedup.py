@@ -527,3 +527,53 @@ def connected_components(
             break
         prev_sum = cur
     return labels
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove token ranges from documents: every (lowercased) token whose
+    1-based position falls inside any of the doc's ``spans`` rows
+    (span_start..span_end inclusive, duplicate_spans' output contract) is
+    dropped; survivors keep their order. The mechanical excision core of
+    Lee-et-al substring dedup — compose with :func:`duplicate_spans` and
+    a keep-policy (e.g. left-semi the spans to non-canonical docs) to
+    delete repeated content while keeping one copy.
+
+    Output: (doc_id, n_kept, n_removed, text_deduped).
+
+    100 TB shape: spans aggregate to one array per doc (spans per doc are
+    few), one shuffle join on doc_id, then a pure Catalyst
+    filter-with-index over the token array — text never hits Python and
+    never explodes to per-token rows."""
+    sp = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("s"),
+                F.col("span_end").cast("long").alias("e"),
+            )
+        ).alias("_spans")
+    )
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("_t")).join(
+        sp, F.col(id_col) == F.col("_sid"), "left"
+    )
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    kept = F.filter(
+        F.col("_t"),
+        lambda x, i: ~F.exists(
+            spans_arr, lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"])
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size(kept).alias("n_kept"),
+        (F.size("_t") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("text_deduped"),
+    )

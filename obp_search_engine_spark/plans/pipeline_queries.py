@@ -427,6 +427,68 @@ def q_dup_substring_spans(spark, sf_dir):
 
 
 @register(
+    "dup_substring_excise",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([{'pos': i, 'fp': md5(array_to_string(t[i:i+7], ' '))}
+                     for i in range(1, len(t) - 6)]) AS g
+      FROM toks WHERE len(t) >= 8
+    ),
+    g2 AS (SELECT doc_id, g.pos AS pos, g.fp AS fp FROM grams),
+    marked AS (
+      SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY fp) AS n_occ FROM g2
+    ),
+    dpos AS (SELECT doc_id, pos FROM marked WHERE n_occ >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM dpos
+    ),
+    grpd AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+      FROM grpd GROUP BY doc_id, grp
+    ),
+    pos AS (
+      SELECT doc_id, u.i AS i, t[u.i] AS tok
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    flags AS (
+      SELECT p.doc_id, p.i, p.tok,
+             EXISTS(SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id AND p.i BETWEEN s.s AND s.e)
+               AS cov
+      FROM pos p
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN NOT cov THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS INT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY i),
+                    '') AS text_deduped
+    FROM flags GROUP BY doc_id
+    """,
+    "substring-dedup EXCISION: tokens inside any duplicate_spans range "
+    "drop, survivors keep order (Lee et al. 2022 removal step as a pure "
+    "Catalyst filter-with-index over the token array — no per-token rows, "
+    "no Python); output (doc_id, n_kept, n_removed, text_deduped) with an "
+    "exact DuckDB oracle over the same span pipeline",
+)
+def q_dup_substring_excise(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.excise_spans(d, dedup.duplicate_spans(d, L=8))
+
+
+@register(
     "neardup_simhash",
     r"""
     WITH toks AS (

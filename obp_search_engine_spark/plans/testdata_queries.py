@@ -130,6 +130,7 @@ GRADE_PRIORITY: list[str] = [
     # entries (sql=None) are pytest-asserted against in-window
     # counterparts — the driver ignores them (err=no_oracle, r03).
     "token_budget_packing_dist",
+    "dup_substring_excise",
     "ann_lsh_topk_indexed",
     "ann_ivf_topk_indexed",
     "embedding_neardup",

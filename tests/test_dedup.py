@@ -212,3 +212,31 @@ def test_connected_components_merging_clusters(spark):
     )
     got = {r.node: r.cluster for r in dedup.connected_components(edges).collect()}
     assert got == {0: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 0, 20: 20, 21: 20, 22: 20}
+
+
+def test_excise_spans_golden(spark):
+    # doc 1: drop tokens 2-4 and 8-9; doc 2: no spans -> untouched
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 4), (1, 8, 9)], "doc_id long, span_start int, span_end int"
+    )
+    got = {r.doc_id: r for r in dedup.excise_spans(docs, spans).collect()}
+    assert (got[1].n_kept, got[1].n_removed, got[1].text_deduped) == (
+        5, 5, "a e f g j"
+    )
+    assert (got[2].n_kept, got[2].n_removed, got[2].text_deduped) == (3, 0, "x y z")
+
+
+def test_excise_spans_full_coverage_and_jvm_only(spark):
+    docs = spark.createDataFrame([(7, "p q r")], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(7, 1, 3)], "doc_id long, span_start int, span_end int"
+    )
+    out = dedup.excise_spans(docs, spans)
+    r = out.collect()[0]
+    assert (r.n_kept, r.n_removed, r.text_deduped) == (0, 3, "")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
