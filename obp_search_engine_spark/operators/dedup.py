@@ -577,3 +577,16 @@ def excise_spans(
         (F.size("_t") - F.size(kept)).alias("n_removed"),
         F.array_join(kept, " ").alias("text_deduped"),
     )
+
+
+def keep_canonical(
+    df: DataFrame, labels: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one document per near-dup cluster: the row whose id equals its
+    cluster label (= min id in the component, connected_components'
+    contract). Left-semi on ids, so df's columns pass through untouched —
+    the similarity-cluster analogue of exact_dedup's min-id keeper."""
+    keep = labels.filter(F.col("node") == F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

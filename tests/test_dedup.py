@@ -240,3 +240,14 @@ def test_excise_spans_full_coverage_and_jvm_only(spark):
     assert (r.n_kept, r.n_removed, r.text_deduped) == (0, 3, "")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_keep_canonical_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    labels = dedup.connected_components(edges, nodes=docs.select("doc_id"))
+    kept = sorted(r.doc_id for r in dedup.keep_canonical(docs, labels).collect())
+    assert kept == [1, 10, 99]
