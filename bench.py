@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "search_listings_page",
     "event_window_counts",
     "event_sessions",
+    # round-4 additions: exact-substring spans (single-pass rework),
+    # span excision, md5-portable ANN probe, CC clustering
+    "dup_substring_spans",
+    "dup_substring_excise",
+    "ann_lsh_topk_md5",
+    "dedup_cluster_labels",
 ]
 
 
