@@ -557,7 +557,12 @@ def excise_spans(
             )
         ).alias("_spans")
     )
-    toks = tokens_col(F.lower(F.col(text_col)))
+    # Blank text: split(trim(''), '\s+') yields [''] — drop the empty token
+    # so empty docs report 0 kept, not 1. Position-safe: trimmed \s+ split
+    # can only emit '' for all-whitespace input.
+    toks = F.filter(
+        tokens_col(F.lower(F.col(text_col))), lambda t: t != F.lit("")
+    )
     base = df.select(F.col(id_col), toks.alias("_t")).join(
         sp, F.col(id_col) == F.col("_sid"), "left"
     )

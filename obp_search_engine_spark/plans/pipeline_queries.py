@@ -382,7 +382,9 @@ def q_dedup_cluster_labels(spark, sf_dir):
     "dup_substring_spans",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS t
       FROM documents
     ),
     grams AS (
@@ -430,7 +432,9 @@ def q_dup_substring_spans(spark, sf_dir):
     "dup_substring_excise",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS t
       FROM documents
     ),
     grams AS (
