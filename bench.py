@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dup_substring_excise",
     "ann_lsh_topk_md5",
     "dedup_cluster_labels",
+    "host_pagerank",
 ]
 
 

@@ -49,6 +49,7 @@ def dequeue_wave(
     host_state: DataFrame | None = None,
     now=None,
     hot_host_salts: int = 1,
+    priority: list[Column] | None = None,
 ) -> DataFrame:
     """Select this round's crawl wave from the frontier.
 
@@ -59,8 +60,15 @@ def dequeue_wave(
       deterministic priority, keep rank <= budget. With ``hot_host_salts >
       1`` the window partitions on a salted key so a mega-host's queue
       spreads over several partitions (skew defusal) while the per-host
-      total stays <= budget.
+      total stays <= budget;
+    - ``priority`` overrides the default depth-then-discovery ordering —
+      e.g. ``[F.col("rank").desc(), *priority_order()]`` after joining
+      :func:`operators.graph.pagerank` scores onto the frontier crawls
+      high-PageRank urls first. Callers must keep the ordering total
+      (append ``url`` or the defaults as tiebreakers) or the dequeue
+      stops being deterministic.
     """
+    order = list(priority) if priority is not None else priority_order()
     wave = frontier.filter(F.col("state") == FRONTIER_STATE_DUE)
     if host_state is not None and now is not None:
         # anti-join against CLOSED hosts: a host with no host_state row has
@@ -81,21 +89,21 @@ def dequeue_wave(
             # cannot reintroduce the skew pass 1 defused.
             key = salted_host_key(F.col("host_hash"), F.col("url"), hot_host_salts)
             per_part = -(-per_host_budget // hot_host_salts)  # ceil div
-            w1 = Window.partitionBy(key).orderBy(*priority_order())
+            w1 = Window.partitionBy(key).orderBy(*order)
             wave = (
                 wave.withColumn("_rank", F.row_number().over(w1))
                 .filter(F.col("_rank") <= per_part)
                 .drop("_rank")
             )
             if per_host_budget % hot_host_salts != 0:
-                w2 = Window.partitionBy(F.col("host_hash")).orderBy(*priority_order())
+                w2 = Window.partitionBy(F.col("host_hash")).orderBy(*order)
                 wave = (
                     wave.withColumn("_rank", F.row_number().over(w2))
                     .filter(F.col("_rank") <= per_host_budget)
                     .drop("_rank")
                 )
         else:
-            w = Window.partitionBy(F.col("host_hash")).orderBy(*priority_order())
+            w = Window.partitionBy(F.col("host_hash")).orderBy(*order)
             wave = (
                 wave.withColumn("_rank", F.row_number().over(w))
                 .filter(F.col("_rank") <= per_host_budget)

@@ -1,0 +1,150 @@
+"""Link-graph analytics over the crawl's host/url graph: fixed-point
+integer PageRank.
+
+Why integer fixed-point: floating-point PageRank is not reproducible
+across engines or even across partitionings of the same engine —
+``sum(double)`` depends on aggregation order, so a 32-partition run and a
+4-partition run of the *same* job can differ in the last bits, and a
+DuckDB oracle can never match bit-exactly. Integer addition is
+associative, so ranks carried as fixed-point BIGINT "mass units" are
+**bit-identical at any parallelism and in any engine** — the property
+this repo's two-cluster-size scaling evidence relies on, applied to the
+one crawl operator that is genuinely iterative. The reference crawler
+ranks its frontier by depth-then-discovery (crawler/crawler.go:116);
+PageRank over the discovered host graph is the standard upgrade a
+web-scale deployment of the same loop applies (Page et al. 1999), and
+the scheduler hook (`frontier.py`) accepts any (node, rank) priority.
+
+Semantics (documented, both sides of the oracle mirror them exactly):
+
+* rank is a BIGINT in units of ``scale / N`` total initial mass per node;
+* per edge, the contribution is ``(num * r_src) div (den * out_deg)`` —
+  integer division truncates, so a tiny amount of mass leaks per edge
+  (bounded by den*out_deg units) instead of being redistributed;
+* dangling nodes (no out-edges after self-loop/dup removal) lose their
+  mass — the common simplification; totals therefore drift below
+  ``scale``, which is fine for ranking;
+* every node receives the base term ``((den-num) * (scale div N)) div den``
+  each iteration.
+
+100 TB shape: `edges` is shuffled ONCE onto its src key (with out-degree
+folded in) and persisted/reused across all iterations; each iteration is
+one shuffled-hash join (ranks are repartitioned onto the same src key)
+plus one groupBy(dst) with map-side partial sums — 2 shuffles per
+iteration, no broadcast of anything O(nodes). Lineage is truncated with
+``localCheckpoint`` every iteration so the plan stays O(1) instead of
+O(iters). Overflow bound: ``num * rank`` must stay under 2^63 — rank is
+bounded by total mass ``scale``, so ``scale <= 2^63 / num`` (~1.08e17 at
+num=85); the default 1e12 leaves per-node precision of 100 units at
+10^10 nodes, raise ``scale`` toward the bound for finer ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = DEFAULT_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 1,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Fixed-point integer PageRank over an edge list.
+
+    Returns (node BIGINT, rank BIGINT) for every node appearing as a src
+    or dst. Self-loops and duplicate edges are removed first (and
+    out-degrees computed after removal), so callers can pass a raw link
+    log. Deterministic: the result is bit-identical at any shuffle
+    parallelism — see module docstring.
+    """
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # fold out-degree into the edge rows; one shuffle onto src, reused by
+    # every iteration's join below
+    ew = e.join(
+        e.groupBy("src").agg(F.count("*").alias("deg")), "src"
+    ).persist()
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .union(ew.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # scalar: also materializes both persists
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
+    init = scale // n
+    base = ((den - num) * init) // den
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    for i in range(iters):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr(f"({num} * rank) div ({den} * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("rank"),
+        )
+        if truncate_lineage and ((i + 1) % checkpoint_every == 0 or i == iters - 1):
+            ranks = ranks.localCheckpoint(eager=True)
+    ew.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iters: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """Generate the DuckDB oracle for :func:`pagerank` as an unrolled
+    CTE chain (DuckDB's recursive CTEs disallow aggregation in the
+    recursive term, so k iterations unroll to k plain join-agg CTEs).
+    `edges_cte` must be a SQL body yielding (src BIGINT, dst BIGINT) —
+    raw edges; self-loop/dup removal and out-degrees are applied here
+    with the same semantics as the operator."""
+    num, den = damping
+    parts = [
+        f"WITH e0 AS ({edges_cte}),",
+        "e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),",
+        "ew AS (SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS deg FROM e1),",
+        "nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),",
+        f"p AS (SELECT {scale} // COUNT(*) AS init,"
+        f" (({den - num}) * ({scale} // COUNT(*))) // {den} AS base FROM nodes),",
+        "r0 AS (SELECT node, p.init AS rank FROM nodes, p),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT ew.dst AS node,"
+            f" SUM(({num} * r.rank) // ({den} * ew.deg)) AS s"
+            f" FROM ew JOIN r{i - 1} r ON ew.src = r.node GROUP BY ew.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node, (p.base + COALESCE(c.s, 0))::BIGINT AS rank"
+            f" FROM nodes CROSS JOIN p LEFT JOIN c{i} c ON c.node = nodes.node),"
+        )
+    parts.append(f"fin AS (SELECT * FROM r{iters})")
+    parts.append("SELECT node, rank FROM fin")
+    return "\n".join(parts)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import textstats as ts
-from ..operators import dedup, similarity
+from ..operators import dedup, graph, similarity
 from .testdata_queries import QuerySpec, _t, register
 
 def _graded_tmpdir(name: str) -> str:
@@ -376,6 +376,57 @@ def q_dedup_cluster_labels(spark, sf_dir):
     return labels.select(
         F.col("node").alias("doc_id"), F.col("cluster")
     ).orderBy("doc_id")
+
+
+_PAGERANK_EDGES_CTE = """
+  SELECT d.doc_id AS src,
+         ('0x'||substr(md5(d.doc_id::VARCHAR||'#'||j::VARCHAR),1,8))::BIGINT
+           % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents d, unnest(generate_series(1, (1 + d.doc_id % 4)::INT)) AS t(j)
+"""
+
+
+@register(
+    "host_pagerank",
+    graph.pagerank_oracle_sql(_PAGERANK_EDGES_CTE, iters=5),
+    "fixed-point integer PageRank (5 iterations, d=0.85) over a "
+    "deterministic md5-derived link graph on documents — ranks carried as "
+    "BIGINT mass units, so the result is bit-identical at ANY shuffle "
+    "parallelism and engine (integer sums are associative; float PageRank "
+    "is not reproducible), making the iterative operator exactly "
+    "oracle-checkable via an unrolled DuckDB CTE chain. The web-scale "
+    "upgrade of the reference's depth-then-discovery frontier ranking "
+    "(crawler/crawler.go:116)",
+)
+def q_host_pagerank(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    deg = (F.col("doc_id") % 4 + 1).cast("int")
+    e = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(1), deg)).alias("j"),
+    ).select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("src").cast("string"),
+                            F.lit("#"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    )
+    return graph.pagerank(e, iters=5)
 
 
 @register(

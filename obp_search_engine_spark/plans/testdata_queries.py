@@ -86,7 +86,6 @@ GRADE_PRIORITY: list[str] = [
     "ban_ratio",
     "sort_paginate",
     "string_ops",
-    "unlisted_filter",
     # streaming-shaped
     "event_window_counts",
     "event_sessions",
@@ -106,6 +105,11 @@ GRADE_PRIORITY: list[str] = [
     # new family (cluster labels), exact recursive-CTE oracle; takes the
     # slot of moderator_radio_filter (simple filter, r03-green, now tail)
     "dedup_cluster_labels",
+    # round 4 (cont.): fixed-point integer PageRank over the md5-derived
+    # link graph — iterative operator, bit-exact at any parallelism, so
+    # exactly oracle-checkable; takes the slot of unlisted_filter (simple
+    # filter, r03-green, now tail)
+    "host_pagerank",
     "neardup_simhash",
     "classify_documents_nb",
     # LLM-data-pipeline: curation
@@ -136,6 +140,7 @@ GRADE_PRIORITY: list[str] = [
     "embedding_neardup",
     "keyword_or_like",
     "two_hop_join",
+    "unlisted_filter",
     "contract_type_filter",
     "moderator_radio_filter",
     "rating_buckets",

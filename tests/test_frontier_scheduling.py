@@ -235,3 +235,32 @@ def test_auto_bloom_escalation_equals_exact(spark):
         for r in auto["frontier"].select("url", "depth", "state").collect()
     }
     assert a == b
+
+
+def test_priority_override_pagerank_ordering(spark):
+    """dequeue_wave(priority=...) replaces depth-then-discovery with a
+    caller ordering — here PageRank-desc with the default tiebreakers, the
+    operators.graph integration: the high-rank deep url beats the shallow
+    one inside a host budget."""
+    rows = [
+        _row("http://a.x/deep", "a.x", depth=9),
+        _row("http://a.x/shallow", "a.x", depth=0),
+        _row("http://a.x/mid", "a.x", depth=5),
+    ]
+    ranks = {"http://a.x/deep": 900, "http://a.x/shallow": 10, "http://a.x/mid": 500}
+    f = _frontier(spark, rows).withColumn(
+        "pr",
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in ranks.items() for x in kv]
+            ),
+            F.col("url"),
+        ),
+    )
+    from obp_search_engine_spark.operators.frontier import priority_order
+
+    wave = dequeue_wave(
+        f, per_host_budget=2, priority=[F.col("pr").desc(), *priority_order()]
+    )
+    got = sorted(r.url for r in wave.collect())
+    assert got == ["http://a.x/deep", "http://a.x/mid"]
