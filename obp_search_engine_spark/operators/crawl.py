@@ -493,3 +493,51 @@ __all__ = [
     "RoundResult",
     "reference_crawl",
 ]
+
+
+def trap_hosts(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_pages: int = 5,
+    dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Crawl-trap detection: hosts whose pages are mostly byte-duplicate
+    content behind distinct URLs (calendar loops, session-id explosions,
+    faceted-search mazes). A production frontier feeds these back as
+    per-host budget cuts — the skew/politeness machinery's third input
+    next to robots delay and hot-host salting.
+
+    Per host: page count, distinct md5 content fingerprints, and
+    ``dup_ratio = 1 - distinct/pages`` (rounded to 6 so the DuckDB oracle
+    compares exactly); ``is_trap`` flags hosts with >= ``min_pages`` pages
+    and dup_ratio >= ``dup_threshold``.
+
+    100 TB shape: fingerprints reduce each page to 32 bytes map-side, one
+    shuffle on host with partial aggregation; no joins, no Python. The
+    trap list is tiny (hosts, not pages) and broadcast-joins back into
+    dequeue_wave budgets.
+    """
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    agg = (
+        df.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct(fp).alias("n_distinct"),
+        )
+        .select(
+            "host",
+            "n_pages",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_pages"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+    return agg.select(
+        "*",
+        (
+            (F.col("n_pages") >= F.lit(min_pages))
+            & (F.col("dup_ratio") >= F.lit(dup_threshold))
+        ).alias("is_trap"),
+    )

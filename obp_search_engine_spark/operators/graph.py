@@ -148,3 +148,47 @@ def pagerank_oracle_sql(
     parts.append(f"fin AS (SELECT * FROM r{iters})")
     parts.append("SELECT node, rank FROM fin")
     return "\n".join(parts)
+
+
+def degree_histogram(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Link-graph degree histogram: for the deduped self-loop-free graph
+    (same normalization as :func:`pagerank`), count how many nodes have
+    each (out_degree) and each (in_degree) — the standard crawl-corpus
+    health check (web graphs are power-law; a spike of equal mega-degrees
+    usually means a template/trap, cf. :func:`operators.crawl.trap_hosts`).
+
+    Output: (direction: 'in'|'out', degree BIGINT, n_nodes BIGINT) —
+    nodes with no edge in a direction are counted under degree 0 so both
+    directions sum to the node count.
+
+    100 TB shape: two groupBy chains over the edge list with map-side
+    partial aggregation; output is O(distinct degrees) — tiny.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def one_side(col: str, label: str) -> DataFrame:
+        deg = e.groupBy(F.col(col).alias("node")).agg(
+            F.count("*").alias("degree")
+        )
+        per_node = nodes.join(deg, "node", "left").select(
+            F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree")
+        )
+        return per_node.groupBy("degree").agg(
+            F.count("*").alias("n_nodes")
+        ).select(F.lit(label).alias("direction"), "degree", "n_nodes")
+
+    return one_side("src", "out").unionAll(one_side("dst", "in"))

@@ -386,23 +386,14 @@ _PAGERANK_EDGES_CTE = """
 """
 
 
-@register(
-    "host_pagerank",
-    graph.pagerank_oracle_sql(_PAGERANK_EDGES_CTE, iters=5),
-    "fixed-point integer PageRank (5 iterations, d=0.85) over a "
-    "deterministic md5-derived link graph on documents — ranks carried as "
-    "BIGINT mass units, so the result is bit-identical at ANY shuffle "
-    "parallelism and engine (integer sums are associative; float PageRank "
-    "is not reproducible), making the iterative operator exactly "
-    "oracle-checkable via an unrolled DuckDB CTE chain. The web-scale "
-    "upgrade of the reference's depth-then-discovery frontier ranking "
-    "(crawler/crawler.go:116)",
-)
-def q_host_pagerank(spark, sf_dir):
+def _pagerank_edges(spark, sf_dir):
+    """Deterministic md5-derived link graph over documents: each doc_id
+    links to 1 + doc_id%4 pseudo-random targets — the Spark twin of
+    _PAGERANK_EDGES_CTE (md5-portable hash pattern)."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     n = d.count()
     deg = (F.col("doc_id") % 4 + 1).cast("int")
-    e = d.select(
+    return d.select(
         F.col("doc_id").alias("src"),
         F.explode(F.sequence(F.lit(1), deg)).alias("j"),
     ).select(
@@ -426,7 +417,97 @@ def q_host_pagerank(spark, sf_dir):
             % n
         ).alias("dst"),
     )
-    return graph.pagerank(e, iters=5)
+
+
+@register(
+    "host_pagerank",
+    graph.pagerank_oracle_sql(_PAGERANK_EDGES_CTE, iters=5),
+    "fixed-point integer PageRank (5 iterations, d=0.85) over a "
+    "deterministic md5-derived link graph on documents — ranks carried as "
+    "BIGINT mass units, so the result is bit-identical at ANY shuffle "
+    "parallelism and engine (integer sums are associative; float PageRank "
+    "is not reproducible), making the iterative operator exactly "
+    "oracle-checkable via an unrolled DuckDB CTE chain. The web-scale "
+    "upgrade of the reference's depth-then-discovery frontier ranking "
+    "(crawler/crawler.go:116)",
+)
+def q_host_pagerank(spark, sf_dir):
+    return graph.pagerank(_pagerank_edges(spark, sf_dir), iters=5)
+
+
+@register(
+    "link_degree_hist",
+    f"""
+    WITH e0 AS ({_PAGERANK_EDGES_CTE}),
+    e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+    nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+    od AS (SELECT src AS node, COUNT(*) AS d FROM e1 GROUP BY src),
+    idg AS (SELECT dst AS node, COUNT(*) AS d FROM e1 GROUP BY dst),
+    outd AS (SELECT COALESCE(od.d, 0)::BIGINT AS degree
+             FROM nodes LEFT JOIN od ON od.node = nodes.node),
+    ind AS (SELECT COALESCE(idg.d, 0)::BIGINT AS degree
+            FROM nodes LEFT JOIN idg ON idg.node = nodes.node)
+    SELECT 'out' AS direction, degree, COUNT(*)::BIGINT AS n_nodes
+    FROM outd GROUP BY degree
+    UNION ALL
+    SELECT 'in' AS direction, degree, COUNT(*)::BIGINT AS n_nodes
+    FROM ind GROUP BY degree
+    """,
+    "degree histogram of the md5-derived link graph (both directions, "
+    "degree-0 nodes included) — the crawl-corpus health check companion "
+    "to host_pagerank; O(distinct degrees) output, pure map-side "
+    "partial-agg shuffles",
+)
+def q_link_degree_hist(spark, sf_dir):
+    return graph.degree_histogram(_pagerank_edges(spark, sf_dir))
+
+
+@register(
+    "crawl_trap_hosts",
+    """
+    WITH corpus AS (
+      SELECT source AS host, text FROM documents
+      UNION ALL
+      -- deterministic trap host: 10 urls serving doc 0's body verbatim
+      -- (the synthetic corpus has no real per-source duplication, so the
+      -- flag would otherwise be vacuously false everywhere)
+      SELECT 'trap.example' AS host, d.text
+      FROM documents d, unnest(generate_series(1, 10)) AS t(j)
+      WHERE d.doc_id = 0
+    ),
+    agg AS (
+      SELECT host,
+             COUNT(*) AS n_pages,
+             COUNT(DISTINCT md5(lower(trim(text)))) AS n_distinct
+      FROM corpus GROUP BY host
+    )
+    SELECT host, n_pages, n_distinct,
+           round(1.0 - n_distinct::DOUBLE / n_pages, 6) AS dup_ratio,
+           (n_pages >= 5 AND round(1.0 - n_distinct::DOUBLE / n_pages, 6)
+              >= 0.5) AS is_trap
+    FROM agg
+    """,
+    "crawl-trap detection: hosts (documents.source as the host proxy, "
+    "plus a deterministic synthetic trap host) whose pages are mostly "
+    "duplicate content behind distinct urls — fingerprint count-distinct "
+    "per host, dup_ratio flag feeding per-host budget cuts in "
+    "dequeue_wave; one shuffle, 32-byte map-side rows",
+)
+def q_crawl_trap_hosts(spark, sf_dir):
+    from ..operators.crawl import trap_hosts
+
+    d = _t(spark, sf_dir, "documents")
+    trap = (
+        d.filter(F.col("doc_id") == 0)
+        .select(
+            F.lit("trap.example").alias("host"),
+            "text",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("j"),
+        )
+        .select("host", "text")
+    )
+    corpus = d.select(F.col("source").alias("host"), "text").unionAll(trap)
+    return trap_hosts(corpus, min_pages=5, dup_threshold=0.5)
 
 
 @register(

@@ -135,6 +135,10 @@ GRADE_PRIORITY: list[str] = [
     # counterparts — the driver ignores them (err=no_oracle, r03).
     "token_budget_packing_dist",
     "dup_substring_excise",
+    # round 4 (cont.): link-graph health + crawl-trap companions to
+    # host_pagerank — exact oracles, verified via tools/check_oracle.py
+    "link_degree_hist",
+    "crawl_trap_hosts",
     "ann_lsh_topk_indexed",
     "ann_ivf_topk_indexed",
     "embedding_neardup",

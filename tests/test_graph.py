@@ -102,3 +102,48 @@ def test_oracle_sql_matches_python_reference():
     )
     got = dict(duckdb.sql(sql).fetchall())
     assert got == _py_pagerank(edges, iters=4)
+
+
+@pytest.mark.parametrize("seed", [13, 41])
+def test_degree_histogram_matches_python_reference(spark, seed):
+    from obp_search_engine_spark.operators.graph import degree_histogram
+
+    edges = _rand_edges(random.Random(seed), n_nodes=40, n_edges=100)
+    e = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    outd = {v: 0 for v in nodes}
+    ind = {v: 0 for v in nodes}
+    for a, b in e:
+        outd[a] += 1
+        ind[b] += 1
+    ref = set()
+    for label, degs in (("out", outd), ("in", ind)):
+        hist = {}
+        for d in degs.values():
+            hist[d] = hist.get(d, 0) + 1
+        ref |= {(label, d, c) for d, c in hist.items()}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.direction, r.degree, r.n_nodes)
+        for r in degree_histogram(df).collect()
+    }
+    assert got == ref
+
+
+def test_trap_hosts_flags_duplicate_heavy_host(spark):
+    from obp_search_engine_spark.operators.crawl import trap_hosts
+
+    rows = (
+        # trap.x: 6 pages, only 2 distinct bodies -> dup_ratio 0.666667
+        [(f"u{i}", "trap.x", "same body " + str(i % 2)) for i in range(6)]
+        # ok.x: 6 pages all distinct -> dup_ratio 0.0
+        + [(f"v{i}", "ok.x", f"unique body {i}") for i in range(6)]
+        # small.x: 2 pages duplicated but below min_pages -> not a trap
+        + [(f"w{i}", "small.x", "tiny dup") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "url string, host string, text string")
+    got = {r.host: r for r in trap_hosts(df, min_pages=5, dup_threshold=0.5).collect()}
+    assert got["trap.x"].is_trap and got["trap.x"].n_distinct == 2
+    assert got["trap.x"].dup_ratio == pytest.approx(0.666667)
+    assert not got["ok.x"].is_trap and got["ok.x"].dup_ratio == 0.0
+    assert not got["small.x"].is_trap  # dup-heavy but too few pages
