@@ -29,6 +29,17 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def nonempty_tokens_col(text: Column) -> Column:
+    """:func:`tokens_col` with empty tokens removed. trim() strips ASCII
+    spaces only, so text with leading/trailing tabs/newlines still splits
+    to a leading/trailing '' token — and all-whitespace text to ['']. Use
+    this wherever token POSITIONS matter across operators (the
+    substring-dedup family: span positions must agree between
+    duplicate_spans, excise_spans, and their DuckDB oracles, which filter
+    with list_filter(..., x -> x != ''))."""
+    return F.filter(tokens_col(text), lambda t: t != F.lit(""))
+
+
 def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 

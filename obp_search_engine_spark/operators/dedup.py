@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.textstats import fingerprint_col, tokens_col
+from ..functions.textstats import fingerprint_col, nonempty_tokens_col, tokens_col
 
 
 # ---------------------------------------------------------------------------
@@ -363,7 +363,7 @@ def duplicate_spans(
     is portable), so the graded entry is exact-oracle."""
     from pyspark.sql import Window
 
-    toks = tokens_col(F.lower(F.col(text_col)))
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).filter(
         F.size("_t") >= L
     )
@@ -557,12 +557,10 @@ def excise_spans(
             )
         ).alias("_spans")
     )
-    # Blank text: split(trim(''), '\s+') yields [''] — drop the empty token
-    # so empty docs report 0 kept, not 1. Position-safe: trimmed \s+ split
-    # can only emit '' for all-whitespace input.
-    toks = F.filter(
-        tokens_col(F.lower(F.col(text_col))), lambda t: t != F.lit("")
-    )
+    # positions must agree with duplicate_spans — both use the
+    # empty-token-free tokenization (see nonempty_tokens_col: tabs/
+    # newlines at the edges, or blank text, otherwise shift indices)
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col), toks.alias("_t")).join(
         sp, F.col(id_col) == F.col("_sid"), "left"
     )

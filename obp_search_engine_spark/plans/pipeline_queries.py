@@ -605,13 +605,26 @@ def q_dup_substring_spans(spark, sf_dir):
                     WHERE s.doc_id = p.doc_id AND p.i BETWEEN s.s AND s.e)
                AS cov
       FROM pos p
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN NOT cov THEN 1 ELSE 0 END) AS INT) AS n_kept,
+             CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS INT) AS n_removed,
+             COALESCE(string_agg(CASE WHEN NOT cov THEN tok END, ' '
+                                 ORDER BY i), '') AS txt
+      FROM flags GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN NOT cov THEN 1 ELSE 0 END) AS INT) AS n_kept,
-           CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS INT) AS n_removed,
-           COALESCE(string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY i),
-                    '') AS text_deduped
-    FROM flags GROUP BY doc_id
+    -- drive from toks so zero-token docs keep their row: blank text ->
+    -- (0, 0, ''), NULL text -> NULLs (the Spark operator's exact outputs;
+    -- the pos CTE yields no rows for either, so agg alone would drop them)
+    SELECT toks.doc_id,
+           CASE WHEN toks.t IS NULL THEN NULL
+                ELSE COALESCE(a.n_kept, 0) END AS n_kept,
+           CASE WHEN toks.t IS NULL THEN NULL
+                ELSE COALESCE(a.n_removed, 0) END AS n_removed,
+           CASE WHEN toks.t IS NULL THEN NULL
+                ELSE COALESCE(a.txt, '') END AS text_deduped
+    FROM toks LEFT JOIN agg a ON a.doc_id = toks.doc_id
     """,
     "substring-dedup EXCISION: tokens inside any duplicate_spans range "
     "drop, survivors keep order (Lee et al. 2022 removal step as a pure "
