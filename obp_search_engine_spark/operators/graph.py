@@ -150,6 +150,92 @@ def pagerank_oracle_sql(
     return "\n".join(parts)
 
 
+def bfs_depths(
+    edges: DataFrame,
+    seeds: list[int],
+    max_depth: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Minimum-hop BFS depth from a seed set over the link graph:
+    returns (node BIGINT, depth INT) for every node reachable within
+    ``max_depth`` hops (seeds at depth 0).
+
+    This is the reference's frontier-depth semantics made standalone —
+    the crawler ranks its frontier depth-then-discovery
+    (crawler/crawler.go:116), and the depth it ranks by IS the BFS
+    level this operator computes. Deterministic at any parallelism
+    (pure set semantics, no FP), so it is exactly oracle-checkable via
+    the unrolled CTE chain of :func:`bfs_oracle_sql`.
+
+    100 TB shape: per level, one shuffled-hash join of the (persisted,
+    src-shuffled) edge list against the current frontier plus one
+    anti-join against the visited set — the same per-round shape as the
+    production crawl loop (operators/crawl.py), minus fetch.
+    ``localCheckpoint`` per level keeps the plan O(1) in depth; the loop
+    exits early once a level discovers nothing.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(int(s), 0) for s in sorted(set(seeds))], "node long, depth int"
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(
+            nxt.select("node", F.lit(d).cast("int").alias("depth"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
+def bfs_oracle_sql(
+    edges_cte: str, seeds: list[int], max_depth: int = 4
+) -> str:
+    """DuckDB oracle for :func:`bfs_depths` as an unrolled CTE chain
+    (one frontier/visited pair per level — same reason as
+    :func:`pagerank_oracle_sql`; a fixed unroll equals the operator's
+    early-exit because empty frontiers stay empty)."""
+    seeds_sql = ", ".join(str(int(s)) for s in sorted(set(seeds)))
+    parts = [
+        f"WITH e0 AS ({edges_cte}),",
+        "e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),",
+        f"v0 AS (SELECT unnest([{seeds_sql}])::BIGINT AS node, 0 AS depth),",
+        "f0 AS (SELECT node FROM v0),",
+    ]
+    for d in range(1, max_depth + 1):
+        parts.append(
+            f"f{d} AS (SELECT DISTINCT e1.dst AS node"
+            f" FROM e1 JOIN f{d - 1} f ON e1.src = f.node"
+            f" WHERE e1.dst NOT IN (SELECT node FROM v{d - 1})),"
+        )
+        parts.append(
+            f"v{d} AS (SELECT node, depth FROM v{d - 1}"
+            f" UNION ALL SELECT node, {d} AS depth FROM f{d}),"
+        )
+    parts.append(f"fin AS (SELECT * FROM v{max_depth})")
+    parts.append("SELECT node, depth::INT AS depth FROM fin")
+    return "\n".join(parts)
+
+
 def degree_histogram(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -1,0 +1,245 @@
+"""Search-side ranking over the crawled corpus: BM25 scoring and the
+inverted-index build.
+
+The reference is, literally, a search engine: its API layer answers
+keyword queries with OR-of-LIKE containment scans over MySQL
+(apiserver/index.js:85-102) — fine at marketplace scale, not at
+web scale. These operators are the standard upgrade the same product
+applies at 10^10 documents: build the inverted index as a distributed
+groupBy over (term, doc) postings, and rank candidates with BM25
+(Robertson & Zaragoza 2009) instead of unranked LIKE hits.
+
+FP portability (both operators are exact-oracle graded):
+
+* the inverted index is pure integer/string — no FP anywhere;
+* BM25 per-(doc,term) components are doubles, and the per-doc score is
+  their SUM — order-dependent in IEEE arithmetic, so both engines fold
+  the components in the SAME order: sorted by term, strict left fold
+  (Catalyst ``F.aggregate`` over ``array_sort(collect_list(...))`` ==
+  DuckDB ``list_reduce(list(... ORDER BY term))``; ``0.0 + x == x``
+  bitwise, so the differing initial-value conventions agree).
+
+100 TB shape:
+
+* tokenize+explode is pure Catalyst (split + explode, no Python);
+  the per-(doc,term) count is one shuffle on (doc, term) with map-side
+  partial aggregation;
+* BM25 filters the exploded stream to the query's terms BEFORE the
+  shuffle, so the scored stream is O(matching postings), not O(tokens);
+  the per-term document frequencies are a handful of rows (broadcast);
+* the inverted index is one groupBy(term) — postings for a hot term can
+  exceed a single task's memory at web scale, so ``shard_size`` splits a
+  term's postings into bounded (term, shard) rows, turning the skewed
+  single-key group into uniformly-bounded groups (the same salting idea
+  the crawler applies to hot hosts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.textstats import nonempty_tokens_col
+
+
+def _term_freqs(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc, dl, term, tf) rows for every distinct term of every doc.
+    dl (the doc's token count) rides the groupBy key — it is functionally
+    dependent on the doc id, so it adds no groups."""
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_doc"), toks.alias("_t")
+    )
+    return (
+        base.select("_doc", F.size("_t").alias("_dl"), F.explode("_t").alias("term"))
+        .groupBy("_doc", "_dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1), over docs containing
+    at least one query term. Returns (doc_id, score) with score rounded
+    to 6 decimals, ordered score DESC, doc_id ASC, LIMIT k.
+
+    N and avgdl count every doc with non-null text (including docs whose
+    text tokenizes to nothing). Deterministic at any parallelism: the
+    only FP sum folds in sorted-term order (module docstring).
+    """
+    terms = sorted(set(query_terms))
+    corpus = docs.filter(F.col(text_col).isNotNull())
+    stats = corpus.select(
+        F.size(nonempty_tokens_col(F.lower(F.col(text_col)))).alias("_dl")
+    ).agg(F.count("*").alias("n"), F.avg("_dl").alias("avgdl")).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+
+    tf = _term_freqs(corpus, text_col, id_col).filter(F.col("term").isin(terms))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    comp = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            "_doc",
+            "term",
+            (
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    scored = (
+        comp.groupBy("_doc")
+        .agg(F.collect_list(F.struct("term", "c")).alias("_cs"))
+        .select(
+            F.col("_doc").alias(id_col),
+            F.round(
+                F.aggregate(
+                    F.array_sort("_cs"), F.lit(0.0), lambda acc, x: acc + x["c"]
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`bm25_topk` — same tokenization
+    (empty-token-free ``\\s+`` split), same stats population, and the
+    same sorted-term strict-left-fold for the score sum."""
+    terms = sorted(set(query_terms))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    stats AS (
+      SELECT COUNT(*)::DOUBLE AS n, AVG(len(t))::DOUBLE AS avgdl FROM corpus
+    ),
+    tf AS (
+      SELECT doc, len(t)::BIGINT AS dl, unnest(t) AS term FROM corpus
+    ),
+    tfa AS (
+      SELECT doc, dl, term, COUNT(*)::BIGINT AS tf FROM tf
+      WHERE term IN ({terms_sql})
+      GROUP BY doc, dl, term
+    ),
+    dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tfa GROUP BY term),
+    comp AS (
+      SELECT a.doc, a.term,
+             ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (a.tf * {k1 + 1.0!r})
+               / (a.tf + {k1!r} * ({1.0 - b!r} + {b!r} * a.dl::DOUBLE / s.avgdl))
+               AS c
+      FROM tfa a JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc AS {id_col},
+             round(list_reduce(list(c ORDER BY term), (x, y) -> x + y), 6)
+               AS score
+      FROM comp GROUP BY doc
+    )
+    SELECT {id_col}, score FROM scored
+    ORDER BY score DESC, {id_col} ASC LIMIT {k}
+    """
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    shard_size: int | None = None,
+) -> DataFrame:
+    """Build the inverted index: one row per term —
+    (term, df_docs, total_tf, postings) where postings is the
+    ascending-doc-id list serialized as "doc:tf,doc:tf,..." (scalar
+    output so the driver's hash canonicalizer can sort it).
+
+    ``shard_size`` bounds a single row's postings at web scale: with it
+    set, rows are (term, shard, ...) where shard = doc div shard_size —
+    a hot term's postings split into uniformly-bounded groups instead of
+    one skewed reducer key. The unsharded form is exact-oracle graded;
+    the sharded form is pytest-asserted to concatenate back to it.
+    """
+    tf = _term_freqs(docs, text_col, id_col).select("_doc", "term", "tf")
+    keys = [F.col("term")]
+    if shard_size is not None:
+        tf = tf.withColumn("shard", F.expr(f"_doc div {int(shard_size)}"))
+        keys.append(F.col("shard"))
+    out = (
+        tf.groupBy(*keys)
+        .agg(
+            F.count("*").alias("df_docs"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_doc", "tf"))),
+                    lambda x: F.concat_ws(":", x["_doc"], x["tf"]),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+    if min_df > 1 and shard_size is None:
+        out = out.filter(F.col("df_docs") >= min_df)
+    return out
+
+
+def inverted_index_oracle_sql(
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> str:
+    """DuckDB oracle for the unsharded :func:`inverted_index` — pure
+    integer/string aggregation, no FP anywhere."""
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    tfa AS (
+      SELECT doc, term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc, unnest(t) AS term FROM corpus)
+      GROUP BY doc, term
+    )
+    SELECT term, COUNT(*)::BIGINT AS df_docs, SUM(tf)::BIGINT AS total_tf,
+           string_agg(doc || ':' || tf, ',' ORDER BY doc) AS postings
+    FROM tfa GROUP BY term
+    HAVING COUNT(*) >= {int(min_df)}
+    """

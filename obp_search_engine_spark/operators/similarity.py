@@ -452,3 +452,71 @@ def _seq_l2(vec: list[float], cent: list[float]) -> float:
         d = float(x) - float(y)
         acc = acc + d * d
     return acc
+
+
+def embedding_neardup_pairs_md5(
+    df: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    tables: int = 2,
+) -> DataFrame:
+    """:func:`embedding_neardup_pairs` with md5-Rademacher hyperplanes —
+    the SQL-expressible graded variant (exact DuckDB oracle), completing
+    the md5-portable pattern across the whole ANN family. The seeded
+    Gaussian variant stays the scale default.
+
+    Shape (identical at any scale): explode each row to one
+    (id, table, bucket) row per hash table, self-join on (table, bucket)
+    with id_a < id_b, distinct the candidate pairs across tables, then
+    join the vectors back by id for the exact-cosine filter — every join
+    is an equi-join (no OR-of-buckets nested loop), buckets shuffle on
+    the (table, bucket) key, vectors on id."""
+    dim = df.select(F.size(vec_col)).first()[0]
+    base = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    bk = None
+    for t in range(tables):
+        planes = md5_sign_planes(dim, n_planes, table=t)
+        part = df.select(
+            F.col(id_col).alias("_id"),
+            F.lit(t).alias("_tbl"),
+            srp_bucket_col(F.col(vec_col), planes).alias("_bkt"),
+        )
+        bk = part if bk is None else bk.unionAll(part)
+    a = bk.select(
+        F.col("_id").alias("id_a"), F.col("_tbl").alias("t_a"), F.col("_bkt").alias("b_a")
+    )
+    b = bk.select(
+        F.col("_id").alias("id_b"), F.col("_tbl").alias("t_b"), F.col("_bkt").alias("b_b")
+    )
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("t_a") == F.col("t_b"),
+                F.col("b_a") == F.col("b_b"),
+                F.col("id_a") < F.col("id_b"),
+            ],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(dot / (norm("v_a") * norm("v_b")), 5).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1560,3 +1560,116 @@ def q_ann_ivf_topk_md5(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return similarity.ivf_ann_topk_md5(e, query, k=10, nprobe=4, n_cells=16)
+
+
+# ---------------------------------------------------------------------------
+# Search-side ranking: BM25 + inverted index (operators/ranking.py).
+# The reference answers keyword search with OR-of-LIKE scans
+# (apiserver/index.js:85-102); these are the web-scale form of the same
+# product feature — build the index as a distributed groupBy, rank with
+# BM25. Query terms come from the synthetic corpus vocabulary.
+# ---------------------------------------------------------------------------
+from ..operators import ranking  # noqa: E402
+
+_BM25_TERMS = ["hash", "join", "spark"]
+
+
+@register(
+    "search_bm25_topk",
+    ranking.bm25_oracle_sql(_BM25_TERMS, k=10),
+    "BM25 top-10 over documents for a 3-term keyword query — the "
+    "web-scale replacement for the reference's OR-of-LIKE keyword scan "
+    "(apiserver/index.js:85-102). FP-portable: the per-doc score folds "
+    "its per-term components in sorted-term order on both sides "
+    "(F.aggregate over array_sort == DuckDB list_reduce over "
+    "list(ORDER BY term)), so the doubles agree bitwise before the "
+    "round(6)",
+)
+def q_search_bm25_topk(spark, sf_dir):
+    return ranking.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@register(
+    "inverted_index_postings",
+    ranking.inverted_index_oracle_sql(),
+    "inverted-index build: one row per term with document frequency, "
+    "total tf, and the ascending-doc-id postings list serialized as "
+    "doc:tf pairs (scalar output for the driver's hash canonicalizer) — "
+    "pure integer/string aggregation, one groupBy(term) shuffle; the "
+    "shard_size variant that bounds hot-term postings at web scale is "
+    "pytest-asserted to concatenate back to this exact output",
+)
+def q_inverted_index_postings(spark, sf_dir):
+    return ranking.inverted_index(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "link_bfs_depths",
+    graph.bfs_oracle_sql(_PAGERANK_EDGES_CTE, seeds=[0, 1], max_depth=4),
+    "minimum-hop BFS depth from a 2-seed set over the md5-derived link "
+    "graph (4 levels) — the reference's depth-then-discovery frontier "
+    "rank (crawler/crawler.go:116) as a standalone graph operator; pure "
+    "set semantics (no FP), bit-identical at any parallelism, exact "
+    "unrolled-CTE oracle like host_pagerank",
+)
+def q_link_bfs_depths(spark, sf_dir):
+    return graph.bfs_depths(
+        _pagerank_edges(spark, sf_dir), seeds=[0, 1], max_depth=4
+    )
+
+
+_EMB_NEARDUP_MD5_ORACLE = """
+    WITH dim AS (SELECT len(embedding) AS n FROM embeddings LIMIT 1),
+    signs AS (
+      SELECT t.t AS tbl, p.p AS plane,
+             [CASE WHEN ('0x' || substr(md5(t.t || '_' || p.p || '_' || j), 1, 8))::BIGINT & 1 = 1
+                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+              FOR j IN range(0, (SELECT n FROM dim))] AS sv
+      FROM range(2) t(t), range(4) p(p)
+    ),
+    pb AS (
+      SELECT e.vec_id, s.tbl, s.plane,
+             CASE WHEN list_reduce(
+                    list_transform(list_zip(e.embedding, s.sv),
+                                   pr -> CAST(pr[1] AS DOUBLE) * pr[2]),
+                    (a, b) -> a + b) >= 0
+                  THEN (1 << s.plane) ELSE 0 END AS bit
+      FROM embeddings e, signs s
+    ),
+    buckets AS (
+      SELECT vec_id, tbl, SUM(bit) AS bucket FROM pb GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(
+               list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * x)))),
+               5) AS cos
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
+"""
+
+
+@register(
+    "embedding_neardup_md5",
+    _EMB_NEARDUP_MD5_ORACLE,
+    "embedding-cosine near-dup pairs via md5-Rademacher SRP buckets "
+    "(2 tables x 4 planes, candidate = same bucket in any table, exact "
+    "cosine >= 0.35 filter) — completes the md5-portable exact-oracle "
+    "pattern across the ANN family; the seeded-Gaussian + auto_planes "
+    "variant (embedding_neardup) stays the scale default",
+)
+def q_embedding_neardup_md5(spark, sf_dir):
+    return similarity.embedding_neardup_pairs_md5(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4, tables=2
+    )

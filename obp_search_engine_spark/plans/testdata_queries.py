@@ -75,17 +75,19 @@ GRADE_PRIORITY: list[str] = [
     # contract_type_filter (a simple equality filter, r03-green) rotates
     # to the tail
     "seeded_sample_md5",
-    "verified_moderators_endpoint",
-    "point_update",
-    "label_writeback",
     "schema_migration",
     # joins / aggregations / ordering
     "group_collect_join",
     "anti_join_dedup",
     "top_tags",
     "ban_ratio",
-    "sort_paginate",
     "string_ops",
+    # round 4 (cont. 3): search-side ranking — BM25 + the inverted-index
+    # build, the web-scale form of the reference's keyword search
+    # (apiserver/index.js:85-102); take the slots of point_update /
+    # label_writeback (simple point writes, r03-green, now tail)
+    "search_bm25_topk",
+    "inverted_index_postings",
     # streaming-shaped
     "event_window_counts",
     "event_sessions",
@@ -110,6 +112,10 @@ GRADE_PRIORITY: list[str] = [
     # exactly oracle-checkable; takes the slot of unlisted_filter (simple
     # filter, r03-green, now tail)
     "host_pagerank",
+    # round 4 (cont. 3): BFS min-depth — the reference's frontier-depth
+    # rank standalone; takes verified_moderators_endpoint's slot (simple
+    # filter, r03-green, now tail)
+    "link_bfs_depths",
     "neardup_simhash",
     "classify_documents_nb",
     # LLM-data-pipeline: curation
@@ -124,6 +130,10 @@ GRADE_PRIORITY: list[str] = [
     "ann_cosine_topk",
     "ann_lsh_topk_md5",
     "ann_ivf_topk_md5",
+    # round 4 (cont. 3): md5-portable near-dup PAIRS — the last ANN
+    # family member upgraded to exact oracle; takes sort_paginate's slot
+    # (pagination also covered by search_listings_page, r03-green, tail)
+    "embedding_neardup_md5",
     # exact-substring dup spans (Lee et al. 2022) — promoted into the
     # window in round 4 (exact oracle, never driver-graded before)
     "dup_substring_spans",
@@ -135,6 +145,12 @@ GRADE_PRIORITY: list[str] = [
     # counterparts — the driver ignores them (err=no_oracle, r03).
     "token_budget_packing_dist",
     "dup_substring_excise",
+    # rotated out in round 4 (cont. 3) for the ranking/BFS/neardup-md5
+    # promotions — all r03-driver-green, still exact via check_oracle.py
+    "verified_moderators_endpoint",
+    "point_update",
+    "label_writeback",
+    "sort_paginate",
     # round 4 (cont.): link-graph health + crawl-trap companions to
     # host_pagerank — exact oracles, verified via tools/check_oracle.py
     "link_degree_hist",

@@ -147,3 +147,64 @@ def test_trap_hosts_flags_duplicate_heavy_host(spark):
     assert got["trap.x"].dup_ratio == pytest.approx(0.666667)
     assert not got["ok.x"].is_trap and got["ok.x"].dup_ratio == 0.0
     assert not got["small.x"].is_trap  # dup-heavy but too few pages
+
+
+def _py_bfs(edges, seeds, max_depth):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    depth = {s: 0 for s in set(seeds)}
+    frontier = set(depth)
+    for d in range(1, max_depth + 1):
+        nxt = set()
+        for v in frontier:
+            nxt |= adj.get(v, set())
+        nxt -= depth.keys()
+        if not nxt:
+            break
+        for v in nxt:
+            depth[v] = d
+        frontier = nxt
+    return depth
+
+
+@pytest.mark.parametrize("seed", [2, 13, 77])
+def test_bfs_matches_python_reference(spark, seed):
+    from obp_search_engine_spark.operators.graph import bfs_depths
+
+    edges = _rand_edges(random.Random(seed), n_nodes=40, n_edges=90)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.depth for r in bfs_depths(df, seeds=[0, 1], max_depth=4).collect()}
+    assert got == _py_bfs(edges, [0, 1], 4)
+
+
+def test_bfs_early_exit_and_chain_depths(spark):
+    """A directed chain 0->1->2->3 plus an unreachable island: depths are
+    the hop counts, the island never appears, and a max_depth far past the
+    diameter returns the same result (the loop exits on the first empty
+    frontier instead of running all levels)."""
+    from obp_search_engine_spark.operators.graph import bfs_depths
+
+    edges = [(0, 1), (1, 2), (2, 3), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.depth for r in bfs_depths(df, seeds=[0], max_depth=50).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_partitioning_invariant(spark):
+    from obp_search_engine_spark.operators.graph import bfs_depths
+
+    edges = _rand_edges(random.Random(31), n_nodes=60, n_edges=200)
+    a = bfs_depths(
+        spark.createDataFrame(edges, "src long, dst long").repartition(1),
+        seeds=[3],
+        max_depth=3,
+    )
+    b = bfs_depths(
+        spark.createDataFrame(edges, "src long, dst long").repartition(17),
+        seeds=[3],
+        max_depth=3,
+    )
+    key = lambda r: (r.node, r.depth)  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))

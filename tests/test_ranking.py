@@ -1,0 +1,145 @@
+"""Search-side ranking (operators/ranking.py): BM25 and the inverted
+index against independent pure-Python references on randomized corpora,
+plus the FP-portability property the design hinges on (sorted-term fold)
+and the web-scale sharding property (sharded postings concatenate back
+to the unsharded index)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from obp_search_engine_spark.operators.ranking import (
+    bm25_topk,
+    inverted_index,
+)
+
+_WORDS = ["hash", "join", "spark", "scan", "sort", "merge", "page", "row"]
+
+
+def _rand_docs(rng, n=40):
+    rows = []
+    for i in range(n):
+        L = rng.randrange(0, 12)
+        text = " ".join(rng.choice(_WORDS) for _ in range(L))
+        # exercise the blank/whitespace-only quirk paths too
+        if rng.random() < 0.1:
+            text = "   "
+        rows.append((i, text))
+    rows.append((n, None))  # null text must be excluded everywhere
+    return rows
+
+
+def _tokens(text):
+    return [t for t in text.lower().split() if t]
+
+
+def _py_bm25(rows, terms, k=10, k1=1.2, b=0.75):
+    corpus = [(i, _tokens(t)) for i, t in rows if t is not None]
+    n = len(corpus)
+    avgdl = sum(len(t) for _, t in corpus) / n
+    terms = sorted(set(terms))
+    df = {
+        q: sum(1 for _, t in corpus if q in t) for q in terms
+    }
+    out = []
+    for i, toks in corpus:
+        comps = []
+        for q in terms:  # sorted-term order == the engines' fold order
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            comps.append(idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(toks) / avgdl)))
+        if comps:
+            acc = 0.0
+            for c in comps:
+                acc += c
+            out.append((i, round(acc, 6)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+def _py_inverted(rows):
+    post = {}
+    for i, t in rows:
+        if t is None:
+            continue
+        for tok in _tokens(t):
+            post.setdefault(tok, {}).setdefault(i, 0)
+            post[tok][i] += 1
+    return {
+        term: (
+            len(d),
+            sum(d.values()),
+            ",".join(f"{doc}:{tf}" for doc, tf in sorted(d.items())),
+        )
+        for term, d in post.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_bm25_matches_python_reference(spark, seed):
+    rows = _rand_docs(random.Random(seed))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.doc_id, r.score) for r in bm25_topk(docs, ["hash", "join", "spark"]).collect()]
+    assert got == _py_bm25(rows, ["hash", "join", "spark"])
+
+
+def test_bm25_fold_is_partitioning_invariant(spark):
+    """The score sum folds in sorted-term order regardless of physical
+    layout — the property that makes the DuckDB oracle exact."""
+    rows = _rand_docs(random.Random(99), n=120)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = bm25_topk(docs.repartition(1), _WORDS, k=30).collect()
+    b = bm25_topk(docs.repartition(17), _WORDS, k=30).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_inverted_index_matches_python_reference(spark, seed):
+    rows = _rand_docs(random.Random(seed))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.term: (r.df_docs, r.total_tf, r.postings)
+        for r in inverted_index(docs).collect()
+    }
+    assert got == _py_inverted(rows)
+
+
+def test_inverted_index_min_df(spark):
+    rows = [(0, "a b"), (1, "a"), (2, "a c c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.term for r in inverted_index(docs, min_df=2).collect()}
+    assert got == {"a"}  # 'a' is the only term appearing in >=2 docs
+
+
+def test_sharded_index_concatenates_to_unsharded(spark):
+    """shard_size bounds a hot term's postings row; concatenating a
+    term's shards in shard order must reproduce the unsharded index
+    exactly (df/tf sums and postings string)."""
+    rows = _rand_docs(random.Random(5), n=60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flat = {
+        r.term: (r.df_docs, r.total_tf, r.postings)
+        for r in inverted_index(docs).collect()
+    }
+    sharded = {}
+    for r in sorted(
+        inverted_index(docs, shard_size=8).collect(),
+        key=lambda r: (r.term, r.shard),
+    ):
+        df0, tf0, p0 = sharded.get(r.term, (0, 0, ""))
+        sharded[r.term] = (
+            df0 + r.df_docs,
+            tf0 + r.total_tf,
+            p0 + ("," if p0 else "") + r.postings,
+        )
+    assert sharded == flat
+    # every sharded row's postings stay within the shard's doc range
+    for r in inverted_index(docs, shard_size=8).collect():
+        for p in r.postings.split(","):
+            assert int(p.split(":")[0]) // 8 == r.shard

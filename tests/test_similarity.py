@@ -212,3 +212,44 @@ def test_md5_ann_jvm_only(vecs):
         plan = plan_df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_md5_neardup_pairs_match_python_reference(vecs):
+    """embedding_neardup_pairs_md5 == an independent Python reference:
+    buckets from the same md5-Rademacher signs (strict left-fold sign
+    test), candidates = same bucket in any table, exact cosine filter.
+    Note float32 storage: the reference must fold the float32-rounded
+    coordinates, like both engines do."""
+    df, rows = vecs
+    thr, n_planes, tables = 0.9, 4, 2
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.embedding_neardup_pairs_md5(
+            df, threshold=thr, n_planes=n_planes, tables=tables
+        ).collect()
+    }
+
+    f32 = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+    buckets = {}  # (table, id) -> bucket
+    for t in range(tables):
+        planes = similarity.md5_sign_planes(16, n_planes, table=t)
+        for i, v in f32.items():
+            b = 0
+            for p in range(n_planes):
+                acc = 0.0
+                for x, y in zip(v, planes[p]):
+                    acc = acc + x * y
+                if acc >= 0:
+                    b |= 1 << p
+            buckets[(t, i)] = b
+    ref = {}
+    ids = sorted(f32)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if any(buckets[(t, a)] == buckets[(t, b)] for t in range(tables)):
+                c = round(_pure_cos(f32[a], f32[b]), 5)
+                if c >= thr:
+                    ref[(a, b)] = c
+    assert got == ref
+    assert len(got) > 0  # clustered fixture must produce near-dup pairs
