@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "ann_lsh_topk_md5",
     "dedup_cluster_labels",
     "host_pagerank",
+    # round-4 (cont. 3) additions: search-side ranking + BFS frontier depths
+    "search_bm25_topk",
+    "inverted_index_postings",
+    "link_bfs_depths",
 ]
 
 

@@ -243,3 +243,210 @@ def inverted_index_oracle_sql(
     FROM tfa GROUP BY term
     HAVING COUNT(*) >= {int(min_df)}
     """
+
+
+def more_like_this(
+    docs: DataFrame,
+    query_doc_id: int,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Related-document retrieval ("more like this"): top-k docs by
+    TF-IDF cosine similarity to a query document. The reference surfaces
+    related listings purely by shared tags (apiserver/index.js tag
+    filters); at web scale the same product feature is term-vector
+    cosine over the corpus.
+
+    Weights: w(d,t) = tf · (ln((N+1)/(df+1)) + 1) (smoothed idf, always
+    positive); cos = Σ_t w_q(t)·w_d(t) / (‖w_q‖·‖w_d‖) over shared
+    terms. Returns (doc_id, cos) rounded to 6, ordered cos DESC then
+    doc_id ASC, query doc excluded, LIMIT k.
+
+    FP portability: every sum over terms — both norms and the dot —
+    folds in sorted-term order via the module's strict-left-fold
+    convention, so the DuckDB oracle is exact.
+
+    100 TB shape: one tokenize+explode pass feeds both the norms (one
+    shuffle on doc) and the dot; the query side is ONE document's terms
+    (broadcast), so the dot's corpus side filters to the query's terms
+    before its shuffle. The df join shuffles on term (vocab-sized, far
+    smaller than postings; AQE may broadcast it at small SF).
+    """
+    corpus = docs.filter(F.col(text_col).isNotNull())
+    n_docs = corpus.count()
+    tf = _term_freqs(corpus, text_col, id_col).select("_doc", "term", "tf")
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0))
+    ) + F.lit(1.0)
+    w = tf.join(dfreq, "term").select(
+        "_doc", "term", (F.col("tf").cast("double") * idf).alias("w")
+    )
+
+    def _sorted_fold(pair_col, term_field, val):
+        return F.aggregate(
+            F.array_sort(pair_col), F.lit(0.0), lambda acc, x: acc + val(x)
+        )
+
+    norms = (
+        w.groupBy("_doc")
+        .agg(F.collect_list(F.struct("term", "w")).alias("_ws"))
+        .select(
+            "_doc",
+            F.sqrt(_sorted_fold(F.col("_ws"), "term", lambda x: x["w"] * x["w"])).alias(
+                "_norm"
+            ),
+        )
+    )
+    qw = w.filter(F.col("_doc") == int(query_doc_id)).select(
+        "term", F.col("w").alias("_wq")
+    )
+    dots = (
+        w.filter(F.col("_doc") != int(query_doc_id))
+        .join(F.broadcast(qw), "term")
+        .groupBy("_doc")
+        .agg(F.collect_list(F.struct("term", (F.col("w") * F.col("_wq")).alias("p"))).alias("_ps"))
+        .select(
+            "_doc",
+            _sorted_fold(F.col("_ps"), "term", lambda x: x["p"]).alias("_dot"),
+        )
+    )
+    qnorm = norms.filter(F.col("_doc") == int(query_doc_id)).select(
+        F.col("_norm").alias("_qnorm")
+    )
+    return (
+        dots.join(norms, "_doc")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            F.col("_doc").alias(id_col),
+            F.round(F.col("_dot") / (F.col("_norm") * F.col("_qnorm")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def more_like_this_oracle_sql(
+    query_doc_id: int,
+    k: int = 10,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`more_like_this` — same weights, same
+    sorted-term strict-left-folds for norms and dot."""
+    q = int(query_doc_id)
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    stats AS (SELECT COUNT(*)::DOUBLE AS n FROM corpus),
+    tfa AS (
+      SELECT doc, term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc, unnest(t) AS term FROM corpus)
+      GROUP BY doc, term
+    ),
+    dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tfa GROUP BY term),
+    w AS (
+      SELECT a.doc, a.term,
+             a.tf::DOUBLE * (ln((s.n + 1.0) / (d.df + 1.0)) + 1.0) AS w
+      FROM tfa a JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    norms AS (
+      SELECT doc,
+             sqrt(list_reduce(list(w * w ORDER BY term), (x, y) -> x + y)) AS nrm
+      FROM w GROUP BY doc
+    ),
+    qw AS (SELECT term, w AS wq FROM w WHERE doc = {q}),
+    dots AS (
+      SELECT w.doc,
+             list_reduce(list(w.w * qw.wq ORDER BY w.term), (x, y) -> x + y) AS dot
+      FROM w JOIN qw USING (term)
+      WHERE w.doc != {q}
+      GROUP BY w.doc
+    ),
+    qnorm AS (SELECT nrm AS qnrm FROM norms WHERE doc = {q})
+    SELECT d.doc AS {id_col}, round(d.dot / (n.nrm * q.qnrm), 6) AS cos
+    FROM dots d JOIN norms n USING (doc) CROSS JOIN qnorm q
+    ORDER BY cos DESC, {id_col} ASC LIMIT {k}
+    """
+
+
+def search_snippets(
+    docs: DataFrame,
+    query_terms: list[str],
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Result-page snippets: for each document containing at least one
+    query term, the 1-based token position of the EARLIEST query-term
+    occurrence and a ±``window``-token context around it, joined by
+    single spaces. The reference renders search hits from stored listing
+    fields; a web-scale result page extracts the context window instead.
+
+    Pure Catalyst (split / array_position / slice / array_join — no
+    Python, no FP), bit-identical at any parallelism, exact DuckDB
+    oracle. Output: (doc_id, pos, snippet).
+    """
+    terms = sorted(set(query_terms))
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_t")
+    )
+    pos_cols = [
+        F.when(F.array_position("_t", t) > 0, F.array_position("_t", t))
+        for t in terms
+    ]
+    first = F.least(*pos_cols) if len(pos_cols) > 1 else pos_cols[0]
+    start = F.greatest(F.lit(1), F.col("pos") - F.lit(int(window)))
+    # window is pos±w CLAMPED at the text edges (a hit at pos 2 shows
+    # tokens 1..pos+w, not a fixed 2w+1 tokens) — slice length must
+    # shrink with the clamp, matching the oracle's t[start:pos+w]
+    length = F.col("pos") + F.lit(int(window)) - start + F.lit(1)
+    return (
+        base.select(id_col, first.alias("pos"), "_t")
+        .filter(F.col("pos").isNotNull())
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            F.array_join(
+                F.slice("_t", start.cast("int"), length.cast("int")), " "
+            ).alias("snippet"),
+        )
+    )
+
+
+def search_snippets_oracle_sql(
+    query_terms: list[str],
+    window: int = 5,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`search_snippets` — list_position returns
+    0 when absent (same as Spark's array_position); nullif maps the miss
+    to NULL on both sides, and least() ignores NULLs in both engines
+    (all-NULL → NULL → the row drops)."""
+    terms = sorted(set(query_terms))
+    w = int(window)
+    pos_exprs = ", ".join(f"nullif(list_position(t, '{t}'), 0)" for t in terms)
+    least_expr = f"least({pos_exprs})" if len(terms) > 1 else pos_exprs
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col},
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    hit AS (
+      SELECT {id_col}, t, {least_expr}::BIGINT AS pos FROM corpus
+    )
+    SELECT {id_col}, pos,
+           array_to_string(t[greatest(1, pos - {w}):(pos + {w})], ' ') AS snippet
+    FROM hit WHERE pos IS NOT NULL
+    """

@@ -1673,3 +1673,29 @@ def q_embedding_neardup_md5(spark, sf_dir):
     return similarity.embedding_neardup_pairs_md5(
         _t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4, tables=2
     )
+
+
+@register(
+    "more_like_this",
+    ranking.more_like_this_oracle_sql(query_doc_id=0, k=10),
+    "related-document retrieval: top-10 docs by TF-IDF cosine to doc 0 "
+    "— the web-scale form of the reference's shared-tag related "
+    "listings; norms AND the dot fold in sorted-term order on both "
+    "sides so the doubles agree bitwise before round(6); the query "
+    "side is one broadcast document, the corpus side filters to its "
+    "terms before the shuffle",
+)
+def q_more_like_this(spark, sf_dir):
+    return ranking.more_like_this(_t(spark, sf_dir, "documents"), query_doc_id=0, k=10)
+
+
+@register(
+    "search_snippets",
+    ranking.search_snippets_oracle_sql(_BM25_TERMS, window=5),
+    "result-page snippets: earliest query-term hit position and the "
+    "pos±5-token context (clamped at text edges) for every matching "
+    "document — pure Catalyst (split/array_position/slice/array_join, "
+    "no FP, no Python), bit-identical at any parallelism",
+)
+def q_search_snippets(spark, sf_dir):
+    return ranking.search_snippets(_t(spark, sf_dir, "documents"), _BM25_TERMS, window=5)

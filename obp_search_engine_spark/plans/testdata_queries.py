@@ -70,7 +70,6 @@ GRADE_PRIORITY: list[str] = [
     "profile_branch_upsert",
     # API-surface queries
     "renest_listing",
-    "json_decode_fallback",
     # round 4: the sampling family's exact-oracle variant takes this slot;
     # contract_type_filter (a simple equality filter, r03-green) rotates
     # to the tail
@@ -81,13 +80,18 @@ GRADE_PRIORITY: list[str] = [
     "anti_join_dedup",
     "top_tags",
     "ban_ratio",
-    "string_ops",
     # round 4 (cont. 3): search-side ranking — BM25 + the inverted-index
     # build, the web-scale form of the reference's keyword search
     # (apiserver/index.js:85-102); take the slots of point_update /
     # label_writeback (simple point writes, r03-green, now tail)
     "search_bm25_topk",
     "inverted_index_postings",
+    # round 4 (cont. 4): the rest of the search-result surface — TF-IDF
+    # more-like-this (the reference's related-listings feature at web
+    # scale) and hit snippets; take the slots of json_decode_fallback /
+    # string_ops (function-surface entries, r03-green, now tail)
+    "more_like_this",
+    "search_snippets",
     # streaming-shaped
     "event_window_counts",
     "event_sessions",
@@ -151,6 +155,11 @@ GRADE_PRIORITY: list[str] = [
     "point_update",
     "label_writeback",
     "sort_paginate",
+    # rotated out in round 4 (cont. 4) for the more_like_this /
+    # search_snippets promotions — both r03-driver-green, still exact
+    # via check_oracle.py
+    "json_decode_fallback",
+    "string_ops",
     # round 4 (cont.): link-graph health + crawl-trap companions to
     # host_pagerank — exact oracles, verified via tools/check_oracle.py
     "link_degree_hist",

@@ -143,3 +143,84 @@ def test_sharded_index_concatenates_to_unsharded(spark):
     for r in inverted_index(docs, shard_size=8).collect():
         for p in r.postings.split(","):
             assert int(p.split(":")[0]) // 8 == r.shard
+
+
+def _py_mlt(rows, qid, k=10):
+    corpus = {i: _tokens(t) for i, t in rows if t is not None}
+    n = len(corpus)
+    tf = {
+        i: {w: toks.count(w) for w in set(toks)} for i, toks in corpus.items()
+    }
+    df = {}
+    for d in tf.values():
+        for w in d:
+            df[w] = df.get(w, 0) + 1
+    idf = {w: math.log((n + 1.0) / (c + 1.0)) + 1.0 for w, c in df.items()}
+    wts = {
+        i: {w: c * idf[w] for w, c in d.items()} for i, d in tf.items()
+    }
+
+    def fold(items):  # sorted-term strict left fold
+        acc = 0.0
+        for _, v in sorted(items):
+            acc = acc + v
+        return acc
+
+    norms = {i: math.sqrt(fold([(w, x * x) for w, x in d.items()])) for i, d in wts.items()}
+    q = wts.get(qid, {})
+    out = []
+    for i, d in wts.items():
+        if i == qid:
+            continue
+        shared = [(w, d[w] * q[w]) for w in d if w in q]
+        if not shared:
+            continue
+        out.append((i, round(fold(shared) / (norms[i] * norms[qid]), 6)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("seed", [9, 37])
+def test_more_like_this_matches_python_reference(spark, seed):
+    from obp_search_engine_spark.operators.ranking import more_like_this
+
+    rows = _rand_docs(random.Random(seed), n=50)
+    # make sure doc 0 has text (the query side)
+    rows[0] = (0, "hash join spark scan hash")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.doc_id, r.cos) for r in more_like_this(docs, 0, k=15).collect()]
+    assert got == _py_mlt(rows, 0, k=15)
+    assert len(got) > 0
+
+
+def _py_snippets(rows, terms, w=5):
+    out = {}
+    for i, t in rows:
+        if t is None:
+            continue
+        toks = _tokens(t)
+        pos = [toks.index(q) + 1 for q in terms if q in toks]
+        if not pos:
+            continue
+        p = min(pos)
+        start = max(1, p - w)
+        out[i] = (p, " ".join(toks[start - 1 : p + w]))
+    return out
+
+
+@pytest.mark.parametrize("seed", [4, 19])
+def test_snippets_match_python_reference(spark, seed):
+    from obp_search_engine_spark.operators.ranking import search_snippets
+
+    rows = _rand_docs(random.Random(seed), n=50)
+    # force edge cases: hit at position 1 and hit near the end
+    rows[1] = (1, "hash a b c d e f g h i j k")
+    rows[2] = (2, "a b join")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.pos, r.snippet)
+        for r in search_snippets(docs, ["hash", "join", "spark"], window=5).collect()
+    }
+    assert got == _py_snippets(rows, ["hash", "join", "spark"], w=5)
+    assert got[1][0] == 1 and got[1][1] == "hash a b c d e"  # left-clamped
+    assert got[2] == (3, "a b join")  # right edge: no tokens past the end
