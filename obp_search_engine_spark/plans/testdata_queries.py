@@ -74,12 +74,16 @@ GRADE_PRIORITY: list[str] = [
     # contract_type_filter (a simple equality filter, r03-green) rotates
     # to the tail
     "seeded_sample_md5",
-    "schema_migration",
     # joins / aggregations / ordering
-    "group_collect_join",
     "anti_join_dedup",
     "top_tags",
-    "ban_ratio",
+    # round 4 (cont. 4): multi-dimensional analytics — ROLLUP subtotals,
+    # pinned-value pivot, exact interpolated percentiles; take the slots
+    # of schema_migration / group_collect_join / ban_ratio (r03-green,
+    # now tail)
+    "event_rollup",
+    "event_type_pivot",
+    "doclen_percentiles",
     # round 4 (cont. 3): search-side ranking — BM25 + the inverted-index
     # build, the web-scale form of the reference's keyword search
     # (apiserver/index.js:85-102); take the slots of point_update /
@@ -160,6 +164,11 @@ GRADE_PRIORITY: list[str] = [
     # via check_oracle.py
     "json_decode_fallback",
     "string_ops",
+    # rotated out in round 4 (cont. 4) for the rollup/pivot/percentile
+    # promotions — all r03-driver-green, still exact via check_oracle.py
+    "schema_migration",
+    "group_collect_join",
+    "ban_ratio",
     # round 4 (cont.): link-graph health + crawl-trap companions to
     # host_pagerank — exact oracles, verified via tools/check_oracle.py
     "link_degree_hist",
@@ -847,4 +856,115 @@ def q_seeded_sample_md5(spark, sf_dir):
         )
         .limit(250)
         .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional analytics operators (round 4, cont. 4): ROLLUP, pivot,
+# exact percentiles — the aggregation families a 100 TB events/documents
+# store gets asked for daily (per-dim subtotals, type-by-bucket matrices,
+# latency/length distribution tails) and that Catalyst executes as single
+# shuffles (Expand + one hash-agg for rollup; pivot-on-pinned-values as one
+# hash-agg with FILTERed counts; percentile as a sort-based exact agg).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_rollup",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(user_bucket, -1) AS user_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (SELECT event_type, user_id % 4 AS user_bucket, value FROM events)
+    GROUP BY ROLLUP (event_type, user_bucket)
+    """,
+    "ROLLUP subtotals over (event_type, user_bucket): per-cell, per-type "
+    "and grand-total rows from ONE Expand + hash-agg (no self-union "
+    "re-scan); NULL group keys coalesced to sentinels so every graded "
+    "column stays scalar-and-non-null; the double sum goes through an "
+    "exact DECIMAL(18,2) sum then one cast, the registry convention "
+    "that removes FP ordering from aggregates",
+)
+def q_event_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).alias("user_bucket"), "value"
+    )
+    return (
+        e.rollup("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("user_bucket"), F.lit(-1)).alias("user_bucket"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT user_id % 8 AS user_bucket,
+           """
+    + ",\n           ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + """
+    FROM events
+    GROUP BY user_id % 8
+    """,
+    "pivot: events counted into a user_bucket x event_type matrix with a "
+    "PINNED pivot-value list (the two-arg pivot overload — no extra "
+    "distinct-values job, stable output schema at any scale); Catalyst "
+    "executes it as one hash-agg with FILTERed counts, mirrored "
+    "literally in the oracle; absent cells filled 0 on both sides",
+)
+def q_event_type_pivot(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 8).alias("user_bucket"), "event_type"
+    )
+    return (
+        e.groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "doclen_percentiles",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    "exact interpolated percentiles (p50/p90 of document length per "
+    "lang): Spark percentile() and DuckDB quantile_cont() both define "
+    "the quantile at rank p*(n-1) with linear interpolation — a "
+    "sort-based exact aggregate, deterministic at any parallelism "
+    "(unlike a sum, interpolation arithmetic has no fold order); "
+    "round(6) absorbs the one multiply-vs-fma double divergence",
+)
+def q_doclen_percentiles(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ln = F.col("n_chars").cast("double")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile(ln, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(ln, F.lit(0.9)), 6).alias("p90"),
+        F.max("n_chars").alias("max_chars"),
     )

@@ -158,3 +158,93 @@ def test_ban_ratio_all_null_group_allows(spark):
     got = {r.peer_id: r.decision for r in ban_ratio_decision(d).collect()}
     assert got["p1"] == "allow"
     assert got["p2"] == "ban"  # strict: items/banned = 2/1 = 2 > 0.5
+
+
+def test_rollup_subtotals_consistent(spark):
+    """ROLLUP invariants on a random frame: per-type subtotal equals the
+    sum of its cells, the grand total equals the frame size, and the
+    whole result matches an itertools-built Python reference."""
+    import random
+
+    rng = random.Random(6)
+    rows = [
+        (rng.choice("abc"), rng.randrange(3), round(rng.uniform(0, 9), 2))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_bucket int, value double")
+    got = {
+        (r.event_type, r.user_bucket): (r.n, r.sum_value)
+        for r in (
+            df.rollup("event_type", "user_bucket")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+                F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+                "n",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    from decimal import Decimal
+
+    ref = {}
+    for t, b, v in rows:
+        for key in [(t, b), (t, -1), ("(all)", -1)]:
+            n, s = ref.get(key, (0, Decimal(0)))
+            ref[key] = (n + 1, s + Decimal(str(v)))
+    assert got == {k: (n, float(s)) for k, (n, s) in ref.items()}
+
+
+def test_pivot_rows_sum_to_group_counts(spark):
+    import random
+
+    rng = random.Random(8)
+    types = ["click", "view", "error"]
+    rows = [(rng.randrange(4), rng.choice(types[: rng.randrange(1, 4)])) for _ in range(150)]
+    df = spark.createDataFrame(rows, "user_bucket int, event_type string")
+    piv = (
+        df.groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .collect()
+    )
+    totals = {r.user_bucket: r.n for r in df.groupBy("user_bucket").agg(F.count("*").alias("n")).collect()}
+    for r in piv:
+        assert r.click + r.view + r.error == totals[r.user_bucket]
+    ref = {}
+    for b, t in rows:
+        ref[(b, t)] = ref.get((b, t), 0) + 1
+    for r in piv:
+        for t in types:
+            assert getattr(r, t) == ref.get((r.user_bucket, t), 0)
+
+
+def test_exact_percentile_matches_numpy(spark):
+    """Spark percentile() == numpy's linear-interpolation quantile (the
+    rank-p*(n-1) definition DuckDB quantile_cont also uses)."""
+    import numpy as np
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.choice("xy"), float(rng.randrange(1000))) for _ in range(333)]
+    df = spark.createDataFrame(rows, "lang string, n double")
+    got = {
+        r.lang: (r.p50, r.p90)
+        for r in df.groupBy("lang")
+        .agg(
+            F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("n", F.lit(0.9)), 6).alias("p90"),
+        )
+        .collect()
+    }
+    for lang in "xy":
+        vals = np.array([n for l, n in rows if l == lang])
+        assert got[lang] == (
+            round(float(np.quantile(vals, 0.5)), 6),
+            round(float(np.quantile(vals, 0.9)), 6),
+        )
