@@ -1699,3 +1699,85 @@ def q_more_like_this(spark, sf_dir):
 )
 def q_search_snippets(spark, sf_dir):
     return ranking.search_snippets(_t(spark, sf_dir, "documents"), _BM25_TERMS, window=5)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of join and bucketed range
+# join — the two classic non-equi joins Spark lacks as operators,
+# re-expressed as shuffle-friendly compositions. DuckDB has both natively
+# (ASOF JOIN / theta join), giving exact oracles for the compositions.
+# ---------------------------------------------------------------------------
+from ..operators import temporal  # noqa: E402
+
+
+@register(
+    "asof_join_events",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           coalesce(p.value, -1.0) AS asof_value,
+           coalesce(epoch_us(p.ts), -1) AS asof_us
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "backward as-of join: every click picks up the user's most recent "
+    "prior-or-simultaneous purchase (value + its epoch-us timestamp, "
+    "-1 sentinels when none) — Spark has no ASOF JOIN, so the operator "
+    "is a tag-union + one (key, ts) window carrying the last right "
+    "value forward: ONE shuffle, no nested loop; DuckDB's native "
+    "ASOF LEFT JOIN is the oracle. Right side pre-deduped per "
+    "(user, ts) because duplicate equal timestamps make 'the' match "
+    "ill-defined in both engines",
+)
+def q_asof_join_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = temporal.asof_join(
+        clicks, purchases, key="user_id", value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("asof_value"),
+        F.coalesce(F.unix_micros(F.col("asof_ts").cast("timestamp")), F.lit(-1)).alias("asof_us"),
+    )
+
+
+@register(
+    "range_join_window_counts",
+    """
+    SELECT p.event_id, COUNT(c.ts) AS n_in_window
+    FROM events p
+    LEFT JOIN events c
+      ON c.event_type = 'click'
+     AND c.ts >= p.ts
+     AND c.ts < p.ts + INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    "range (interval-containment) join: clicks counted into each "
+    "purchase's [ts, ts+30min) window — Catalyst executes the raw "
+    "theta join as BroadcastNestedLoopJoin, so the operator buckets "
+    "both sides to width-sized bins (each window spans <= 2 bins), joins "
+    "EQUI on the bin, and post-filters exact containment; zero-count "
+    "purchases kept (left-outer semantics). Oracle: the literal theta "
+    "LEFT JOIN in DuckDB",
+)
+def q_range_join_window_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    return temporal.range_count_join(clicks, purchases, width_minutes=30)

@@ -153,6 +153,12 @@ GRADE_PRIORITY: list[str] = [
     # counterparts — the driver ignores them (err=no_oracle, r03).
     "token_budget_packing_dist",
     "dup_substring_excise",
+    # round 4 (cont. 4): temporal joins — as-of (union+window, no join)
+    # and bucketed range containment; exact DuckDB oracles (native ASOF
+    # JOIN / theta join), verified at sf0.01+0.1 via check_oracle.py;
+    # first in line for promotion when the window next rotates
+    "asof_join_events",
+    "range_join_window_counts",
     # rotated out in round 4 (cont. 3) for the ranking/BFS/neardup-md5
     # promotions — all r03-driver-green, still exact via check_oracle.py
     "verified_moderators_endpoint",
