@@ -132,3 +132,41 @@ def test_fetch_join_never_sorts_pages(spark):
     p = plan_of(harvest)
     assert "ShuffledHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_temporal_joins_no_nested_loop(spark):
+    """The whole point of the bucketed range join and the union+window
+    as-of: NO BroadcastNestedLoopJoin / CartesianProduct anywhere, and
+    the as-of plan contains no join operator at all (it is a window)."""
+    p = plan_of(REGISTRY["range_join_window_counts"].fn(spark, SF))
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    p = plan_of(REGISTRY["asof_join_events"].fn(spark, SF))
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "Window" in p
+
+
+def test_ranking_plans(spark):
+    """BM25/MLT: the per-term stream is filtered to the query's terms
+    BEFORE the aggregation shuffle (the filter shows up as a pushed
+    StringStartsWith/In or post-scan Filter, never after the agg), the
+    df side joins broadcast, and nothing falls back to Python."""
+    for name in ("search_bm25_topk", "more_like_this", "search_snippets",
+                 "inverted_index_postings"):
+        p = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "EvalPython" not in p, f"{name} fell back to Python:\n{p}"
+    p = plan_of(REGISTRY["search_bm25_topk"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p  # per-term document frequencies
+    assert "TakeOrderedAndProject" in p  # top-k, not a global sort
+
+
+def test_rollup_is_single_expand(spark):
+    p = plan_of(REGISTRY["event_rollup"].fn(spark, SF))
+    assert p.count("Expand") == 1  # one Expand, not a union of re-scans
+    assert "HashAggregate" in p
+
+
+def test_pivot_is_single_agg_no_join(spark):
+    p = plan_of(REGISTRY["event_type_pivot"].fn(spark, SF))
+    assert "Join" not in p  # pinned values: no distinct-values subquery
+    assert "HashAggregate" in p
