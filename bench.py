@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "search_bm25_topk",
     "inverted_index_postings",
     "link_bfs_depths",
+    # round-4 (cont. 4) additions: temporal joins + rollup
+    "asof_join_events",
+    "range_join_window_counts",
+    "event_rollup",
 ]
 
 

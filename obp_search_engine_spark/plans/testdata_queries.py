@@ -61,13 +61,16 @@ GRADE_PRIORITY: list[str] = [
     "search_listings_page",
     "crawl_mock4_visits",
     "crawl_mock4_bloom_frontier",
-    "crawl_one_node",
     "crawl_round_metrics",
     "crawl_politeness_states",
     "window_dequeue",
-    "staleness_top1",
     "merge_upsert",
-    "profile_branch_upsert",
+    # round 4 (cont. 5): link-graph health + crawl-trap companions to
+    # host_pagerank promoted (never driver-graded before); crawl_one_node /
+    # staleness_top1 / profile_branch_upsert (r03-green, semantics covered
+    # by the remaining crawl + merge_upsert entries) rotate to the tail
+    "link_degree_hist",
+    "crawl_trap_hosts",
     # API-surface queries
     "renest_listing",
     # round 4: the sampling family's exact-oracle variant takes this slot;
@@ -75,8 +78,13 @@ GRADE_PRIORITY: list[str] = [
     # to the tail
     "seeded_sample_md5",
     # joins / aggregations / ordering
-    "anti_join_dedup",
     "top_tags",
+    # round 4 (cont. 5): temporal joins promoted (as-of via union+window,
+    # bucketed range containment — exact native-DuckDB oracles, never
+    # driver-graded); anti_join_dedup (J4, r03-green, the same anti-join
+    # shape the crawl_mock4 entries exercise) rotates to the tail
+    "asof_join_events",
+    "range_join_window_counts",
     # round 4 (cont. 4): multi-dimensional analytics — ROLLUP subtotals,
     # pinned-value pivot, exact interpolated percentiles; take the slots
     # of schema_migration / group_collect_join / ban_ratio (r03-green,
@@ -102,7 +110,6 @@ GRADE_PRIORITY: list[str] = [
     # LLM-data-pipeline: text analysis
     "doc_token_stats",
     "doc_quality_score",
-    "doc_fingerprint",
     "lang_id_heuristic",
     "doc_repetition_ratio",
     "pii_redaction",
@@ -132,7 +139,13 @@ GRADE_PRIORITY: list[str] = [
     "domain_mix_resample",
     "contamination_screen",
     "curation_pipeline",
-    "documents_incremental",
+    # round 4 (cont. 5): the distributed two-level token packer and the
+    # substring-excise transform promoted (exact oracles, never
+    # driver-graded); doc_fingerprint (dedup_exact_groups groups by the
+    # same md5 fingerprint) and documents_incremental (r03-green store
+    # lifecycle) rotate to the tail
+    "token_budget_packing_dist",
+    "dup_substring_excise",
     # similarity search: brute-force baseline + the round-4 md5-portable
     # ANN variants (first exact-oracle evidence for the LSH/IVF families)
     "ann_cosine_topk",
@@ -148,17 +161,18 @@ GRADE_PRIORITY: list[str] = [
     # ---- grading-window boundary (50) ----
     # tail: first to be graded if the driver's window ever widens.
     # SQL-backed tail entries are exact-oracle-verified locally via
-    # tools/check_oracle.py (most were driver-green in r02); rows-only
+    # tools/check_oracle.py (most were driver-green in r02/r03); rows-only
     # entries (sql=None) are pytest-asserted against in-window
     # counterparts — the driver ignores them (err=no_oracle, r03).
-    "token_budget_packing_dist",
-    "dup_substring_excise",
-    # round 4 (cont. 4): temporal joins — as-of (union+window, no join)
-    # and bucketed range containment; exact DuckDB oracles (native ASOF
-    # JOIN / theta join), verified at sf0.01+0.1 via check_oracle.py;
-    # first in line for promotion when the window next rotates
-    "asof_join_events",
-    "range_join_window_counts",
+    # rotated out in round 4 (cont. 5) for the temporal-join / packer /
+    # excise / graph-health promotions — all r03-driver-green, still
+    # exact via check_oracle.py
+    "crawl_one_node",
+    "staleness_top1",
+    "profile_branch_upsert",
+    "anti_join_dedup",
+    "doc_fingerprint",
+    "documents_incremental",
     # rotated out in round 4 (cont. 3) for the ranking/BFS/neardup-md5
     # promotions — all r03-driver-green, still exact via check_oracle.py
     "verified_moderators_endpoint",
@@ -175,10 +189,6 @@ GRADE_PRIORITY: list[str] = [
     "schema_migration",
     "group_collect_join",
     "ban_ratio",
-    # round 4 (cont.): link-graph health + crawl-trap companions to
-    # host_pagerank — exact oracles, verified via tools/check_oracle.py
-    "link_degree_hist",
-    "crawl_trap_hosts",
     "ann_lsh_topk_indexed",
     "ann_ivf_topk_indexed",
     "embedding_neardup",
