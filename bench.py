@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "asof_join_events",
     "range_join_window_counts",
     "event_rollup",
+    # round-4 (cont. 5) additions: pointer-doubling redirects + budget alloc
+    "redirect_resolution",
+    "crawl_budget_alloc",
 ]
 
 

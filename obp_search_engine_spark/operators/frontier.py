@@ -45,7 +45,7 @@ def salted_host_key(host_hash: Column, url: Column, n_salts: int) -> Column:
 
 def dequeue_wave(
     frontier: DataFrame,
-    per_host_budget: int | None = None,
+    per_host_budget: int | DataFrame | None = None,
     host_state: DataFrame | None = None,
     now=None,
     hot_host_salts: int = 1,
@@ -61,6 +61,18 @@ def dequeue_wave(
       1`` the window partitions on a salted key so a mega-host's queue
       spreads over several partitions (skew defusal) while the per-host
       total stays <= budget;
+    - a DataFrame ``per_host_budget`` gives each host its OWN budget:
+      (host, alloc) rows, e.g. the output of
+      :func:`operators.scheduling.allocate_budget` — the global-fetch-
+      budget water-filling allocator feeding the dequeue directly. Hosts
+      with no allocation row are dequeued 0 urls (the allocator saw no
+      demand for them, so admitting any would break its budget
+      invariant). One row per host, so Catalyst broadcasts the join.
+      Under salting the per-host total is exact for hosts whose queue
+      fills every salt bucket past its quota (the mega-hosts salting
+      exists for) and may under-fill for small-queue hosts whose rows
+      hash into few buckets — same one-sided (never-over) guarantee as
+      the uniform-budget salted path;
     - ``priority`` overrides the default depth-then-discovery ordering —
       e.g. ``[F.col("rank").desc(), *priority_order()]`` after joining
       :func:`operators.graph.pagerank` scores onto the frontier crawls
@@ -78,6 +90,38 @@ def dequeue_wave(
             & (F.col("next_allowed_ts") > F.lit(now).cast("timestamp"))
         ).select("host")
         wave = wave.join(F.broadcast(closed), "host", "left_anti")
+    if isinstance(per_host_budget, DataFrame):
+        alloc = per_host_budget.select(
+            "host", F.col("alloc").cast("long").alias("_alloc")
+        )
+        wave = wave.join(F.broadcast(alloc), "host", "inner")
+        if hot_host_salts > 1:
+            # same two-pass shape as the uniform-budget path, with the
+            # per-salt quota derived per row; the quota ceil over-admits,
+            # so the exact per-host re-rank always runs
+            key = salted_host_key(
+                F.col("host_hash"), F.col("url"), hot_host_salts
+            )
+            w1 = Window.partitionBy(key).orderBy(*order)
+            wave = (
+                wave.withColumn("_rank", F.row_number().over(w1))
+                .filter(
+                    # ceil(_alloc / n_salts); the add-then-div form because
+                    # Spark's `div` truncates toward zero, so the negate
+                    # trick is wrong for the negative intermediate
+                    F.col("_rank")
+                    <= F.expr(
+                        f"(_alloc + {hot_host_salts - 1}) div {hot_host_salts}"
+                    )
+                )
+                .drop("_rank")
+            )
+        w2 = Window.partitionBy(F.col("host_hash")).orderBy(*order)
+        return (
+            wave.withColumn("_rank", F.row_number().over(w2))
+            .filter(F.col("_rank") <= F.col("_alloc"))
+            .drop("_rank", "_alloc")
+        )
     if per_host_budget is not None:
         if hot_host_salts > 1:
             # pass 1: rank inside salted partitions — the skew-defusing

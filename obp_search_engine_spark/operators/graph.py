@@ -236,6 +236,104 @@ def bfs_oracle_sql(
     return "\n".join(parts)
 
 
+def resolve_redirects(
+    edges: DataFrame,
+    doublings: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve HTTP-redirect chains to their final landing url by pointer
+    doubling (Wyllie-style pointer jumping): after ``doublings``
+    iterations every chain of length <= 2**doublings is fully resolved.
+
+    The reference crawler follows redirects one hop at a time inside a
+    single fetch (crawler/crawler.go fetch path); at corpus scale the
+    redirect map is a TABLE (src -> next) and chain-following a naive
+    iterative join would take O(longest chain) shuffles. Pointer doubling
+    composes the partial function with itself each round —
+    ``R_{i+1}(x) = R_i(R_i(x))`` — so 16-hop chains resolve in 4
+    self-joins, the textbook O(log n)-round formulation.
+
+    Semantics (mirrored exactly by :func:`resolve_redirects_oracle_sql`):
+
+    * ``edges`` is a redirect map; multiple outgoing edges per src are
+      normalized to the MIN dst (deterministic);
+    * self-redirects are kept — they are genuine 1-cycles and come out
+      unresolved;
+    * output: (url, final, resolved) for EVERY node seen as src or dst.
+      ``final`` is the node reached after 2**doublings hops (terminals
+      map to themselves); ``resolved`` is true iff ``final`` has no
+      outgoing redirect — false means the chain sits on a cycle or
+      exceeds the hop budget, both of which a crawler treats as a
+      redirect trap (cf. :func:`operators.crawl.trap_hosts`).
+
+    Deterministic at any parallelism (pure function composition, no FP),
+    hence exactly oracle-checkable via an unrolled CTE chain.
+
+    100 TB shape: each doubling is ONE shuffled equi-join of the (node,
+    reach) map with itself on ``reach = node`` — log2(hop budget)
+    shuffles total, lineage truncated per round with ``localCheckpoint``;
+    nothing is broadcast at O(nodes).
+    """
+    em = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+        .persist()
+    )
+    nodes = (
+        em.select(F.col("src").alias("node"))
+        .union(em.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # R0: one hop (terminals fixed)
+    r = nodes.join(em, nodes.node == em.src, "left").select(
+        "node", F.coalesce("dst", "node").alias("reach")
+    ).localCheckpoint(eager=True)
+    for _ in range(doublings):
+        r2 = r.select(F.col("node").alias("n2"), F.col("reach").alias("reach2"))
+        r = (
+            r.join(r2, r.reach == r2.n2)
+            .select("node", F.col("reach2").alias("reach"))
+            .localCheckpoint(eager=True)
+        )
+    out = r.join(em, r.reach == em.src, "left").select(
+        F.col("node").alias("url"),
+        F.col("reach").alias("final"),
+        F.col("src").isNull().alias("resolved"),
+    )
+    em.unpersist()
+    return out
+
+
+def resolve_redirects_oracle_sql(edges_cte: str, doublings: int = 4) -> str:
+    """DuckDB oracle for :func:`resolve_redirects` as an unrolled CTE
+    chain (one self-join per doubling — same unroll rationale as
+    :func:`pagerank_oracle_sql`). ``edges_cte`` must yield
+    (src BIGINT, dst BIGINT) raw redirect edges."""
+    parts = [
+        f"WITH e0 AS ({edges_cte}),",
+        "em AS (SELECT src, MIN(dst) AS dst FROM e0 GROUP BY src),",
+        "nodes AS (SELECT src AS node FROM em UNION SELECT dst FROM em),",
+        "r0 AS (SELECT node, COALESCE(em.dst, node) AS reach"
+        " FROM nodes LEFT JOIN em ON em.src = nodes.node),",
+    ]
+    for i in range(1, doublings + 1):
+        parts.append(
+            f"r{i} AS (SELECT a.node, b.reach"
+            f" FROM r{i - 1} a JOIN r{i - 1} b ON a.reach = b.node),"
+        )
+    parts.append(
+        f"fin AS (SELECT r.node, r.reach, em.src IS NULL AS resolved"
+        f" FROM r{doublings} r LEFT JOIN em ON em.src = r.reach)"
+    )
+    parts.append("SELECT node AS url, reach AS final, resolved FROM fin")
+    return "\n".join(parts)
+
+
 def degree_histogram(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

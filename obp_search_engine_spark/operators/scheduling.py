@@ -1,0 +1,201 @@
+"""Crawl-budget scheduling: max-min fair (water-filling) allocation of a
+global fetch budget across hosts.
+
+The reference crawler fetches every discovered node each round
+(crawler/crawler.go:116 walks the whole frontier); a web-scale deployment
+of the same loop has a bounded per-round fetch budget and must split it
+across hosts so no single mega-host starves the tail — the classic
+max-min fairness problem. This operator computes the exact integer
+water-filling allocation:
+
+* every host with demand ``d_h <= t`` (the water level) is fully granted;
+* saturated hosts (``d_h > t``) all receive the level ``t0 = L div m``
+  (L = leftover budget, m = saturated count), and the remainder
+  ``r = L mod m`` is granted one extra unit each to the first ``r``
+  saturated hosts in (demand asc, host asc) order;
+* if total demand fits the budget, everyone is fully granted.
+
+All arithmetic is integer, the tie order is total, so the result is
+bit-identical at any parallelism and exactly mirrored by a single
+global-window SQL oracle (:func:`allocate_budget_oracle_sql`). The
+allocation satisfies ``sum(alloc) == min(budget, total_demand)`` and
+``alloc <= demand`` everywhere (pytest asserts both).
+
+100 TB shape: the naive formulation needs one global ROW_NUMBER over all
+hosts — a single-partition sort of 10^8 rows. :func:`allocate_budget`
+avoids it with the same two-level decomposition as
+``curation.pack_by_token_budget_distributed``:
+
+  1. aggregate per DISTINCT DEMAND LEVEL (count + sum per level — one
+     map-side-combined shuffle, output is O(distinct demands), far
+     smaller than hosts);
+  2. the cut (water level), leftover, and per-level saturated-rank
+     offsets come from windows over that bounded levels frame;
+  3. per-host ranks for the remainder are windows PARTITIONED BY demand
+     level (ordered by host within the level) plus the broadcast level
+     offset — no global host-order window anywhere.
+
+Skew note: a level shared by very many hosts makes its partition-local
+window wide; that is the documented trade (the remainder rule needs a
+total order within the level). Demands are counts, so heavy levels are
+the small ones (d=1,2,...) whose windows are cheap per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def allocate_budget(
+    demands: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """Max-min fair integer allocation of ``budget`` across hosts.
+
+    ``demands`` must have one row per host: (host, demand BIGINT >= 0).
+    Returns (host, demand, alloc BIGINT, saturated BOOLEAN) for every
+    input row. See module docstring for semantics and the scale shape.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    d = demands.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("long").alias("demand"),
+    )
+
+    # level 1: one row per distinct demand value
+    levels = d.groupBy("demand").agg(
+        F.count("*").alias("lvl_n"), F.sum("demand").alias("lvl_sum")
+    )
+    w_lvl = Window.orderBy("demand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # materialize the bounded levels frame ONCE: tot/feas/cut/sat_levels
+    # below all derive from it, and without truncation each would re-run
+    # the full per-host aggregation scan
+    levels = levels.select(
+        "demand",
+        "lvl_n",
+        F.sum("lvl_n").over(w_lvl).alias("cnt_le"),
+        F.sum("lvl_sum").over(w_lvl).alias("sum_le"),
+    ).localCheckpoint(eager=True)
+
+    # totals + the cut: the highest demand level v* whose "grant everyone
+    # min(d, v*)" cost still fits the budget. Everything below is a
+    # window/agg over the bounded levels frame.
+    tot = levels.agg(
+        F.max("cnt_le").alias("n"), F.max("sum_le").alias("tot")
+    )
+    feas = levels.crossJoin(F.broadcast(tot)).filter(
+        F.col("sum_le") + (F.col("n") - F.col("cnt_le")) * F.col("demand")
+        <= F.lit(budget)
+    )
+    cut = feas.agg(
+        F.coalesce(F.max("cnt_le"), F.lit(0)).cast("long").alias("k"),
+        F.coalesce(
+            F.max(F.struct("demand", "sum_le")).getField("sum_le"), F.lit(0)
+        )
+        .cast("long")
+        .alias("w_k"),
+        F.coalesce(F.max("demand"), F.lit(-1)).cast("long").alias("v_star"),
+    )
+    params = (
+        cut.crossJoin(tot)
+        .select(
+            "k",
+            "w_k",
+            "v_star",
+            "n",
+            (F.col("n") - F.col("k")).alias("m"),
+            (F.lit(budget) - F.col("w_k")).alias("leftover"),
+        )
+        .select(
+            "k",
+            "v_star",
+            "m",
+            F.expr("leftover div nullif(m, 0)").alias("t0"),
+            F.expr("leftover % nullif(m, 0)").alias("r"),
+        )
+    )
+
+    # saturated-rank offsets per saturated level: how many saturated
+    # hosts live in strictly lower levels (exclusive prefix over levels)
+    w_sat = Window.orderBy("demand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sat_levels = (
+        levels.crossJoin(F.broadcast(params.select("v_star")))
+        .filter(F.col("demand") > F.col("v_star"))
+        .select(
+            "demand",
+            (F.sum("lvl_n").over(w_sat) - F.col("lvl_n")).alias("sat_before"),
+        )
+    )
+
+    # level 2: per-host, windows partitioned by the demand level only
+    w_host = Window.partitionBy("demand").orderBy("host")
+    ranked = (
+        d.join(F.broadcast(sat_levels), "demand", "left")
+        .crossJoin(F.broadcast(params.select("v_star", "m", "t0", "r")))
+        .withColumn(
+            "sat_rank",
+            F.when(
+                F.col("demand") > F.col("v_star"),
+                F.col("sat_before") + F.row_number().over(w_host),
+            ),
+        )
+    )
+    return ranked.select(
+        "host",
+        "demand",
+        F.when(F.col("m") == 0, F.col("demand"))
+        .when(F.col("demand") <= F.col("v_star"), F.col("demand"))
+        .otherwise(
+            F.col("t0") + F.when(F.col("sat_rank") <= F.col("r"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+        (
+            (F.col("m") > 0) & (F.col("demand") > F.col("v_star"))
+        ).alias("saturated"),
+    )
+
+
+def allocate_budget_oracle_sql(
+    demands_cte: str, budget: int | str
+) -> str:
+    """DuckDB oracle for :func:`allocate_budget` as the NAIVE
+    single-global-window formulation (row_number + running sum over all
+    hosts) — deliberately a different algorithm than the operator's
+    two-level decomposition, so an exact match proves the decomposition.
+    ``demands_cte`` must yield (host, demand BIGINT); ``budget`` may be
+    an int literal or a SQL scalar-subquery string."""
+    return f"""
+    WITH dem AS ({demands_cte}),
+    s AS (
+      SELECT host, demand,
+             ROW_NUMBER() OVER (ORDER BY demand, host) AS i,
+             SUM(demand) OVER (ORDER BY demand, host
+                               ROWS UNBOUNDED PRECEDING) AS w
+      FROM dem),
+    tot AS (SELECT COUNT(*) AS n, COALESCE(SUM(demand), 0) AS t FROM dem),
+    cut AS (
+      SELECT COALESCE(MAX(i), 0) AS k, COALESCE(MAX(w), 0) AS w_k
+      FROM (SELECT s.i, s.w FROM s, tot
+            WHERE s.w + (tot.n - s.i) * s.demand <= {budget}
+            ORDER BY s.i DESC LIMIT 1) last),
+    p AS (
+      SELECT cut.k, tot.n - cut.k AS m,
+             ({budget} - cut.w_k) // NULLIF(tot.n - cut.k, 0) AS t0,
+             ({budget} - cut.w_k) % NULLIF(tot.n - cut.k, 0) AS r
+      FROM cut, tot)
+    SELECT s.host, s.demand,
+           (CASE WHEN p.m = 0 THEN s.demand
+                 WHEN s.i <= p.k THEN s.demand
+                 WHEN s.i <= p.k + p.r THEN p.t0 + 1
+                 ELSE p.t0 END)::BIGINT AS alloc,
+           (p.m > 0 AND s.i > p.k) AS saturated
+    FROM s, p
+    """

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import textstats as ts
-from ..operators import dedup, graph, similarity
+from ..operators import dedup, graph, scheduling, similarity
 from .testdata_queries import QuerySpec, _t, register
 
 def _graded_tmpdir(name: str) -> str:
@@ -508,6 +508,82 @@ def q_crawl_trap_hosts(spark, sf_dir):
     )
     corpus = d.select(F.col("source").alias("host"), "text").unionAll(trap)
     return trap_hosts(corpus, min_pages=5, dup_threshold=0.5)
+
+
+_REDIRECT_EDGES_CTE = """
+  SELECT d.doc_id AS src,
+         ('0x'||substr(md5(d.doc_id::VARCHAR||'~t'),1,8))::BIGINT
+           % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents d
+  WHERE ('0x'||substr(md5(d.doc_id::VARCHAR||'~r'),1,8))::BIGINT % 100 < 35
+"""
+
+
+def _redirect_edges(spark, sf_dir):
+    """Deterministic md5-derived redirect map over documents: ~35% of
+    urls redirect, each to one md5-chosen target — the Spark twin of
+    _REDIRECT_EDGES_CTE (same md5-portable pattern as _pagerank_edges).
+    Chains and the occasional cycle arise naturally from composition."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+
+    def md5_32(suffix: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(suffix))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    return d.filter(md5_32("~r") % 100 < 35).select(
+        F.col("doc_id").alias("src"), (md5_32("~t") % n).alias("dst")
+    )
+
+
+@register(
+    "redirect_resolution",
+    graph.resolve_redirects_oracle_sql(_REDIRECT_EDGES_CTE, doublings=4),
+    "redirect-chain resolution by POINTER DOUBLING (Wyllie pointer "
+    "jumping): 4 self-joins resolve every chain of <= 16 hops — the "
+    "O(log n)-round form of the reference's one-hop-at-a-time redirect "
+    "following (crawler fetch path) lifted to a corpus-scale redirect "
+    "TABLE. resolved=false marks cycles/over-budget chains (redirect "
+    "traps). Pure function composition, bit-identical at any "
+    "parallelism, exact unrolled-CTE oracle like host_pagerank",
+)
+def q_redirect_resolution(spark, sf_dir):
+    return graph.resolve_redirects(
+        _redirect_edges(spark, sf_dir), doublings=4
+    ).orderBy("url")
+
+
+@register(
+    "crawl_budget_alloc",
+    scheduling.allocate_budget_oracle_sql(
+        "SELECT source AS host, COUNT(*)::BIGINT AS demand "
+        "FROM documents GROUP BY source",
+        budget="(SELECT COUNT(*) // 2 FROM documents)",
+    ),
+    "crawl-budget scheduling: exact integer MAX-MIN FAIR (water-filling) "
+    "allocation of a global per-round fetch budget across hosts — "
+    "unsaturated hosts fully granted, saturated hosts get the water "
+    "level with the remainder spread deterministically; "
+    "sum(alloc) == min(budget, total demand). Operator runs the "
+    "two-level (distinct-demand-level) decomposition with NO global "
+    "host-order window; the oracle is the naive single-global-window "
+    "formulation — the exact match proves the scale decomposition "
+    "(same proof shape as token_budget_packing_dist)",
+)
+def q_crawl_budget_alloc(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    demands = d.groupBy(F.col("source").alias("host")).agg(
+        F.count("*").alias("demand")
+    )
+    budget = int(d.count()) // 2  # scalar: half the total demand
+    return scheduling.allocate_budget(demands, budget).orderBy("host")
 
 
 @register(

@@ -107,15 +107,20 @@ GRADE_PRIORITY: list[str] = [
     # streaming-shaped
     "event_window_counts",
     "event_sessions",
+    # round 4 (cont. 5): pointer-doubling redirect resolution and the
+    # max-min fair crawl-budget allocator — new exact-oracle crawl
+    # operators; doc_token_stats (doc_quality_score covers the token/
+    # length stats family) and dedup_prefix_groups (one of seven dedup
+    # entries in the window) rotate to the tail, both r03-green
+    "redirect_resolution",
+    "crawl_budget_alloc",
     # LLM-data-pipeline: text analysis
-    "doc_token_stats",
     "doc_quality_score",
     "lang_id_heuristic",
     "doc_repetition_ratio",
     "pii_redaction",
     # LLM-data-pipeline: dedup families
     "dedup_exact_groups",
-    "dedup_prefix_groups",
     "neardup_jaccard_exact",
     "neardup_minhash_lsh",
     # round 4: connected-components clustering over the minhash pairs —
@@ -168,6 +173,8 @@ GRADE_PRIORITY: list[str] = [
     # excise / graph-health promotions — all r03-driver-green, still
     # exact via check_oracle.py
     "crawl_one_node",
+    "doc_token_stats",
+    "dedup_prefix_groups",
     "staleness_top1",
     "profile_branch_upsert",
     "anti_join_dedup",

@@ -264,3 +264,62 @@ def test_priority_override_pagerank_ordering(spark):
     )
     got = sorted(r.url for r in wave.collect())
     assert got == ["http://a.x/deep", "http://a.x/mid"]
+
+
+def test_per_host_alloc_dataframe_budget(spark):
+    """allocate_budget output feeds dequeue_wave directly: each host is
+    dequeued min(due, alloc) urls, hosts without an allocation row get 0."""
+    from obp_search_engine_spark.operators.scheduling import allocate_budget
+
+    rows = (
+        [_row(f"http://a.x/{i}", "a.x", depth=i) for i in range(6)]
+        + [_row(f"http://b.x/{i}", "b.x", depth=i) for i in range(3)]
+        + [_row("http://c.x/0", "c.x")]
+    )
+    f = _frontier(spark, rows)
+    demands = f.groupBy("host").agg(F.count("*").alias("demand"))
+    alloc = allocate_budget(demands, budget=5)  # forces saturation
+    wave = dequeue_wave(f, per_host_budget=alloc)
+    per_host = {
+        r.host: r.n
+        for r in wave.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    alloc_map = {r.host: r.alloc for r in alloc.collect()}
+    assert sum(per_host.values()) == 5  # exact global budget
+    assert per_host == {h: a for h, a in alloc_map.items() if a > 0}
+    # unlisted host => zero dequeued
+    wave2 = dequeue_wave(
+        f, per_host_budget=alloc.filter(F.col("host") != "a.x")
+    )
+    assert wave2.filter(F.col("host") == "a.x").count() == 0
+
+
+def test_per_host_alloc_dataframe_budget_salted(spark):
+    """Variable per-host budgets under hot-host salting: never over the
+    allocation anywhere; exact for the mega-host whose queue fills every
+    salt bucket past its quota (the host salting exists for)."""
+    from obp_search_engine_spark.operators.scheduling import allocate_budget
+
+    rows = [
+        _row(f"http://hot.x/{i:03d}", "hot.x", depth=i) for i in range(40)
+    ] + [_row(f"http://cold.x/{i}", "cold.x", depth=i) for i in range(4)]
+    f = _frontier(spark, rows)
+    demands = f.groupBy("host").agg(F.count("*").alias("demand"))
+    alloc = allocate_budget(demands, budget=11)
+    alloc_map = {r.host: r.alloc for r in alloc.collect()}
+    wave = dequeue_wave(f, per_host_budget=alloc, hot_host_salts=4)
+    per_host = {
+        r.host: r.n
+        for r in wave.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host["hot.x"] == alloc_map["hot.x"]  # 40 rows >> quota: exact
+    assert all(per_host[h] <= alloc_map[h] for h in per_host)  # never over
+    # small-queue host may under-fill (rows hash into few salt buckets);
+    # without salting the same allocation is exact
+    exact = dequeue_wave(f, per_host_budget=alloc)
+    got = {
+        r.host: r.n
+        for r in exact.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {h: a for h, a in alloc_map.items() if a > 0}
+    assert sum(got.values()) == 11

@@ -208,3 +208,99 @@ def test_bfs_partitioning_invariant(spark):
     )
     key = lambda r: (r.node, r.depth)  # noqa: E731
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# resolve_redirects — pointer doubling
+# ---------------------------------------------------------------------------
+def _py_resolve(edges, doublings=4):
+    """Independent reference: normalize to min-dst, compose the step
+    function with itself `doublings` times, flag unresolved finals."""
+    em = {}
+    for a, b in edges:
+        em[a] = min(b, em.get(a, b))
+    nodes = sorted(set(em) | set(em.values()))
+    r = {v: em.get(v, v) for v in nodes}
+    for _ in range(doublings):
+        r = {v: r[r[v]] for v in nodes}
+    return {v: (r[v], r[v] not in em) for v in nodes}
+
+
+def _chain(start, length):
+    return [(start + i, start + i + 1) for i in range(length)]
+
+
+def test_resolve_redirects_semantics(spark):
+    from obp_search_engine_spark.operators.graph import resolve_redirects
+
+    edges = (
+        _chain(1, 3)            # 1->2->3->4 (terminal 4)
+        + [(5, 6), (6, 5)]      # 2-cycle
+        + [(7, 7)]              # self-redirect: 1-cycle
+        + [(1, 9)]              # dup src: min(2, 9) = 2 wins
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.url: (r.final, r.resolved) for r in resolve_redirects(df).collect()}
+    assert got == _py_resolve(edges)
+    assert got[1] == (4, True) and got[4] == (4, True)
+    assert got[5][1] is False and got[6][1] is False  # cycle unresolved
+    assert got[7] == (7, False)  # self-redirect is a 1-cycle
+    # 9 appears only in the LOSING duplicate edge: normalization (min dst
+    # per src) drops it before node collection on both sides
+    assert 9 not in got
+
+
+def test_resolve_redirects_hop_budget(spark):
+    """A 20-hop chain exceeds the 2**4=16-hop budget (head unresolved)
+    but fits 2**5=32 (everything resolved)."""
+    from obp_search_engine_spark.operators.graph import resolve_redirects
+
+    edges = _chain(10, 20)  # 10 -> ... -> 30
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g4 = {r.url: (r.final, r.resolved) for r in resolve_redirects(df, 4).collect()}
+    assert g4 == _py_resolve(edges, 4)
+    assert g4[10] == (26, False)  # 16 hops from 10, still mid-chain
+    assert g4[14] == (30, True)
+    g5 = {r.url: (r.final, r.resolved) for r in resolve_redirects(df, 5).collect()}
+    assert all(res for _, res in g5.values())
+    assert g5[10] == (30, True)
+
+
+@pytest.mark.parametrize("seed", [3, 29])
+def test_resolve_redirects_random_parity(spark, seed):
+    from obp_search_engine_spark.operators.graph import resolve_redirects
+
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(45)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.url: (r.final, r.resolved) for r in resolve_redirects(df).collect()}
+    assert got == _py_resolve(edges)
+
+
+def test_resolve_redirects_partitioning_invariant(spark):
+    from obp_search_engine_spark.operators.graph import resolve_redirects
+
+    edges = [(i, (i * 7 + 3) % 50) for i in range(0, 50, 2)]
+    mk = lambda n: spark.createDataFrame(edges, "src long, dst long").repartition(n)  # noqa: E731
+    key = lambda r: (r.url, r.final, r.resolved)  # noqa: E731
+    assert sorted(map(key, resolve_redirects(mk(1)).collect())) == sorted(
+        map(key, resolve_redirects(mk(17)).collect())
+    )
+
+
+def test_resolve_redirects_oracle_matches_python_reference():
+    duckdb = pytest.importorskip("duckdb")
+    from obp_search_engine_spark.operators.graph import (
+        resolve_redirects_oracle_sql,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(35)]
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = resolve_redirects_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", doublings=4
+    )
+    got = {u: (f, res) for u, f, res in duckdb.sql(sql).fetchall()}
+    assert got == _py_resolve(edges, 4)
