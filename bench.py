@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     # round-4 (cont. 5) additions: pointer-doubling redirects + budget alloc
     "redirect_resolution",
     "crawl_budget_alloc",
+    "anchor_text_topk",
 ]
 
 

@@ -450,3 +450,69 @@ def search_snippets_oracle_sql(
            array_to_string(t[greatest(1, pos - {w}):(pos + {w})], ' ') AS snippet
     FROM hit WHERE pos IS NOT NULL
     """
+
+
+def anchor_profiles(
+    links: DataFrame,
+    k: int = 3,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text profile: the top-k terms used in anchor
+    text of links POINTING AT each page.
+
+    Anchor text describes the target better than the target's own body
+    (Brin & Page 1998 §2.2) — it is the one ranking signal the
+    reference's LIKE-scan search (apiserver/index.js:85-102) cannot see
+    because it lives on the LINKING pages; at web scale it is collected
+    exactly like the inverted index, grouped by the link DESTINATION.
+
+    ``links``: one row per link occurrence, (dst, anchor text). Output:
+    (dst, term, cnt, rnk) for the k most frequent lowercase anchor terms
+    per dst, ties broken by term asc — a total order, so the result is
+    deterministic at any parallelism and exactly SQL-expressible
+    (:func:`anchor_profiles_oracle_sql`).
+
+    100 TB shape: tokenize+explode is pure Catalyst; one shuffle onto
+    (dst, term) with map-side partial counts, then a window partitioned
+    by dst over the already-aggregated (dst, distinct-term) rows — the
+    same bounded-partition shape as the BM25 candidate ranking (a page's
+    DISTINCT anchor vocabulary is small even when its in-degree is not).
+    """
+    terms = links.select(
+        F.col(dst_col).alias("dst"),
+        F.explode(nonempty_tokens_col(F.lower(F.col(anchor_col)))).alias(
+            "term"
+        ),
+    )
+    cnt = terms.groupBy("dst", "term").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst").orderBy(
+        F.col("cnt").desc(), F.col("term")
+    )
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("dst", "term", "cnt", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def anchor_profiles_oracle_sql(links_cte: str, k: int = 3) -> str:
+    """DuckDB oracle for :func:`anchor_profiles`. ``links_cte`` must
+    yield (dst, anchor VARCHAR) link-occurrence rows."""
+    return rf"""
+    WITH links AS ({links_cte}),
+    terms AS (
+      SELECT dst,
+             unnest(list_filter(
+               string_split_regex(trim(lower(anchor)), '\s+'),
+               x -> x != '')) AS term
+      FROM links),
+    cnt AS (SELECT dst, term, COUNT(*) AS cnt FROM terms GROUP BY dst, term),
+    rk AS (SELECT dst, term, cnt,
+                  ROW_NUMBER() OVER (PARTITION BY dst
+                                     ORDER BY cnt DESC, term) AS rnk
+           FROM cnt)
+    SELECT dst, term, cnt, rnk::INT AS rnk FROM rk WHERE rnk <= {k}
+    """

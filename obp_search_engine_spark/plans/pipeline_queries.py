@@ -1857,3 +1857,51 @@ def q_range_join_window_counts(spark, sf_dir):
     clicks = e.filter(F.col("event_type") == "click").select("ts")
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "ts")
     return temporal.range_count_join(clicks, purchases, width_minutes=30)
+
+
+_ANCHOR_LINKS_CTE = rf"""
+  SELECT q.dst, array_to_string(q.t[q.pos:q.pos+1], ' ') AS anchor
+  FROM (
+    SELECT e0.dst, s.t,
+           1 + ('0x'||substr(md5(e0.src::VARCHAR||'@'||e0.dst::VARCHAR),1,8))::BIGINT
+               % greatest(len(s.t) - 1, 1) AS pos
+    FROM ({_PAGERANK_EDGES_CTE}) e0
+    JOIN (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x != '') AS t
+          FROM documents) s ON s.doc_id = e0.src) q
+"""
+
+
+@register(
+    "anchor_text_topk",
+    ranking.anchor_profiles_oracle_sql(_ANCHOR_LINKS_CTE, k=3),
+    "per-target ANCHOR-TEXT profiles over the md5-derived link graph: "
+    "each link carries a 2-token anchor sliced from the SOURCE page at "
+    "an md5-chosen offset; top-3 anchor terms per destination "
+    "(count desc, term asc — total order). The link-based ranking "
+    "signal the reference's LIKE-scan search cannot see (Brin & Page "
+    "1998 §2.2); one (dst,term) map-side-combined shuffle + a window "
+    "over per-dst distinct terms",
+)
+def q_anchor_text_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    e = _pagerank_edges(spark, sf_dir)
+    toks = d.select(
+        "doc_id", ts.nonempty_tokens_col(F.lower(F.col("text"))).alias("t")
+    )
+    pos = (
+        dedup.md5_32_col(
+            F.concat(
+                F.col("src").cast("string"),
+                F.lit("@"),
+                F.col("dst").cast("string"),
+            )
+        )
+        % F.greatest(F.size("t") - 1, F.lit(1))
+        + 1
+    )
+    links = e.join(toks, e.src == toks.doc_id).select(
+        "dst", F.concat_ws(" ", F.slice("t", pos, 2)).alias("anchor")
+    )
+    return ranking.anchor_profiles(links, k=3).orderBy("dst", "rnk")

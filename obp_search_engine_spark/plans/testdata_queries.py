@@ -121,7 +121,11 @@ GRADE_PRIORITY: list[str] = [
     "pii_redaction",
     # LLM-data-pipeline: dedup families
     "dedup_exact_groups",
-    "neardup_jaccard_exact",
+    # round 4 (cont. 5): anchor-text profiles — the link-based ranking
+    # signal (Brin & Page 1998) — promoted; neardup_jaccard_exact
+    # (1-row bounded-oracle variant; the minhash entry re-verifies the
+    # same Jaccard semantics) rotates to the tail, r03-green
+    "anchor_text_topk",
     "neardup_minhash_lsh",
     # round 4: connected-components clustering over the minhash pairs —
     # new family (cluster labels), exact recursive-CTE oracle; takes the
@@ -175,6 +179,7 @@ GRADE_PRIORITY: list[str] = [
     "crawl_one_node",
     "doc_token_stats",
     "dedup_prefix_groups",
+    "neardup_jaccard_exact",
     "staleness_top1",
     "profile_branch_upsert",
     "anti_join_dedup",

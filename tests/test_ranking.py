@@ -224,3 +224,80 @@ def test_snippets_match_python_reference(spark, seed):
     assert got == _py_snippets(rows, ["hash", "join", "spark"], w=5)
     assert got[1][0] == 1 and got[1][1] == "hash a b c d e"  # left-clamped
     assert got[2] == (3, "a b join")  # right edge: no tokens past the end
+
+
+# ---------------------------------------------------------------------------
+# anchor_profiles — per-target anchor-term top-k
+# ---------------------------------------------------------------------------
+def _py_anchor(links, k=3):
+    from collections import Counter
+
+    cnt = {}
+    for dst, anchor in links:
+        for term in anchor.lower().split():
+            cnt.setdefault(dst, Counter())[term] += 1
+    out = {}
+    for dst, c in cnt.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[dst] = [(t, n, i + 1) for i, (t, n) in enumerate(ranked)]
+    return out
+
+
+def test_anchor_profiles_semantics(spark):
+    from obp_search_engine_spark.operators.ranking import anchor_profiles
+
+    links = [
+        (1, "Cheap  Widgets"),
+        (1, "cheap widgets here"),
+        (1, "best widgets"),
+        (1, "widgets"),
+        (2, "  "),  # whitespace-only anchor contributes nothing
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(links, "dst long, anchor string")
+    got = {}
+    for r in anchor_profiles(df, k=2).collect():
+        got.setdefault(r.dst, []).append((r.term, r.cnt, r.rnk))
+    ref = {d: v[:2] for d, v in _py_anchor(links, 2).items()}
+    for d in got:
+        got[d].sort(key=lambda x: x[2])
+    assert got == ref
+    assert 2 not in got  # empty anchors leave no profile
+    assert got[1][0] == ("widgets", 4, 1)  # case-folded count
+
+
+def test_anchor_profiles_random_parity_and_oracle(spark):
+    import random
+
+    duckdb = pytest.importorskip("duckdb")
+    from obp_search_engine_spark.operators.ranking import (
+        anchor_profiles,
+        anchor_profiles_oracle_sql,
+    )
+
+    rng = random.Random(61)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    links = [
+        (
+            rng.randrange(8),
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 4))),
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(links, "dst long, anchor string")
+    key = lambda r: (r[0], r[3], r[1])  # noqa: E731
+    got = sorted(
+        ((r.dst, r.term, r.cnt, r.rnk) for r in anchor_profiles(df, 3).collect()),
+        key=key,
+    )
+    vals = ", ".join(f"({d}, '{a}')" for d, a in links)
+    sql = anchor_profiles_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(dst, anchor)", k=3
+    )
+    oracle = sorted(map(tuple, duckdb.sql(sql).fetchall()), key=key)
+    assert got == oracle
+    ref = _py_anchor(links, 3)
+    flat = sorted(
+        ((d, t, n, r) for d, v in ref.items() for t, n, r in v), key=key
+    )
+    assert got == flat
