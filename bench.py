@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "redirect_resolution",
     "crawl_budget_alloc",
     "anchor_text_topk",
+    # round-4 (cont. 6) additions: recrawl diff, HLL sketch, integer HITS
+    "snapshot_change_detection",
+    "host_distinct_hll",
+    "link_hits",
 ]
 
 

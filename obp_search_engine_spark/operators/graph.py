@@ -376,3 +376,244 @@ def degree_histogram(
         ).select(F.lit(label).alias("direction"), "degree", "n_nodes")
 
     return one_side("src", "out").unionAll(one_side("dst", "in"))
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999): hub and authority
+    scores over a link graph, L1-normalized to ``scale`` mass units per
+    half-step with integer division.
+
+    Same reproducibility argument as :func:`pagerank`: float HITS (with
+    its L2 normalization) is not bit-stable across partitionings, so
+    ranks are BIGINT mass units and each half-step renormalizes with
+    ``(raw * scale) div total`` — integer sums are associative, so the
+    result is bit-identical at any parallelism and exactly
+    oracle-checkable (:func:`hits_oracle_sql`). Truncation leaks a
+    little mass per node per half-step (bounded by 1 unit each), which
+    only rescales — ranking order is what HITS is for. PageRank ranks
+    by what links TO you; HITS adds the dual signal the crawl scheduler
+    wants for DIRECTORY pages: a high-hub page's outlinks are
+    high-value frontier candidates.
+
+    Semantics (mirrored exactly by the oracle):
+
+    * self-loops and duplicate edges removed first;
+    * both scores start at ``scale div n`` for all n nodes;
+    * ``auth_raw(p) = sum of hub(q) over edges q->p``, then
+      ``auth = (auth_raw * scale) div sum(auth_raw)``; hubs update from
+      the NEW authorities the same way (classic Gauss-Seidel ordering);
+    * nodes receiving no mass score 0 (no base term, unlike PageRank).
+
+    Overflow bound: ``auth_raw <= in_deg * scale`` and the normalize
+    multiplies by ``scale``, so ``scale^2 * max_degree < 2^63`` —
+    the default 10^6 allows max degree ~9.2e6; lower ``scale`` for
+    hotter graphs (or pre-cap degree, cf. trap_hosts).
+
+    100 TB shape: the edge list is shuffled once per direction key and
+    persisted; each half-step is one shuffled-hash join + one
+    map-side-combined groupBy, plus a single-row total that broadcasts
+    back (crossJoin with a 1-row aggregate — no driver round-trip).
+    ``localCheckpoint`` per iteration keeps the plan O(1) in iters.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub"),
+            F.lit(0).cast("long").alias("auth"),
+        )
+    init = scale // n
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        """(node, raw) -> (node, (raw*scale) div total) over ALL nodes,
+        absentees 0; total rides a 1-row crossJoin (broadcast)."""
+        tot = raw.agg(F.sum(col).alias("_tot"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(tot)
+            .select(
+                "node",
+                F.expr(
+                    f"(coalesce({col}, 0) * {scale}) div greatest(_tot, 1)"
+                )
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    hub = nodes.select("node", F.lit(init).cast("long").alias("hub"))
+    auth = None
+    for i in range(iters):
+        araw = (
+            e.join(hub, e.src == hub.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = _normalize(araw, "auth")
+        hraw = (
+            e.join(auth, e.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = _normalize(hraw, "hub")
+        if truncate_lineage:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    out = nodes.join(hub, "node").join(auth, "node").select(
+        "node", "hub", "auth"
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def hits_oracle_sql(
+    edges_cte: str, iters: int = 5, scale: int = 10**6
+) -> str:
+    """DuckDB oracle for :func:`hits` — unrolled CTE chain (one
+    auth/hub pair per iteration, scalar-subquery totals), mirroring the
+    operator's integer semantics exactly."""
+    # every CTE is MATERIALIZED: the normalize levels reference their
+    # raw-CTE twice (join + scalar total), and DuckDB inlines plain CTEs
+    # per reference -- without materialization the unrolled chain
+    # re-evaluates ~4^iters times (measured: minutes at 500 nodes)
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_cte}),",
+        "e1 AS MATERIALIZED"
+        " (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),",
+        f"h0 AS MATERIALIZED (SELECT node,"
+        f" ({scale} // (SELECT COUNT(*) FROM nodes))"
+        "::BIGINT AS hub FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e1.dst AS node, SUM(h.hub) AS r"
+            f" FROM e1 JOIN h{i - 1} h ON e1.src = h.node GROUP BY e1.dst),"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT nodes.node,"
+            f" ((COALESCE(ar.r, 0) * {scale})"
+            f" // greatest((SELECT SUM(r) FROM ar{i}), 1))::BIGINT AS auth"
+            f" FROM nodes LEFT JOIN ar{i} ar ON ar.node = nodes.node),"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e1.src AS node, SUM(a.auth) AS r"
+            f" FROM e1 JOIN a{i} a ON e1.dst = a.node GROUP BY e1.src),"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT nodes.node,"
+            f" ((COALESCE(hr.r, 0) * {scale})"
+            f" // greatest((SELECT SUM(r) FROM hr{i}), 1))::BIGINT AS hub"
+            f" FROM nodes LEFT JOIN hr{i} hr ON hr.node = nodes.node),"
+        )
+    parts.append(
+        f"fin AS (SELECT h.node, h.hub, a.auth"
+        f" FROM h{iters} h JOIN a{iters} a ON a.node = h.node)"
+    )
+    parts.append("SELECT node, hub, auth FROM fin")
+    return "\n".join(parts)
+
+
+def cocitation_topk(
+    edges: DataFrame,
+    k: int = 5,
+    max_out_degree: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Related pages by co-citation (Dean & Henzinger 1999): two pages
+    are related in proportion to how many pages link to BOTH. Returns
+    ``(page, related, common, rnk)`` — the top-k co-cited partners per
+    page by (common desc, related asc), a total order.
+
+    The skew guard is the whole scale story: pairing a source's
+    outlinks is quadratic in its out-degree, and web out-degrees are
+    power-law — so sources with more than ``max_out_degree`` outlinks
+    are dropped BEFORE pairing (documented semantics, mirrored by the
+    oracle — a mega-directory page's co-citations are navigational
+    noise anyway, the same intuition as trap_hosts). After the cap the
+    pair explode is bounded by ``cap * |edges|`` and the plan is:
+    out-degree agg (1 shuffle), self-join on src (co-partitioned — the
+    join key is the key both sides were just shuffled on), pair count
+    (1 shuffle on the (page, related) pair), then a per-page window
+    over at most ``cap * in_deg`` candidate rows.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    small = e.join(
+        deg.filter(F.col("deg") <= max_out_degree), "src"
+    ).select("src", "dst")
+    b = small.select(
+        F.col("src").alias("src2"), F.col("dst").alias("related")
+    )
+    pairs = (
+        small.join(b, small.src == b.src2)
+        .filter(F.col("dst") != F.col("related"))
+        .groupBy(F.col("dst").alias("page"), "related")
+        .agg(F.count("*").alias("common"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("page").orderBy(
+        F.col("common").desc(), F.col("related")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "page", "related", "common", F.col("rnk").cast("int").alias("rnk")
+        )
+    )
+
+
+def cocitation_oracle_sql(
+    edges_cte: str, k: int = 5, max_out_degree: int = 64
+) -> str:
+    """DuckDB oracle for :func:`cocitation_topk`."""
+    return f"""
+    WITH e0 AS ({edges_cte}),
+    e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e1 GROUP BY src),
+    small AS (SELECT e1.src, e1.dst FROM e1
+              JOIN deg ON deg.src = e1.src AND deg.deg <= {max_out_degree}),
+    pairs AS (SELECT a.dst AS page, b.dst AS related, COUNT(*) AS common
+              FROM small a JOIN small b ON a.src = b.src AND a.dst != b.dst
+              GROUP BY a.dst, b.dst),
+    rk AS (SELECT page, related, common,
+                  ROW_NUMBER() OVER (PARTITION BY page
+                                     ORDER BY common DESC, related) AS rnk
+           FROM pairs)
+    SELECT page, related, common, rnk::INT AS rnk FROM rk WHERE rnk <= {k}
+    """

@@ -1905,3 +1905,204 @@ def q_anchor_text_topk(spark, sf_dir):
         "dst", F.concat_ws(" ", F.slice("t", pos, 2)).alias("anchor")
     )
     return ranking.anchor_profiles(links, k=3).orderBy("dst", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# cardinality sketches + cross-snapshot change detection (round 4 cont. 6)
+# ---------------------------------------------------------------------------
+from ..operators import sketches, snapshots  # noqa: E402
+
+#: deterministic "next crawl snapshot" of documents: an md5-derived
+#: cohort (decorrelated from doc_id/host assignment, unlike a bare
+#: doc_id % 10 — testdata hosts are doc_id-modular) picks ~30% of
+#: surviving docs to change text, ~10% to disappear, and ~10% to also
+#: spawn a brand-new doc (id offset 10^9) — the synthetic twin a
+#: recrawl diff needs; shared by the snapshot/sketch entries below.
+_SNAPSHOT_B_CTE = """
+  SELECT doc_id, source,
+         CASE WHEN c < 3 THEN text || ' [rev2]' ELSE text END AS text
+  FROM (SELECT doc_id, source, text,
+               ('0x'||substr(md5(doc_id::VARCHAR||'~snap'),1,8))::BIGINT % 10
+                 AS c
+        FROM documents) q WHERE c != 3
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, source, text
+  FROM (SELECT doc_id, source, text,
+               ('0x'||substr(md5(doc_id::VARCHAR||'~snap'),1,8))::BIGINT % 10
+                 AS c
+        FROM documents) q WHERE c = 4
+"""
+
+
+def _snapshot_b(spark, sf_dir):
+    """Spark twin of _SNAPSHOT_B_CTE."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    c = (
+        dedup.md5_32_col(
+            F.concat(F.col("doc_id").cast("string"), F.lit("~snap"))
+        )
+        % 10
+    )
+    q = d.withColumn("c", c)
+    mutated = q.filter(F.col("c") != 3).select(
+        "doc_id",
+        "source",
+        F.when(F.col("c") < 3, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    born = q.filter(F.col("c") == 4).select(
+        (F.col("doc_id") + F.lit(10**9)).alias("doc_id"), "source", "text"
+    )
+    return mutated.unionByName(born)
+
+
+@register(
+    "host_distinct_hll",
+    sketches.hll_oracle_sql(
+        "SELECT source, doc_id FROM documents", ["source"], "doc_id", b=6
+    ),
+    "HyperLogLog distinct-doc sketch per host (b=6, md5-portable hash): "
+    "graded output is the INTEGER register aggregate (buckets_hit, "
+    "z_scaled) plus the raw harmonic-mean estimate — a sketch with an "
+    "EXACT oracle, because bucket=top-6 md5 bits and rank=first-set-bit "
+    "(via length(bin(w)), identical in both engines) are pure integers. "
+    "At 10^10 URLs this replaces COUNT(DISTINCT)'s full key shuffle with "
+    "a map-side-combined groupBy().max() bounded at 64 rows/host "
+    "(Flajolet et al. 2007)",
+)
+def q_host_distinct_hll(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    regs = sketches.hll_registers(d, ["source"], "doc_id", b=6)
+    return sketches.hll_estimate(regs, ["source"], b=6)
+
+
+@register(
+    "corpus_distinct_hll_merge",
+    sketches.hll_oracle_sql(
+        f"""SELECT source, doc_id FROM documents
+        UNION ALL SELECT source, doc_id FROM ({_SNAPSHOT_B_CTE}) b""",
+        ["source"],
+        "doc_id",
+        b=6,
+    ),
+    "sketch MERGEABILITY graded as a theorem: Spark merges the two "
+    "snapshots' per-host HLL register tables (hll_merge = groupBy MAX), "
+    "while the oracle sketches the UNION of the raw inputs — equality "
+    "holds iff max-merge is lossless, which is the property that lets "
+    "crawl rounds maintain distinct-URL counts incrementally (merge the "
+    "per-round sketch, never rescan history)",
+)
+def q_corpus_distinct_hll_merge(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    a = sketches.hll_registers(d, ["source"], "doc_id", b=6)
+    b = sketches.hll_registers(_snapshot_b(spark, sf_dir), ["source"], "doc_id", b=6)
+    return sketches.hll_estimate(sketches.hll_merge(a, b), ["source"], b=6)
+
+
+@register(
+    "snapshot_change_detection",
+    snapshots.snapshot_diff_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        f"SELECT doc_id, text FROM ({_SNAPSHOT_B_CTE}) b",
+        key_col="doc_id",
+        content_col="text",
+    ),
+    "cross-snapshot recrawl diff: every doc_id classified unchanged/"
+    "changed/gone/new between the corpus and its deterministic next "
+    "snapshot — the observed-change signal a web-scale recrawler "
+    "schedules by (Cho & Garcia-Molina 2003) where the reference uses "
+    "staleness alone (crawler/db/mysql.go:238). Both sides reduce to "
+    "16-byte md5 fingerprints map-side before ONE full-outer join; the "
+    "status is a projection over the join's null pattern",
+)
+def q_snapshot_change_detection(spark, sf_dir):
+    old = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = _snapshot_b(spark, sf_dir).select("doc_id", "text")
+    return snapshots.snapshot_diff(old, new, key_col="doc_id", content_col="text")
+
+
+@register(
+    "host_change_rates",
+    f"""
+    WITH n0 AS ({_SNAPSHOT_B_CTE}),
+    o AS (SELECT doc_id AS k, source, md5(text) AS fp_old,
+                 1 AS has_old FROM documents),
+    n AS (SELECT doc_id AS k, source, md5(text) AS fp_new,
+                 1 AS has_new FROM n0),
+    j AS (SELECT COALESCE(o.k, n.k) AS k,
+                 COALESCE(o.source, n.source) AS grp,
+                 fp_old, fp_new, has_old, has_new
+          FROM o FULL OUTER JOIN n ON o.k = n.k),
+    s AS (SELECT grp,
+                 CASE WHEN has_old IS NULL THEN 'new'
+                      WHEN has_new IS NULL THEN 'gone'
+                      WHEN fp_old IS NOT DISTINCT FROM fp_new
+                        THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM j),
+    agg AS (SELECT grp,
+                   SUM((status = 'unchanged')::BIGINT) AS n_unchanged,
+                   SUM((status = 'changed')::BIGINT) AS n_changed,
+                   SUM((status = 'gone')::BIGINT) AS n_gone,
+                   SUM((status = 'new')::BIGINT) AS n_new
+            FROM s GROUP BY grp)
+    SELECT grp AS source, n_unchanged, n_changed, n_gone, n_new,
+           CASE WHEN n_unchanged + n_changed > 0
+                THEN n_changed::DOUBLE / (n_unchanged + n_changed) END
+             AS changed_ratio
+    FROM agg
+    """,
+    "per-host observed change rates from the snapshot diff: status "
+    "counts plus changed_ratio over docs present in both snapshots — "
+    "one observation of the Cho-Garcia-Molina change-rate estimator, "
+    "the per-host revisit-priority input. Diff + host attribution + one "
+    "map-side-combined groupBy",
+)
+def q_host_change_rates(spark, sf_dir):
+    old = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    new = _snapshot_b(spark, sf_dir)
+    st = snapshots.snapshot_diff(
+        old.select("doc_id", "text"),
+        new.select("doc_id", "text"),
+        key_col="doc_id",
+        content_col="text",
+    )
+    hosts = (
+        old.select("doc_id", "source")
+        .unionByName(new.select("doc_id", "source"))
+        .distinct()
+    )
+    return snapshots.change_rate(st.join(hosts, "doc_id"), "source")
+
+
+@register(
+    "link_hits",
+    graph.hits_oracle_sql(_PAGERANK_EDGES_CTE, iters=4),
+    "fixed-point integer HITS (Kleinberg 1999, 4 iterations) over the "
+    "md5-derived link graph: hub + authority mass in BIGINT units, "
+    "L1-renormalized by integer division each half-step, so the "
+    "iterative dual of host_pagerank is bit-identical at any shuffle "
+    "parallelism and exactly oracle-checkable via an unrolled CTE "
+    "chain. Hubs are what the frontier scheduler lacks in pure "
+    "PageRank: a high-hub page's OUTLINKS are the high-value frontier",
+)
+def q_link_hits(spark, sf_dir):
+    return graph.hits(_pagerank_edges(spark, sf_dir), iters=4)
+
+
+@register(
+    "related_pages_cocitation",
+    graph.cocitation_oracle_sql(_PAGERANK_EDGES_CTE, k=5, max_out_degree=64),
+    "related pages by CO-CITATION (Dean & Henzinger 1999): top-5 "
+    "partners per page by count of common in-linking sources — the "
+    "link-structure form of the reference's related-listings feature "
+    "(more_like_this is its text-side dual). The out-degree cap (64) "
+    "that bounds the quadratic pair explode is the operator's skew "
+    "guard at web scale; the synthetic graph's degrees sit under it, "
+    "so the cap's drop semantics are pinned by pytest instead",
+)
+def q_related_pages_cocitation(spark, sf_dir):
+    return graph.cocitation_topk(
+        _pagerank_edges(spark, sf_dir), k=5, max_out_degree=64
+    )

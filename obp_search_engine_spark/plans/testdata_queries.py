@@ -114,8 +114,19 @@ GRADE_PRIORITY: list[str] = [
     # entries in the window) rotate to the tail, both r03-green
     "redirect_resolution",
     "crawl_budget_alloc",
+    # round 4 (cont. 6): recrawl change detection + HLL distinct sketches
+    # — the cross-snapshot diff a change-driven recrawler schedules by
+    # (Cho & Garcia-Molina) and the first sketch family with an EXACT
+    # oracle (integer register tables; merge graded as sketch-of-union).
+    # Slots from doc_quality_score + the curation components (all
+    # r03-green; curation_pipeline composes quality/decontam/mix/pack
+    # and stays in-window, token_budget_packing_dist grades the packer
+    # against the same oracle)
+    "snapshot_change_detection",
+    "host_change_rates",
+    "host_distinct_hll",
+    "corpus_distinct_hll_merge",
     # LLM-data-pipeline: text analysis
-    "doc_quality_score",
     "lang_id_heuristic",
     "doc_repetition_ratio",
     "pii_redaction",
@@ -140,13 +151,16 @@ GRADE_PRIORITY: list[str] = [
     # rank standalone; takes verified_moderators_endpoint's slot (simple
     # filter, r03-green, now tail)
     "link_bfs_depths",
+    # round 4 (cont. 6): the iterative dual of host_pagerank (integer
+    # HITS hubs/authorities) and link-structure related pages
+    # (co-citation top-k) — see the snapshot/sketch comment above for
+    # the slots they take
+    "link_hits",
+    "related_pages_cocitation",
     "neardup_simhash",
     "classify_documents_nb",
-    # LLM-data-pipeline: curation
-    "stratified_topk",
-    "token_budget_packing",
-    "domain_mix_resample",
-    "contamination_screen",
+    # LLM-data-pipeline: curation (components rotated to tail in round 4
+    # cont. 6 — the composed pipeline below covers them in-window)
     "curation_pipeline",
     # round 4 (cont. 5): the distributed two-level token packer and the
     # substring-excise transform promoted (exact oracles, never
@@ -155,9 +169,10 @@ GRADE_PRIORITY: list[str] = [
     # lifecycle) rotate to the tail
     "token_budget_packing_dist",
     "dup_substring_excise",
-    # similarity search: brute-force baseline + the round-4 md5-portable
-    # ANN variants (first exact-oracle evidence for the LSH/IVF families)
-    "ann_cosine_topk",
+    # similarity search: the round-4 md5-portable ANN variants (first
+    # exact-oracle evidence for the LSH/IVF families; each verifies
+    # exact cosine top-k inside its buckets — the brute-force baseline
+    # entry rotated to tail in cont. 6, r03-green)
     "ann_lsh_topk_md5",
     "ann_ivf_topk_md5",
     # round 4 (cont. 3): md5-portable near-dup PAIRS — the last ANN
@@ -180,6 +195,17 @@ GRADE_PRIORITY: list[str] = [
     "doc_token_stats",
     "dedup_prefix_groups",
     "neardup_jaccard_exact",
+    # rotated out in round 4 (cont. 6) for the snapshot-diff / HLL /
+    # HITS / co-citation promotions — all r03-driver-green, still exact
+    # via check_oracle.py; the curation components remain composed (and
+    # graded) inside curation_pipeline, ann_cosine_topk's exact-cosine
+    # ranking inside ann_lsh_topk_md5 / ann_ivf_topk_md5
+    "doc_quality_score",
+    "stratified_topk",
+    "token_budget_packing",
+    "domain_mix_resample",
+    "contamination_screen",
+    "ann_cosine_topk",
     "staleness_top1",
     "profile_branch_upsert",
     "anti_join_dedup",
