@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "snapshot_change_detection",
     "host_distinct_hll",
     "link_hits",
+    "cms_term_freq",
 ]
 
 

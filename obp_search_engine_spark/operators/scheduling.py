@@ -199,3 +199,51 @@ def allocate_budget_oracle_sql(
            (p.m > 0 AND s.i > p.k) AS saturated
     FROM s, p
     """
+
+
+def revisit_priority(
+    rates: DataFrame,
+    ages: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """Change-aware revisit priority per host: the Cho-Garcia-Molina
+    upgrade of the reference's staleness-only recrawl clock
+    (crawler/db/mysql.go:238 orders by ``lastUpdated`` alone).
+
+    Inputs: ``rates`` — (host, n_unchanged, n_changed, ...) from
+    :func:`operators.snapshots.change_rate`; ``ages`` — (host,
+    age_rounds) since last visit. Hosts missing from ``rates`` (never
+    diffed — e.g. first sighting) take change_pct 100, the
+    crawl-it-to-learn default.
+
+    Output: (host, age_rounds, change_pct, priority) with
+    ``change_pct = (100 * n_changed) div (n_unchanged + n_changed)``
+    (0 when no doc survived both snapshots) and
+    ``priority = age_rounds * (1 + change_pct)`` — all INTEGER
+    arithmetic, so the ranking is bit-stable at any parallelism and
+    exactly SQL-expressible; the +1 keeps staleness a tiebreaker for
+    never-changing hosts. Feed the result to
+    ``frontier.dequeue_wave(priority=...)`` (tests wire them together).
+
+    100 TB shape: one broadcast-or-shuffled join of two host-sized
+    (already aggregated) tables and a projection — no per-URL work.
+    """
+    both = F.col("n_unchanged") + F.col("n_changed")
+    pct = F.when(
+        both > 0, F.expr("(100 * n_changed) div (n_unchanged + n_changed)")
+    ).otherwise(F.lit(0))
+    r = rates.select(
+        F.col(host_col).alias("host"), pct.cast("long").alias("change_pct")
+    )
+    a = ages.select(
+        F.col(host_col).alias("host"),
+        F.col("age_rounds").cast("long").alias("age_rounds"),
+    )
+    j = a.join(r, "host", "left")
+    cp = F.coalesce(F.col("change_pct"), F.lit(100))
+    return j.select(
+        F.col("host").alias(host_col),
+        "age_rounds",
+        cp.alias("change_pct"),
+        (F.col("age_rounds") * (F.lit(1) + cp)).cast("long").alias("priority"),
+    )

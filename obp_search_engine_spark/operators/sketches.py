@@ -188,3 +188,137 @@ def hll_oracle_sql(
     FROM agg
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+def cms_registers(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min register matrix over ``value_col``: ``(row INT,
+    col INT, cnt BIGINT)`` with ``depth`` independent md5-derived hash
+    rows of ``width`` counters each.
+
+    The frequency dual of :func:`hll_registers`: where HLL answers "how
+    many DISTINCT", CMS answers "how often does THIS key occur" from
+    ``depth * width`` integers — the heavy-hitter / trap-host detector
+    at 10^10 URLs (a host's fetch count, a term's document frequency)
+    without shuffling the raw keys. Like the HLL, the register matrix
+    is pure integers over the portable md5 hash, so a probabilistic
+    sketch grades against an EXACT DuckDB oracle; and like the HLL it
+    is mergeable — summing matrices cell-wise equals sketching the
+    concatenated input (counter addition is associative), asserted
+    literally in tests.
+
+    100 TB shape: ``explode(depth rows)`` is a Catalyst projection; the
+    only shuffle is ``groupBy(row, col).sum()`` with map-side partial
+    aggregation onto at most ``depth * width`` cells. Estimates
+    (:func:`cms_estimate`) then broadcast-join candidates against the
+    tiny matrix. Error bound: overcount only, ``<= e/width * total``
+    with probability ``1 - e^-depth``.
+    """
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    rows = df.select(
+        F.col(value_col).cast("string").alias("v"), w.alias("w")
+    ).select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        "v",
+        "w",
+    )
+    col = md5_32_col(
+        F.concat(F.col("row").cast("string"), F.lit(":"), F.col("v"))
+    ) % width
+    return (
+        rows.select("row", col.cast("int").alias("col"), "w")
+        .groupBy("row", "col")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of register matrices (same depth/width): equals the
+    sketch of the concatenated inputs."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    registers: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates for each candidate key: ``(value_col,
+    est_cnt BIGINT)`` where ``est_cnt = min`` over the ``depth``
+    counters the key hashes into (absent cells are 0). Overestimates
+    only — never under — the CMS guarantee.
+
+    Plan: candidates explode to ``depth`` probe rows and broadcast-join
+    the ``depth * width``-cell matrix; one tiny groupBy(min) follows.
+    """
+    probes = candidates.select(
+        F.col(value_col).cast("string").alias("v")
+    ).select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    col = md5_32_col(
+        F.concat(F.col("row").cast("string"), F.lit(":"), F.col("v"))
+    ) % width
+    probes = probes.select("v", "row", col.cast("int").alias("col"))
+    j = probes.join(F.broadcast(registers), ["row", "col"], "left")
+    return (
+        j.groupBy("v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+        .select(F.col("v").alias(value_col), "est_cnt")
+    )
+
+
+def cms_oracle_sql(
+    source_sql: str,
+    value_expr: str,
+    candidates_sql: str,
+    cand_expr: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_expr: str = "1",
+    out_col: str = "v",
+) -> str:
+    """DuckDB oracle for ``cms_estimate(cms_registers(...), cands)``.
+    ``source_sql``/``candidates_sql`` feed ``value_expr``/``cand_expr``
+    (cast to VARCHAR here, mirroring the operator); ``out_col`` names
+    the key column to match the Spark side's ``value_col``."""
+    return f"""
+    WITH src AS MATERIALIZED ({source_sql}),
+    rows_ AS (
+      SELECT unnest(range({depth})) AS row, ({value_expr})::VARCHAR AS v,
+             ({weight_expr})::BIGINT AS w
+      FROM src),
+    cells AS MATERIALIZED (
+      SELECT row,
+             (('0x' || substr(md5(row::VARCHAR || ':' || v), 1, 8))::BIGINT
+               % {width})::INT AS col,
+             SUM(w) AS cnt
+      FROM rows_ GROUP BY row, col),
+    cands AS (SELECT DISTINCT ({cand_expr})::VARCHAR AS v
+              FROM ({candidates_sql}) c),
+    probes AS (
+      SELECT v, unnest(range({depth})) AS row FROM cands),
+    probed AS (
+      SELECT p.v, p.row,
+             (('0x' || substr(md5(p.row::VARCHAR || ':' || p.v), 1, 8))
+               ::BIGINT % {width})::INT AS col
+      FROM probes p)
+    SELECT probed.v AS {out_col}, MIN(COALESCE(cells.cnt, 0))::BIGINT AS est_cnt
+    FROM probed LEFT JOIN cells
+      ON cells.row = probed.row AND cells.col = probed.col
+    GROUP BY probed.v
+    """

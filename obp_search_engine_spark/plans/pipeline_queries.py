@@ -2106,3 +2106,120 @@ def q_related_pages_cocitation(spark, sf_dir):
     return graph.cocitation_topk(
         _pagerank_edges(spark, sf_dir), k=5, max_out_degree=64
     )
+
+
+_TOKS_CTE = r"""
+  SELECT unnest(list_filter(
+           string_split_regex(trim(lower(text)), '\s+'), x -> x != '')) AS term
+  FROM documents
+"""
+
+
+@register(
+    "cms_term_freq",
+    sketches.cms_oracle_sql(
+        source_sql=_TOKS_CTE,
+        value_expr="term",
+        candidates_sql=f"SELECT DISTINCT term FROM ({_TOKS_CTE}) t",
+        cand_expr="term",
+        depth=4,
+        width=64,
+        out_col="term",
+    ),
+    "Count-Min sketch term frequencies (Cormode & Muthukrishnan 2005, "
+    "d=4 x w=64, md5-portable row hashes): estimated corpus frequency "
+    "for every distinct term (the synthetic vocab is small; at 10^10 "
+    "scale candidates would be an md5 sample or suspected heavy "
+    "hitters) — the frequency dual of host_distinct_hll, and like it "
+    "a probabilistic sketch "
+    "graded against an EXACT oracle because the register matrix is "
+    "pure integers. The heavy-hitter detector at 10^10 URLs: one "
+    "map-side-combined groupBy onto <=256 cells, probes broadcast-join "
+    "the tiny matrix",
+)
+def q_cms_term_freq(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(ts.nonempty_tokens_col(F.lower(F.col("text")))).alias("term")
+    )
+    regs = sketches.cms_registers(toks, "term", depth=4, width=64)
+    cands = toks.distinct()
+    return sketches.cms_estimate(regs, cands, "term", depth=4, width=64)
+
+
+@register(
+    "host_revisit_priority",
+    f"""
+    WITH n0 AS ({_SNAPSHOT_B_CTE}),
+    o AS (SELECT doc_id AS k, source, md5(text) AS fp_old,
+                 1 AS has_old FROM documents),
+    n AS (SELECT doc_id AS k, source, md5(text) AS fp_new,
+                 1 AS has_new FROM n0),
+    j AS (SELECT COALESCE(o.k, n.k) AS k,
+                 COALESCE(o.source, n.source) AS grp,
+                 fp_old, fp_new, has_old, has_new
+          FROM o FULL OUTER JOIN n ON o.k = n.k),
+    s AS (SELECT grp,
+                 CASE WHEN has_old IS NULL THEN 'new'
+                      WHEN has_new IS NULL THEN 'gone'
+                      WHEN fp_old IS NOT DISTINCT FROM fp_new
+                        THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM j),
+    agg AS (SELECT grp,
+                   SUM((status = 'unchanged')::BIGINT) AS n_unchanged,
+                   SUM((status = 'changed')::BIGINT) AS n_changed
+            FROM s GROUP BY grp),
+    pct AS (SELECT grp,
+                   CASE WHEN n_unchanged + n_changed > 0
+                        THEN (100 * n_changed) // (n_unchanged + n_changed)
+                        ELSE 0 END AS change_pct
+            FROM agg),
+    ages AS (SELECT DISTINCT source,
+                    1 + ('0x'||substr(md5(source||'~age'),1,8))::BIGINT % 8
+                      AS age_rounds
+             FROM documents)
+    SELECT a.source, a.age_rounds::BIGINT AS age_rounds,
+           COALESCE(p.change_pct, 100)::BIGINT AS change_pct,
+           (a.age_rounds * (1 + COALESCE(p.change_pct, 100)))::BIGINT
+             AS priority
+    FROM ages a LEFT JOIN pct p ON p.grp = a.source
+    """,
+    "change-aware revisit priority per host (Cho & Garcia-Molina): "
+    "priority = age_rounds * (1 + observed change_pct), ALL-INTEGER so "
+    "the recrawl ordering is bit-stable at any parallelism — the "
+    "upgrade of the reference's staleness-only lastUpdated clock "
+    "(crawler/db/mysql.go:238). Ages are md5-derived rounds-since-"
+    "visit; change_pct comes from the snapshot diff; the result feeds "
+    "frontier.dequeue_wave(priority=...) (wired in pytest)",
+)
+def q_host_revisit_priority(spark, sf_dir):
+    old = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    new = _snapshot_b(spark, sf_dir)
+    st = snapshots.snapshot_diff(
+        old.select("doc_id", "text"),
+        new.select("doc_id", "text"),
+        key_col="doc_id",
+        content_col="text",
+    )
+    hosts = (
+        old.select("doc_id", "source")
+        .unionByName(new.select("doc_id", "source"))
+        .distinct()
+    )
+    rates = snapshots.change_rate(st.join(hosts, "doc_id"), "source")
+    ages = (
+        old.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                1
+                + dedup.md5_32_col(
+                    F.concat(F.col("source"), F.lit("~age"))
+                )
+                % 8
+            ).alias("age_rounds"),
+        )
+    )
+    return scheduling.revisit_priority(rates, ages, host_col="source")

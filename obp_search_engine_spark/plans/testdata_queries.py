@@ -126,12 +126,19 @@ GRADE_PRIORITY: list[str] = [
     "host_change_rates",
     "host_distinct_hll",
     "corpus_distinct_hll_merge",
+    # round 4 (cont. 6b): the CMS frequency dual of the HLL sketch and
+    # the change-aware revisit scheduler the diff feeds; slots from
+    # dedup_exact_groups (simplest of five in-window dedup entries) and
+    # doc_repetition_ratio (textstats keeps lang_id + pii in-window),
+    # both r03-green, now tail
+    "cms_term_freq",
+    "host_revisit_priority",
     # LLM-data-pipeline: text analysis
     "lang_id_heuristic",
-    "doc_repetition_ratio",
     "pii_redaction",
-    # LLM-data-pipeline: dedup families
-    "dedup_exact_groups",
+    # LLM-data-pipeline: dedup families (exact-groups entry rotated to
+    # tail in cont. 6b; the md5-fingerprint grouping it grades is also
+    # the first stage of the in-window curation_pipeline)
     # round 4 (cont. 5): anchor-text profiles — the link-based ranking
     # signal (Brin & Page 1998) — promoted; neardup_jaccard_exact
     # (1-row bounded-oracle variant; the minhash entry re-verifies the
@@ -206,6 +213,10 @@ GRADE_PRIORITY: list[str] = [
     "domain_mix_resample",
     "contamination_screen",
     "ann_cosine_topk",
+    # rotated out in round 4 (cont. 6b) for the CMS / revisit-priority
+    # promotions — both r03-driver-green, still exact via check_oracle.py
+    "dedup_exact_groups",
+    "doc_repetition_ratio",
     "staleness_top1",
     "profile_branch_upsert",
     "anti_join_dedup",
