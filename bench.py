@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "host_distinct_hll",
     "link_hits",
     "cms_term_freq",
+    "doc_lm_perplexity",
 ]
 
 

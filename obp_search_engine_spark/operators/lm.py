@@ -1,0 +1,180 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+filter (Wenzek et al. 2020 rank Common Crawl text by KenLM perplexity;
+here the distributed analogue: an add-alpha-smoothed bigram LM trained
+with two Catalyst aggregations, scored with one join).
+
+The reference engine has no LM — this is a beyond-reference
+LLM-data-pipeline operator (SURVEY.md §2.11): at 100 TB the standard
+head/middle/tail split of a crawl corpus IS a perplexity threshold over
+a model exactly like this one.
+
+FP portability (the ranking.py recipe): per-doc log-prob terms are
+folded in POSITION order — Catalyst ``F.aggregate(array_sort(
+collect_list(struct(pos, t))), 0.0, +)`` equals DuckDB
+``list_reduce(list(t ORDER BY pos), (a, b) -> a + b)`` because
+``0.0 + x == x`` exactly — and the average is rounded to 6 decimals on
+both sides, so a probabilistic-looking score grades against an EXACT
+oracle.
+
+100 TB shape: training is two map-side-combined groupBys onto
+vocab-bounded tables (real corpora cap the vocab and route the tail to
+an UNK bucket before this step, keeping counts broadcast-able);
+scoring is a broadcast join per position plus one per-doc groupBy —
+no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from ..functions import textstats as ts
+
+BOS = "<s>"
+
+
+def bigram_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tokenize and explode to scored positions: ``(_doc, pos, ctx, w)``
+    with 1-based ``pos``, ``ctx`` = previous token (``<s>`` at pos 1).
+    Docs with no tokens (empty/whitespace text) produce no rows."""
+    t = docs.select(
+        F.col(id_col).alias("_doc"),
+        ts.nonempty_tokens_col(F.lower(F.col(text_col))).alias("_ts"),
+    ).filter(F.size("_ts") > 0)
+    p = t.select("_doc", "_ts", F.posexplode("_ts").alias("_p0", "w"))
+    return p.select(
+        "_doc",
+        (F.col("_p0") + 1).cast("long").alias("pos"),
+        F.when(F.col("_p0") == 0, F.lit(BOS))
+        .otherwise(F.element_at("_ts", F.col("_p0")))
+        .alias("ctx"),
+        "w",
+    )
+
+
+def train_bigram_lm(
+    positions: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Count model from :func:`bigram_positions` rows: ``(cnts(ctx, w,
+    c), ctxs(ctx, cc), vocab(v))``. Two shuffles onto vocab-bounded
+    tables with map-side partial aggregation; ``vocab`` is one row."""
+    cnts = positions.groupBy("ctx", "w").agg(F.count("*").alias("c"))
+    ctxs = positions.groupBy("ctx").agg(F.count("*").alias("cc"))
+    vocab = positions.agg(F.countDistinct("w").alias("v"))
+    return cnts, ctxs, vocab
+
+
+def score_avg_loglik(
+    positions: DataFrame,
+    cnts: DataFrame,
+    ctxs: DataFrame,
+    vocab: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc average log-likelihood under the add-``alpha`` bigram
+    model: ``(id_col, n_scored, avg_ll)`` with ``avg_ll = round(sum_pos
+    ln((c + a) / (cc + a*V)) / n_scored, 6)``. Unseen (ctx, w) pairs —
+    held-out scoring — coalesce to 0 counts, i.e. ``ln(a / (cc + a*V))``
+    back-off. Higher (closer to 0) = more probable = head quality;
+    perplexity is ``exp(-avg_ll)`` (:func:`perplexity_col`)."""
+    j = (
+        positions.join(F.broadcast(cnts), ["ctx", "w"], "left")
+        .join(F.broadcast(ctxs), "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    term = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(float(alpha)) * F.col("v"))
+    )
+    agg = j.select("_doc", "pos", term.alias("t")).groupBy("_doc").agg(
+        F.count("*").alias("n_scored"),
+        F.collect_list(F.struct("pos", "t")).alias("_terms"),
+    )
+    s = F.aggregate(
+        F.array_sort("_terms"), F.lit(0.0), lambda acc, x: acc + x["t"]
+    )
+    return agg.select(
+        F.col("_doc").alias(id_col),
+        "n_scored",
+        F.round(s / F.col("n_scored"), 6).alias("avg_ll"),
+    )
+
+
+def perplexity_col(avg_ll: Column) -> Column:
+    """Perplexity from the (rounded) average log-likelihood."""
+    return F.exp(-avg_ll)
+
+
+def score_perplexity(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end: train the bigram LM on ``train_docs`` (default: the
+    scored corpus itself, the self-perplexity used for head/tail
+    splits) and score every non-empty doc in ``docs``."""
+    pos = bigram_positions(docs, id_col=id_col, text_col=text_col)
+    tpos = (
+        pos
+        if train_docs is None
+        else bigram_positions(train_docs, id_col=id_col, text_col=text_col)
+    )
+    cnts, ctxs, vocab = train_bigram_lm(tpos)
+    return score_avg_loglik(
+        pos, cnts, ctxs, vocab, alpha=alpha, id_col=id_col
+    )
+
+
+def filter_by_avg_loglik(scored: DataFrame, min_avg_ll: float) -> DataFrame:
+    """Keep head-quality docs: ``avg_ll >= min_avg_ll`` (equivalently
+    perplexity <= exp(-min_avg_ll))."""
+    return scored.filter(F.col("avg_ll") >= F.lit(float(min_avg_ll)))
+
+
+def lm_oracle_sql(
+    docs_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB oracle for :func:`score_perplexity` (self-trained path).
+    Mirrors tokenization (trimmed lower \\s+ split, '' filtered),
+    1-based positions, BOS context, add-alpha arithmetic in DOUBLE, the
+    position-ordered ``list_reduce`` fold, and the 6-decimal round."""
+    a = float(alpha)
+    return rf"""
+    WITH toks AS (
+      SELECT {id_col} AS d,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS ts
+      FROM {docs_table}),
+    ne AS (SELECT * FROM toks WHERE len(ts) > 0),
+    pos AS (
+      SELECT d, unnest(generate_series(1, len(ts))) AS pos, ts FROM ne),
+    pw AS (
+      SELECT d, pos,
+             CASE WHEN pos = 1 THEN '{BOS}' ELSE ts[pos - 1] END AS ctx,
+             ts[pos] AS w
+      FROM pos),
+    cnts AS (SELECT ctx, w, count(*)::DOUBLE AS c FROM pw GROUP BY ctx, w),
+    ctxs AS (SELECT ctx, count(*)::DOUBLE AS cc FROM pw GROUP BY ctx),
+    v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM pw),
+    terms AS (
+      SELECT p.d, p.pos,
+             ln((COALESCE(cnts.c, 0) + {a}) /
+                (COALESCE(ctxs.cc, 0) + {a} * v.v)) AS t
+      FROM pw p
+      LEFT JOIN cnts ON cnts.ctx = p.ctx AND cnts.w = p.w
+      LEFT JOIN ctxs ON ctxs.ctx = p.ctx, v),
+    agg AS (
+      SELECT d, count(*)::BIGINT AS n_scored,
+             list_reduce(list(t ORDER BY pos), (a, b) -> a + b) AS s
+      FROM terms GROUP BY d)
+    SELECT d AS {id_col}, n_scored, round(s / n_scored, 6) AS avg_ll
+    FROM agg
+    """

@@ -2223,3 +2223,23 @@ def q_host_revisit_priority(spark, sf_dir):
         )
     )
     return scheduling.revisit_priority(rates, ages, host_col="source")
+
+
+from ..operators import lm  # noqa: E402
+
+
+@register(
+    "doc_lm_perplexity",
+    lm.lm_oracle_sql(),
+    "bigram-LM average log-likelihood per document (the CCNet-style "
+    "perplexity quality filter, Wenzek et al. 2020): add-0.5-smoothed "
+    "bigram model trained on the corpus itself with two vocab-bounded "
+    "groupBys, scored via broadcast join; per-doc ln-terms folded in "
+    "POSITION order (Catalyst aggregate over array_sort == DuckDB "
+    "list_reduce ORDER BY pos) and rounded to 6 decimals, so the "
+    "probabilistic score grades against an EXACT oracle. At 100 TB this "
+    "IS the head/middle/tail corpus split",
+)
+def q_doc_lm_perplexity(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm.score_perplexity(d)

@@ -133,9 +133,12 @@ GRADE_PRIORITY: list[str] = [
     # both r03-green, now tail
     "cms_term_freq",
     "host_revisit_priority",
+    # round 4 (cont. 7): bigram-LM perplexity quality filter (CCNet);
+    # slot from pii_redaction (r03-green; textstats family keeps
+    # lang_id_heuristic in-window)
+    "doc_lm_perplexity",
     # LLM-data-pipeline: text analysis
     "lang_id_heuristic",
-    "pii_redaction",
     # LLM-data-pipeline: dedup families (exact-groups entry rotated to
     # tail in cont. 6b; the md5-fingerprint grouping it grades is also
     # the first stage of the in-window curation_pipeline)
@@ -213,10 +216,12 @@ GRADE_PRIORITY: list[str] = [
     "domain_mix_resample",
     "contamination_screen",
     "ann_cosine_topk",
-    # rotated out in round 4 (cont. 6b) for the CMS / revisit-priority
-    # promotions — both r03-driver-green, still exact via check_oracle.py
+    # rotated out in round 4 (cont. 6b/7) for the CMS / revisit-priority
+    # / LM-perplexity promotions — all r03-driver-green, still exact via
+    # check_oracle.py
     "dedup_exact_groups",
     "doc_repetition_ratio",
+    "pii_redaction",
     "staleness_top1",
     "profile_branch_upsert",
     "anti_join_dedup",
