@@ -2243,3 +2243,99 @@ from ..operators import lm  # noqa: E402
 def q_doc_lm_perplexity(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return lm.score_perplexity(d)
+
+
+from ..operators import boilerplate, mirrors  # noqa: E402
+
+# The synthetic corpus has no newlines and no cross-host duplication, so
+# (crawl_trap_hosts pattern) the graded entries inject a deterministic
+# discriminating signal IDENTICALLY on both sides: md5-gated header/
+# footer lines for boilerplate, md5-selected mirrored hosts for mirrors.
+_BP_DOCS_CTE = """
+  SELECT doc_id::VARCHAR AS doc_id, source,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 4 != 0
+              THEN 'HDR ' || source || chr(10) || text || chr(10)
+                   || 'FTR ' || substr(md5(source), 1, 8)
+              ELSE 'HDR ' || source || chr(10) || text END AS text
+  FROM documents
+"""
+
+
+@register(
+    "host_boilerplate_lines",
+    boilerplate.boilerplate_oracle_sql(_BP_DOCS_CTE, min_pct=80, min_docs=3),
+    "per-host boilerplate line detection (the trafilatura/CCNet nav-bar"
+    "/footer strip): a line is boilerplate when >= 80% of the host's "
+    "docs carry it — ALL-INTEGER threshold (100*n_docs >= pct*host_docs)"
+    " so classification is bit-stable. Headers are injected in 100% of "
+    "docs (always detected), footers in an md5-gated ~75% (detected "
+    "only where a host's small-sample share crosses 80% — the "
+    "threshold does real work). One (host,line) shuffle, map-side "
+    "combined; per-host line cardinality bounded by page size",
+)
+def q_host_boilerplate_lines(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    hdr = F.concat(F.lit("HDR "), F.col("source"))
+    ftr = F.concat(
+        F.lit("FTR "), F.substring(F.md5(F.col("source")), 1, 8)
+    )
+    with_ftr = dedup.md5_32_col(F.col("doc_id")) % 4 != 0
+    text2 = F.when(
+        with_ftr,
+        F.concat(hdr, F.lit("\n"), F.col("text"), F.lit("\n"), ftr),
+    ).otherwise(F.concat(hdr, F.lit("\n"), F.col("text")))
+    d2 = d.select("doc_id", "source", text2.alias("text"))
+    return boilerplate.boilerplate_lines(d2, min_pct=80, min_docs=3)
+
+
+_MIRROR_DOCS_CTE = """
+  SELECT doc_id::VARCHAR AS doc_id, source, text FROM documents
+  UNION ALL
+  SELECT 'm-' || doc_id::VARCHAR, 'src1-mirror', text FROM documents
+  WHERE source = 'src1'
+  UNION ALL
+  SELECT 'p-' || doc_id::VARCHAR, 'src2-partial', text FROM documents
+  WHERE source = 'src2'
+    AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0
+"""
+
+
+@register(
+    "mirror_host_pairs",
+    mirrors.mirror_oracle_sql(
+        _MIRROR_DOCS_CTE, min_jaccard_pct=30, max_hosts_per_fp=64
+    ),
+    "mirror-host detection: host pairs whose distinct content-"
+    "fingerprint sets overlap at integer-Jaccard >= 30% — the host-"
+    "level lift of the reference's per-listing seen-set contract "
+    "(crawler/db/mysql.go:293), where a 10^10-URL crawl actually saves "
+    "budget (skip the mirrored SITE). Pair explode is per fingerprint "
+    "(quadratic in replication, not corpus size) with a stop-"
+    "fingerprint cap as the skew guard. Graded over documents + an "
+    "injected full mirror of src1 and an md5-chosen ~50% partial "
+    "mirror of src2: the full pair reads 100, the partial ~50, "
+    "everything else is below threshold",
+)
+def q_mirror_host_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    full = d.filter(F.col("source") == "src1").select(
+        F.concat(F.lit("m-"), F.col("doc_id")).alias("doc_id"),
+        F.lit("src1-mirror").alias("source"),
+        "text",
+    )
+    part = (
+        d.filter(F.col("source") == "src2")
+        .filter(dedup.md5_32_col(F.col("doc_id")) % 2 == 0)
+        .select(
+            F.concat(F.lit("p-"), F.col("doc_id")).alias("doc_id"),
+            F.lit("src2-partial").alias("source"),
+            "text",
+        )
+    )
+    d2 = d.unionByName(full).unionByName(part)
+    return mirrors.mirror_pairs(d2, min_jaccard_pct=30, max_hosts_per_fp=64)

@@ -104,9 +104,15 @@ GRADE_PRIORITY: list[str] = [
     # string_ops (function-surface entries, r03-green, now tail)
     "more_like_this",
     "search_snippets",
-    # streaming-shaped
-    "event_window_counts",
+    # streaming-shaped (event_window_counts r03-green, rotated to tail
+    # in cont. 7 — event_sessions keeps the streaming family in-window)
     "event_sessions",
+    # round 4 (cont. 7): host-level boilerplate detection and
+    # mirror-host pairs — the webtext preprocessing/budget operators;
+    # slots from event_window_counts and neardup_simhash (both
+    # r03-green, families still covered in-window)
+    "host_boilerplate_lines",
+    "mirror_host_pairs",
     # round 4 (cont. 5): pointer-doubling redirect resolution and the
     # max-min fair crawl-budget allocator — new exact-oracle crawl
     # operators; doc_token_stats (doc_quality_score covers the token/
@@ -167,7 +173,6 @@ GRADE_PRIORITY: list[str] = [
     # the slots they take
     "link_hits",
     "related_pages_cocitation",
-    "neardup_simhash",
     "classify_documents_nb",
     # LLM-data-pipeline: curation (components rotated to tail in round 4
     # cont. 6 — the composed pipeline below covers them in-window)
@@ -222,6 +227,8 @@ GRADE_PRIORITY: list[str] = [
     "dedup_exact_groups",
     "doc_repetition_ratio",
     "pii_redaction",
+    "neardup_simhash",
+    "event_window_counts",
     "staleness_top1",
     "profile_branch_upsert",
     "anti_join_dedup",
