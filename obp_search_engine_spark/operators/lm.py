@@ -55,14 +55,23 @@ def bigram_positions(
 
 
 def train_bigram_lm(
-    positions: DataFrame,
+    positions: DataFrame, materialize: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Count model from :func:`bigram_positions` rows: ``(cnts(ctx, w,
-    c), ctxs(ctx, cc), vocab(v))``. Two shuffles onto vocab-bounded
-    tables with map-side partial aggregation; ``vocab`` is one row."""
+    c), ctxs(ctx, cc), vocab(v))``. ONE corpus-wide shuffle (the
+    (ctx, w) groupBy, map-side combined onto a vocab^2-bounded table);
+    ``ctxs`` and ``vocab`` are derived from ``cnts`` — ``cc`` is the
+    sum of ``c`` over ``w`` and the vocab is the distinct ``w`` of
+    ``cnts`` — so they re-aggregate the tiny counts table instead of
+    re-exploding the corpus. ``materialize`` localCheckpoints ``cnts``
+    (vocab^2-bounded — tiny at any corpus scale) so its three consumers
+    (ctxs, vocab, the scoring join) share ONE corpus pass instead of
+    re-running the explode+shuffle each."""
     cnts = positions.groupBy("ctx", "w").agg(F.count("*").alias("c"))
-    ctxs = positions.groupBy("ctx").agg(F.count("*").alias("cc"))
-    vocab = positions.agg(F.countDistinct("w").alias("v"))
+    if materialize:
+        cnts = cnts.localCheckpoint(eager=False)
+    ctxs = cnts.groupBy("ctx").agg(F.sum("c").alias("cc"))
+    vocab = cnts.agg(F.countDistinct("w").alias("v"))
     return cnts, ctxs, vocab
 
 

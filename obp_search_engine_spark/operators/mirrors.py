@@ -45,11 +45,22 @@ def mirror_pairs(
     text_col: str = "text",
     min_jaccard_pct: int = 50,
     max_hosts_per_fp: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Host pairs with integer-Jaccard content overlap >=
     ``min_jaccard_pct``: ``(host_a, host_b, n_common, n_a, n_b,
-    jaccard_pct)``."""
+    jaccard_pct)``.
+
+    ``materialize`` localCheckpoints the distinct (host, fp) frame —
+    it is consumed four times (sizes, stop-fp counts, both self-join
+    sides), and without materialization each consumer re-scans and
+    re-distincts the corpus. The frame is one ~50-byte row per distinct
+    doc, far smaller than its input; on a cluster it lands in executor
+    storage, never the driver. Pass False to keep the plan lazy (e.g.
+    under a streaming source)."""
     hf = host_fingerprints(docs, host_col=host_col, text_col=text_col)
+    if materialize:
+        hf = hf.localCheckpoint(eager=False)
     sizes = hf.groupBy("host").agg(F.count("*").alias("n"))
     # stop-fingerprint cap: fingerprints on too many hosts are noise
     # (and the quadratic hazard) — count first, filter, then pair
