@@ -2339,3 +2339,67 @@ def q_mirror_host_pairs(spark, sf_dir):
     )
     d2 = d.unionByName(full).unionByName(part)
     return mirrors.mirror_pairs(d2, min_jaccard_pct=30, max_hosts_per_fp=64)
+
+
+from ..operators import urlmine  # noqa: E402
+
+# No URL column exists in the synthetic tables, so the graded entry
+# derives four deterministic URL families per document on BOTH sides:
+# a numeric-id article path ({n}), a hex item path ({h}), a two-level
+# calendar path with a session-id query (query stripped; the classic
+# trap shape), and one static page per host.
+_URLS_CTE = """
+  SELECT 'http://' || source || '.example/article/' || doc_id AS url
+  FROM documents
+  UNION ALL
+  SELECT 'http://' || source || '.example/item/'
+         || substr(md5(doc_id::VARCHAR), 1, 12) FROM documents
+  UNION ALL
+  SELECT 'http://' || source || '.example/cal/' || (doc_id % 12)
+         || '/' || (doc_id % 28) || '?sess='
+         || substr(md5(doc_id::VARCHAR || '~s'), 1, 16) FROM documents
+  UNION ALL
+  SELECT DISTINCT 'http://' || source || '.example/about' FROM documents
+"""
+
+
+@register(
+    "url_template_mining",
+    urlmine.url_template_oracle_sql(_URLS_CTE),
+    "URL path-template mining: URLs collapse to structural templates "
+    "(digit runs -> {n}, hex runs >= 8 -> {h}, query/fragment "
+    "stripped) counted per (host, template) — how an open-web frontier "
+    "detects calendars/session traps BEFORE fetching (the URL-space "
+    "generalization of crawl_trap_hosts). Pure-Catalyst regexp with "
+    "RE2-safe classes and DuckDB's explicit 'g' flag; one map-side-"
+    "combined groupBy, template cardinality bounded by site structure. "
+    "Graded over four deterministic URL families per doc",
+)
+def q_url_template_mining(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").alias("doc_num"),
+        "source",
+    )
+    base = F.concat(F.lit("http://"), F.col("source"), F.lit(".example"))
+    article = F.concat(base, F.lit("/article/"), F.col("doc_id"))
+    item = F.concat(
+        base, F.lit("/item/"), F.substring(F.md5(F.col("doc_id")), 1, 12)
+    )
+    cal = F.concat(
+        base,
+        F.lit("/cal/"),
+        (F.col("doc_num") % 12).cast("string"),
+        F.lit("/"),
+        (F.col("doc_num") % 28).cast("string"),
+        F.lit("?sess="),
+        F.substring(
+            F.md5(F.concat(F.col("doc_id"), F.lit("~s"))), 1, 16
+        ),
+    )
+    urls = d.select(
+        F.explode(F.array(article, item, cal)).alias("url")
+    ).unionByName(
+        d.select(F.concat(base, F.lit("/about")).alias("url")).distinct()
+    )
+    return urlmine.url_template_counts(urls)

@@ -77,8 +77,9 @@ GRADE_PRIORITY: list[str] = [
     # contract_type_filter (a simple equality filter, r03-green) rotates
     # to the tail
     "seeded_sample_md5",
-    # joins / aggregations / ordering
-    "top_tags",
+    # round 4 (cont. 7): URL path-template mining (trap detection
+    # before fetch) — slot from top_tags (A1/O5, r03-green)
+    "url_template_mining",
     # round 4 (cont. 5): temporal joins promoted (as-of via union+window,
     # bucketed range containment — exact native-DuckDB oracles, never
     # driver-graded); anti_join_dedup (J4, r03-green, the same anti-join
@@ -229,6 +230,7 @@ GRADE_PRIORITY: list[str] = [
     "pii_redaction",
     "neardup_simhash",
     "event_window_counts",
+    "top_tags",
     "staleness_top1",
     "profile_branch_upsert",
     "anti_join_dedup",
