@@ -57,8 +57,10 @@ def boilerplate_lines(
     with >= ``min_docs`` docs only). Integer threshold arithmetic."""
     lines = doc_lines(docs, id_col=id_col, host_col=host_col,
                       text_col=text_col)
+    # doc_lines is already distinct on (host, doc, line), so a plain
+    # count IS the distinct-doc count — no second dedup pass
     per_line = lines.groupBy("host", "line").agg(
-        F.countDistinct("doc").alias("n_docs")
+        F.count("*").alias("n_docs")
     )
     per_host = (
         docs.select(F.col(host_col).alias("host"), F.col(id_col).alias("doc"))
@@ -84,22 +86,24 @@ def strip_boilerplate(
     host_col: str = "source",
     text_col: str = "text",
 ) -> DataFrame:
-    """Remove detected boilerplate lines from each doc, preserving the
-    order of surviving lines (rejoined with newlines; all-boilerplate
-    docs keep an empty string). Broadcast the per-host boilerplate —
-    it's bounded by hosts x page-size, tiny relative to the corpus."""
+    """Remove detected boilerplate lines from each doc — and ONLY
+    those: a line goes iff its trimmed form is in the host's detected
+    set; every surviving line keeps its original whitespace, and blank
+    lines (paragraph boundaries — load-bearing for the downstream
+    LM/dedup operators) survive verbatim. All-boilerplate docs keep an
+    empty string. Broadcast the per-host boilerplate — it's bounded by
+    hosts x page-size, tiny relative to the corpus."""
     bp_sets = bp.groupBy(F.col(host_col).alias("_h")).agg(
         F.collect_set("line").alias("_bp")
     )
     j = docs.join(
         F.broadcast(bp_sets), docs[host_col] == F.col("_h"), "left"
     )
+    bp_arr = F.coalesce(F.col("_bp"), F.array().cast("array<string>"))
     kept = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
-        lambda s: (s != "")
-        & ~F.coalesce(
-            F.array_contains(F.coalesce(F.col("_bp"), F.array()), s),
-            F.lit(False),
+        F.split(F.col(text_col), "\n"),
+        lambda s: ~F.coalesce(
+            F.array_contains(bp_arr, F.trim(s)), F.lit(False)
         ),
     )
     return j.select(
@@ -125,7 +129,7 @@ def boilerplate_oracle_sql(
       FROM d),
     nz AS (SELECT DISTINCT host, doc, line FROM lines0 WHERE line != ''),
     per_line AS (
-      SELECT host, line, count(DISTINCT doc)::BIGINT AS n_docs
+      SELECT host, line, count(*)::BIGINT AS n_docs
       FROM nz GROUP BY host, line),
     per_host AS (
       SELECT {host_col} AS host, count(DISTINCT {id_col})::BIGINT AS host_docs

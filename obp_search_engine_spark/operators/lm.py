@@ -126,7 +126,13 @@ def score_perplexity(
 ) -> DataFrame:
     """End-to-end: train the bigram LM on ``train_docs`` (default: the
     scored corpus itself, the self-perplexity used for head/tail
-    splits) and score every non-empty doc in ``docs``."""
+    splits) and score every non-empty doc in ``docs``.
+
+    Raises ``ValueError`` on an empty/all-blank training corpus
+    (vocab 0): the smoothing denominator would be 0.0, and Spark's
+    non-ANSI division would silently emit NULL scores for every doc
+    (DuckDB's would emit inf — a parity break on top of a data bug).
+    The check is one job over the already-materialized counts table."""
     pos = bigram_positions(docs, id_col=id_col, text_col=text_col)
     tpos = (
         pos
@@ -134,6 +140,12 @@ def score_perplexity(
         else bigram_positions(train_docs, id_col=id_col, text_col=text_col)
     )
     cnts, ctxs, vocab = train_bigram_lm(tpos)
+    if vocab.first()["v"] == 0:
+        raise ValueError(
+            "bigram LM training corpus has no tokens (empty or "
+            "all-whitespace text) — refusing to score with a zero "
+            "smoothing denominator"
+        )
     return score_avg_loglik(
         pos, cnts, ctxs, vocab, alpha=alpha, id_col=id_col
     )

@@ -7,7 +7,10 @@ where a 10^10-URL crawl actually saves budget (skip the mirror, not
 just the page).
 
 Semantics: per host, the DISTINCT set of content fingerprints
-(md5(text)); for each host pair sharing at least one fingerprint,
+(md5(text)), with stop-capped fingerprints excluded from BOTH the
+intersection and the set sizes (a syndicated page carries no mirror
+signal, so it must not dilute the denominator either); for each host
+pair sharing at least one surviving fingerprint,
 ``jaccard_pct = 100 * |A ∩ B| div (|A| + |B| - |A ∩ B|)`` — integer
 division, so classification is bit-stable and exactly SQL-expressible.
 Pairs are emitted once (host_a < host_b lexicographically).
@@ -61,13 +64,17 @@ def mirror_pairs(
     hf = host_fingerprints(docs, host_col=host_col, text_col=text_col)
     if materialize:
         hf = hf.localCheckpoint(eager=False)
-    sizes = hf.groupBy("host").agg(F.count("*").alias("n"))
     # stop-fingerprint cap: fingerprints on too many hosts are noise
     # (and the quadratic hazard) — count first, filter, then pair
     fp_hosts = hf.groupBy("fp").agg(
         F.count("*").alias("nh")
     ).filter(F.col("nh") <= F.lit(int(max_hosts_per_fp)))
     kept = hf.join(fp_hosts.select("fp"), "fp")
+    # sizes from the KEPT frame, consistent with n_common: universally-
+    # shared (capped) pages carry no mirror signal, so they must not
+    # dilute the denominator either — two hosts whose unique content is
+    # fully mirrored read 100 even when buried under syndicated pages
+    sizes = kept.groupBy("host").agg(F.count("*").alias("n"))
     a = kept.select("fp", F.col("host").alias("host_a"))
     b = kept.select("fp", F.col("host").alias("host_b"))
     pairs = (
@@ -107,10 +114,10 @@ def mirror_oracle_sql(
     return f"""
     WITH d AS MATERIALIZED ({docs_sql}),
     hf AS (SELECT DISTINCT {host_col} AS host, md5({text_col}) AS fp FROM d),
-    sizes AS (SELECT host, count(*)::BIGINT AS n FROM hf GROUP BY host),
     fps AS (SELECT fp FROM hf GROUP BY fp
             HAVING count(*) <= {int(max_hosts_per_fp)}),
     kept AS (SELECT hf.* FROM hf JOIN fps USING (fp)),
+    sizes AS (SELECT host, count(*)::BIGINT AS n FROM kept GROUP BY host),
     pairs AS (
       SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS n_common
       FROM kept a JOIN kept b ON a.fp = b.fp AND a.host < b.host

@@ -210,15 +210,20 @@ def revisit_priority(
     upgrade of the reference's staleness-only recrawl clock
     (crawler/db/mysql.go:238 orders by ``lastUpdated`` alone).
 
-    Inputs: ``rates`` — (host, n_unchanged, n_changed, ...) from
-    :func:`operators.snapshots.change_rate`; ``ages`` — (host,
-    age_rounds) since last visit. Hosts missing from ``rates`` (never
-    diffed — e.g. first sighting) take change_pct 100, the
-    crawl-it-to-learn default.
+    Inputs: ``rates`` — (host, n_unchanged, n_changed[, n_gone,
+    n_new], ...) from :func:`operators.snapshots.change_rate`;
+    ``ages`` — (host, age_rounds) since last visit. Hosts missing from
+    ``rates`` (never diffed — e.g. first sighting) take change_pct
+    100, the crawl-it-to-learn default.
 
     Output: (host, age_rounds, change_pct, priority) with
-    ``change_pct = (100 * n_changed) div (n_unchanged + n_changed)``
-    (0 when no doc survived both snapshots) and
+    ``change_pct = (100 * n_changed) div (n_unchanged + n_changed)``.
+    When NO doc survived both snapshots, surviving-doc change is
+    undefined — if the rates frame carries churn columns (n_gone,
+    n_new) and the host had churn, it is FULL-turnover volatile and
+    reads 100 (a rotating-URL archive must not rank below a static
+    host); with no churn information (or a genuinely empty diff) it
+    reads 0. Then
     ``priority = age_rounds * (1 + change_pct)`` — all INTEGER
     arithmetic, so the ranking is bit-stable at any parallelism and
     exactly SQL-expressible; the +1 keeps staleness a tiebreaker for
@@ -229,9 +234,18 @@ def revisit_priority(
     (already aggregated) tables and a projection — no per-URL work.
     """
     both = F.col("n_unchanged") + F.col("n_changed")
-    pct = F.when(
-        both > 0, F.expr("(100 * n_changed) div (n_unchanged + n_changed)")
-    ).otherwise(F.lit(0))
+    has_churn_cols = {"n_gone", "n_new"}.issubset(set(rates.columns))
+    turnover = (
+        (F.col("n_gone") + F.col("n_new") > 0) if has_churn_cols else F.lit(False)
+    )
+    pct = (
+        F.when(
+            both > 0,
+            F.expr("(100 * n_changed) div (n_unchanged + n_changed)"),
+        )
+        .when(turnover, F.lit(100))
+        .otherwise(F.lit(0))
+    )
     r = rates.select(
         F.col(host_col).alias("host"), pct.cast("long").alias("change_pct")
     )

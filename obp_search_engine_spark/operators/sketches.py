@@ -222,6 +222,10 @@ def cms_registers(
     tiny matrix. Error bound: overcount only, ``<= e/width * total``
     with probability ``1 - e^-depth``.
     """
+    # fractional weights are truncated toward zero on BOTH sides (the
+    # oracle mirrors with trunc()::BIGINT — a bare ::BIGINT would
+    # round-half-away and break exact parity); integer weights pass
+    # through untouched
     w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
     rows = df.select(
         F.col(value_col).cast("string").alias("v"), w.alias("w")
@@ -300,7 +304,7 @@ def cms_oracle_sql(
     WITH src AS MATERIALIZED ({source_sql}),
     rows_ AS (
       SELECT unnest(range({depth})) AS row, ({value_expr})::VARCHAR AS v,
-             ({weight_expr})::BIGINT AS w
+             trunc({weight_expr})::BIGINT AS w
       FROM src),
     cells AS MATERIALIZED (
       SELECT row,

@@ -2139,9 +2139,12 @@ _TOKS_CTE = r"""
 )
 def q_cms_term_freq(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # one tokenize+explode pass shared by registers and candidates —
+    # Catalyst does not reuse the identical subtree (same finding that
+    # motivated the lm.py/mirrors.py materialization)
     toks = d.select(
         F.explode(ts.nonempty_tokens_col(F.lower(F.col("text")))).alias("term")
-    )
+    ).localCheckpoint(eager=False)
     regs = sketches.cms_registers(toks, "term", depth=4, width=64)
     cands = toks.distinct()
     return sketches.cms_estimate(regs, cands, "term", depth=4, width=64)
@@ -2168,11 +2171,14 @@ def q_cms_term_freq(spark, sf_dir):
           FROM j),
     agg AS (SELECT grp,
                    SUM((status = 'unchanged')::BIGINT) AS n_unchanged,
-                   SUM((status = 'changed')::BIGINT) AS n_changed
+                   SUM((status = 'changed')::BIGINT) AS n_changed,
+                   SUM((status = 'gone')::BIGINT) AS n_gone,
+                   SUM((status = 'new')::BIGINT) AS n_new
             FROM s GROUP BY grp),
     pct AS (SELECT grp,
                    CASE WHEN n_unchanged + n_changed > 0
                         THEN (100 * n_changed) // (n_unchanged + n_changed)
+                        WHEN n_gone + n_new > 0 THEN 100
                         ELSE 0 END AS change_pct
             FROM agg),
     ages AS (SELECT DISTINCT source,

@@ -86,13 +86,25 @@ def test_strip_boilerplate_roundtrip(spark):
     stripped = {r.doc_id: r.text for r in strip_boilerplate(df, bp).collect()}
     for doc, host, text in rows:
         want = [
-            s.strip()
+            s
             for s in text.split("\n")
-            if s.strip() and (host, s.strip()) not in bp_set
+            if (host, s.strip()) not in bp_set
         ]
         assert stripped[doc] == "\n".join(want)
     # body lines always survive
     assert all("body" in t or t == "" for t in stripped.values())
+
+
+def test_strip_preserves_blanks_and_indentation(spark):
+    rows = [(f"h/d{i}", "h.example", f"NAV h\n  para one {i}\n\n\tpara two {i}")
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    bp = boilerplate_lines(df, min_docs=3)
+    assert {(r.line,) for r in bp.collect()} == {("NAV h",)}
+    out = {r.doc_id: r.text for r in strip_boilerplate(df, bp).collect()}
+    # only the boilerplate line is gone; whitespace and the blank
+    # paragraph separator are untouched
+    assert out["h/d0"] == "  para one 0\n\n\tpara two 0"
 
 
 def test_boilerplate_matches_duckdb_oracle(spark):
@@ -122,14 +134,15 @@ def _py_mirrors(rows, min_pct=50, max_hosts=64):
         for fp in fps:
             fp_hosts[fp].add(h)
     keep = {fp for fp, hs in fp_hosts.items() if len(hs) <= max_hosts}
+    kept = {h: {f for f in fps if f in keep} for h, fps in hf.items()}
     hosts = sorted(hf)
     out = set()
     for i, a in enumerate(hosts):
         for b in hosts[i + 1 :]:
-            inter = len({f for f in hf[a] & hf[b] if f in keep})
+            inter = len(kept[a] & kept[b])
             if inter == 0:
                 continue
-            na, nb = len(hf[a]), len(hf[b])
+            na, nb = len(kept[a]), len(kept[b])
             j = (100 * inter) // (na + nb - inter)
             if j >= min_pct:
                 out.add((a, b, inter, na, nb, j))

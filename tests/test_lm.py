@@ -96,6 +96,15 @@ def test_empty_and_blank_docs_produce_no_rows(spark):
     assert {r.w for r in pos.collect()} == {"the", "cat", "dog"}
 
 
+def test_empty_training_corpus_raises(spark):
+    blank = spark.createDataFrame(
+        [("a", ""), ("b", " \t ")], "doc_id string, text string"
+    )
+    docs = spark.createDataFrame([("c", "the cat")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        score_perplexity(docs, train_docs=blank)
+
+
 def test_fold_is_parallelism_invariant(spark):
     docs = _rand_docs(random.Random(11), n=60)
     df = spark.createDataFrame(docs, "doc_id string, text string")
