@@ -201,3 +201,55 @@ def contamination_screen(
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("_g")).alias("n_shared_grams"))
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    group_key: Column,
+    pcts: list[int] | None = None,
+    names: list[str] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split assignment: adds a ``split``
+    column that is a pure function of ``group_key`` — every row sharing
+    the key lands in the SAME split, so passing a dedup-group key (the
+    md5 content fingerprint, or a near-dup cluster label from
+    ``graph.connected_components``) guarantees duplicates never
+    straddle the train/eval boundary. Plain-random row splits leak:
+    with ~10% exact-dup rate a 90/10 split puts a twin of ~1 in 10 eval
+    docs in training, and the eval is contaminated before a single
+    step.
+
+    ``pcts`` are INTEGER percents summing to 100 (default [90, 5, 5]);
+    the bucket is :func:`sample_bucket_col`'s md5 arithmetic scaled to
+    [0, 100), compared against cumulative integer edges — portable, no
+    FP, no RNG state. A Catalyst projection: no shuffle, no UDF; at
+    100 TB the split predicate evaluates at the scan.
+    """
+    pcts = [90, 5, 5] if pcts is None else pcts
+    names = ["train", "val", "test"] if names is None else names
+    if len(pcts) != len(names):
+        raise ValueError("pcts and names must align")
+    if sum(pcts) != 100 or any(p < 0 for p in pcts):
+        raise ValueError(f"integer pcts must sum to 100, got {pcts}")
+    bucket = sample_bucket_col(group_key, salt) % 100
+    expr, edge = None, 0
+    for name, p in zip(names, pcts):
+        edge += p
+        cond = bucket < edge
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn("split", expr)
+
+
+def split_oracle_case(key_expr: str, pcts: list[int], names: list[str],
+                      salt: str = "split") -> str:
+    """DuckDB CASE expression mirroring :func:`assign_splits`."""
+    b = (f"(('0x' || substr(md5(({key_expr})::VARCHAR || ':{salt}'), 1, 8))"
+         f"::BIGINT % 100)")
+    parts, edge = [], 0
+    for name, p in zip(names, pcts):
+        edge += p
+        parts.append(f"WHEN {b} < {edge} THEN '{name}'")
+    return "CASE " + " ".join(parts) + " END"

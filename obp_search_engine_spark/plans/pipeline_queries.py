@@ -2409,3 +2409,33 @@ def q_url_template_mining(spark, sf_dir):
         d.select(F.concat(base, F.lit("/about")).alias("url")).distinct()
     )
     return urlmine.url_template_counts(urls)
+
+
+from ..operators import curation as _cur  # noqa: E402
+
+_SPLIT_CASE = _cur.split_oracle_case(
+    "md5(text)", [90, 5, 5], ["train", "val", "test"]
+)
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    SELECT doc_id::VARCHAR AS doc_id, source, {_SPLIT_CASE} AS split
+    FROM documents
+    """,
+    "leakage-safe train/val/test assignment: split is a pure function "
+    "of the EXACT-DEDUP GROUP KEY (md5 of content), so duplicate docs "
+    "can never straddle the train/eval boundary — the contamination "
+    "mode a plain random row split bakes in. Integer md5 bucket "
+    "arithmetic against cumulative percent edges (90/5/5), a Catalyst "
+    "projection evaluated at the scan: no shuffle, no RNG state, "
+    "stable under re-runs and repartitioning. Near-dup-safe variant "
+    "passes graph.connected_components labels as the key (pytest)",
+)
+def q_leakage_safe_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    out = _cur.assign_splits(d, F.md5(F.col("text")))
+    return out.select("doc_id", "source", "split")

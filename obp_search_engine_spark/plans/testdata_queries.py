@@ -64,7 +64,10 @@ GRADE_PRIORITY: list[str] = [
     "crawl_round_metrics",
     "crawl_politeness_states",
     "window_dequeue",
-    "merge_upsert",
+    # round 4 (cont. 7): leakage-safe split assignment (dedup-group-
+    # keyed md5 split) — slot from merge_upsert (S10/S11, r03-green;
+    # profile_branch_upsert at tail carries the same upsert shape)
+    "leakage_safe_split",
     # round 4 (cont. 5): link-graph health + crawl-trap companions to
     # host_pagerank promoted (never driver-graded before); crawl_one_node /
     # staleness_top1 / profile_branch_upsert (r03-green, semantics covered
@@ -231,6 +234,7 @@ GRADE_PRIORITY: list[str] = [
     "neardup_simhash",
     "event_window_counts",
     "top_tags",
+    "merge_upsert",
     "staleness_top1",
     "profile_branch_upsert",
     "anti_join_dedup",
