@@ -2439,3 +2439,50 @@ def q_leakage_safe_split(spark, sf_dir):
     )
     out = _cur.assign_splits(d, F.md5(F.col("text")))
     return out.select("doc_id", "source", "split")
+
+
+# base corpus = md5-chosen 75% of documents; delta = the other 25%
+# (new docs); deletions = an md5-chosen tenth of the base. The merged
+# index must be ROW-IDENTICAL to a batch rebuild over
+# (base - deleted + delta) — the oracle IS that batch rebuild.
+_IDX_IN_DELTA = "('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 4 = 0"
+_IDX_DELETED = (
+    "('0x'||substr(md5(doc_id::VARCHAR || '~del'),1,8))::BIGINT % 10 = 0"
+)
+_IDX_MERGED_DOCS = f"""(
+  SELECT doc_id, text FROM documents
+  WHERE NOT ({_IDX_IN_DELTA}) AND NOT ({_IDX_DELETED})
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE {_IDX_IN_DELTA}
+) AS d"""
+
+
+@register(
+    "index_delta_merge",
+    ranking.inverted_index_oracle_sql(docs_table=_IDX_MERGED_DOCS),
+    "incremental inverted-index maintenance: fold a 25% delta batch "
+    "plus deletions into an existing index without rebuilding — "
+    "untouched terms pass through VERBATIM (broadcast anti-join, no "
+    "postings parsing), only affected terms explode and re-serialize, "
+    "so work scales with the DELTA's vocabulary. Graded as a theorem: "
+    "the merged index is row-identical to the batch rebuild over "
+    "(base - deleted + delta), which is exactly what the oracle "
+    "computes",
+)
+def q_index_delta_merge(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    in_delta = dedup.md5_32_col(F.col("doc_id").cast("string")) % 4 == 0
+    deleted_flag = (
+        dedup.md5_32_col(
+            F.concat(F.col("doc_id").cast("string"), F.lit("~del"))
+        )
+        % 10
+        == 0
+    )
+    base_docs = d.filter(~in_delta)
+    base_index = ranking.inverted_index(base_docs)
+    return ranking.merge_index_delta(
+        base_index,
+        delta_docs=d.filter(in_delta),
+        deleted_docs=base_docs.filter(deleted_flag),
+    )

@@ -143,12 +143,13 @@ GRADE_PRIORITY: list[str] = [
     # both r03-green, now tail
     "cms_term_freq",
     "host_revisit_priority",
-    # round 4 (cont. 7): bigram-LM perplexity quality filter (CCNet);
-    # slot from pii_redaction (r03-green; textstats family keeps
-    # lang_id_heuristic in-window)
+    # round 4 (cont. 7): bigram-LM perplexity quality filter (CCNet)
+    # and incremental inverted-index delta merge (graded merge==rebuild
+    # theorem); slots from pii_redaction and lang_id_heuristic (both
+    # r03-green — quality/repetition/pii keep the textstats family
+    # evidenced from the tail)
     "doc_lm_perplexity",
-    # LLM-data-pipeline: text analysis
-    "lang_id_heuristic",
+    "index_delta_merge",
     # LLM-data-pipeline: dedup families (exact-groups entry rotated to
     # tail in cont. 6b; the md5-fingerprint grouping it grades is also
     # the first stage of the in-window curation_pipeline)
@@ -235,6 +236,7 @@ GRADE_PRIORITY: list[str] = [
     "event_window_counts",
     "top_tags",
     "merge_upsert",
+    "lang_id_heuristic",
     "staleness_top1",
     "profile_branch_upsert",
     "anti_join_dedup",
