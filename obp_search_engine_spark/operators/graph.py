@@ -617,3 +617,125 @@ def cocitation_oracle_sql(
            FROM pairs)
     SELECT page, related, common, rnk::INT AS rnk FROM rk WHERE rnk <= {k}
     """
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: list[int],
+    iters: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = DEFAULT_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point integer TrustRank (Gyongyi, Garcia-Molina & Pedersen,
+    VLDB 2004): PageRank with the teleport restricted to a hand-vetted
+    trusted seed set, so trust flows OUT from the seeds along links and
+    spam farms — unreachable from good pages — starve. The standard
+    web-scale spam-demotion signal; pairs with :func:`pagerank` (global
+    authority) exactly as in the paper.
+
+    Same deterministic integer arithmetic as :func:`pagerank` (BIGINT
+    mass units, ``div`` truncation, bit-identical at any parallelism),
+    with two changes: the initial mass and the per-iteration teleport
+    ``base`` land ONLY on seed nodes (``init = scale div n_seeds``,
+    constants computed host-side since the seed set is an input, not a
+    corpus statistic). Seeds absent from the graph contribute nothing
+    on either engine. Exact oracle: :func:`trustrank_oracle_sql`'s
+    unrolled CTE chain.
+
+    100 TB shape: identical to pagerank — the degree-folded edge list
+    persists once, each iteration is one edges-to-ranks join + one
+    map-side-combined sum, lineage truncated per iteration.
+    """
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
+    if not seeds:
+        raise ValueError("trustrank needs a non-empty seed set")
+    sset = sorted(set(int(s) for s in seeds))
+    init = scale // len(sset)
+    base = ((den - num) * init) // den
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ew = e.join(
+        e.groupBy("src").agg(F.count("*").alias("deg")), "src"
+    ).persist()
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .union(ew.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("is_seed", F.col("node").isin(sset))
+        .persist()
+    )
+    nodes.count()
+    seed_mass = lambda amt: F.when(  # noqa: E731
+        F.col("is_seed"), F.lit(amt)
+    ).otherwise(F.lit(0))
+    ranks = nodes.select("node", seed_mass(init).cast("long").alias("rank"))
+    for i in range(iters):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr(f"({num} * rank) div ({den} * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            "is_seed",
+            (seed_mass(base) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        ).localCheckpoint(eager=True)
+    ew.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", "rank")
+
+
+def trustrank_oracle_sql(
+    edges_cte: str,
+    seeds: list[int],
+    iters: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`trustrank` (same shape as
+    :func:`pagerank_oracle_sql`; seed-gated init/base constants are
+    computed here, mirroring the operator)."""
+    num, den = damping
+    sset = sorted(set(int(s) for s in seeds))
+    init = scale // len(sset)
+    base = ((den - num) * init) // den
+    seed_list = ", ".join(str(s) for s in sset)
+    parts = [
+        f"WITH e0 AS ({edges_cte}),",
+        "e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),",
+        "ew AS (SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS deg FROM e1),",
+        "nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),",
+        f"r0 AS (SELECT node, CASE WHEN node IN ({seed_list})"
+        f" THEN {init} ELSE 0 END AS rank FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT ew.dst AS node,"
+            f" SUM(({num} * r.rank) // ({den} * ew.deg)) AS s"
+            f" FROM ew JOIN r{i - 1} r ON ew.src = r.node GROUP BY ew.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" (CASE WHEN nodes.node IN ({seed_list}) THEN {base} ELSE 0 END"
+            f" + COALESCE(c.s, 0))::BIGINT AS rank"
+            f" FROM nodes LEFT JOIN c{i} c ON c.node = nodes.node),"
+        )
+    parts.append(f"fin AS (SELECT * FROM r{iters})")
+    parts.append("SELECT node, rank FROM fin")
+    return "\n".join(parts)

@@ -2486,3 +2486,21 @@ def q_index_delta_merge(spark, sf_dir):
         delta_docs=d.filter(in_delta),
         deleted_docs=base_docs.filter(deleted_flag),
     )
+
+
+@register(
+    "link_trustrank",
+    graph.trustrank_oracle_sql(_PAGERANK_EDGES_CTE, seeds=[0, 1, 2]),
+    "fixed-point integer TrustRank (Gyongyi et al., VLDB 2004) from a "
+    "3-node trusted seed set over the md5-derived link graph: the "
+    "teleport lands ONLY on seeds, so trust flows out along links and "
+    "spam farms unreachable from good pages starve — the classic "
+    "web-scale spam-demotion signal, paired with host_pagerank exactly "
+    "as in the paper. Same BIGINT mass units / div truncation as "
+    "pagerank (bit-identical at any parallelism), exact unrolled-CTE "
+    "oracle",
+)
+def q_link_trustrank(spark, sf_dir):
+    return graph.trustrank(
+        _pagerank_edges(spark, sf_dir), seeds=[0, 1, 2]
+    )

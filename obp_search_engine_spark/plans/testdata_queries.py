@@ -74,8 +74,10 @@ GRADE_PRIORITY: list[str] = [
     # by the remaining crawl + merge_upsert entries) rotate to the tail
     "link_degree_hist",
     "crawl_trap_hosts",
-    # API-surface queries
-    "renest_listing",
+    # round 4 (cont. 7): TrustRank — seed-personalized spam-demotion
+    # companion to host_pagerank; slot from renest_listing (F13/F14,
+    # r03-green)
+    "link_trustrank",
     # round 4: the sampling family's exact-oracle variant takes this slot;
     # contract_type_filter (a simple equality filter, r03-green) rotates
     # to the tail
@@ -237,6 +239,7 @@ GRADE_PRIORITY: list[str] = [
     "top_tags",
     "merge_upsert",
     "lang_id_heuristic",
+    "renest_listing",
     "staleness_top1",
     "profile_branch_upsert",
     "anti_join_dedup",

@@ -14,6 +14,8 @@ from obp_search_engine_spark.operators.graph import (
     DEFAULT_SCALE,
     pagerank,
     pagerank_oracle_sql,
+    trustrank,
+    trustrank_oracle_sql,
 )
 
 
@@ -304,3 +306,68 @@ def test_resolve_redirects_oracle_matches_python_reference():
     )
     got = {u: (f, res) for u, f, res in duckdb.sql(sql).fetchall()}
     assert got == _py_resolve(edges, 4)
+
+
+# ---------------------------------------------------------------------------
+# trustrank
+# ---------------------------------------------------------------------------
+def _py_trustrank(edges, seeds, iters=5, num=85, den=100, scale=DEFAULT_SCALE):
+    e = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    sset = sorted(set(seeds))
+    init = scale // len(sset)
+    base = ((den - num) * init) // den
+    deg = {}
+    for a, _ in e:
+        deg[a] = deg.get(a, 0) + 1
+    r = {v: (init if v in sset else 0) for v in nodes}
+    for _ in range(iters):
+        nxt = {v: (base if v in sset else 0) for v in nodes}
+        for a, b in e:
+            nxt[b] += (num * r[a]) // (den * deg[a])
+        r = nxt
+    return r
+
+
+@pytest.mark.parametrize("seed", [6, 53])
+def test_trustrank_matches_python_reference(spark, seed):
+    edges = _rand_edges(random.Random(seed))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in trustrank(df, seeds=[0, 1, 2]).collect()}
+    assert got == _py_trustrank(edges, [0, 1, 2], iters=5)
+
+
+def test_trustrank_starves_unreachable_spam(spark):
+    # 0 -> 1 -> 2 is the trusted neighborhood; 10 <-> 11 is a spam farm
+    # with no path from any seed: its trust is exactly zero
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10), (10, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in trustrank(df, seeds=[0]).collect()}
+    assert got == _py_trustrank(edges, [0], iters=5)
+    assert got[10] == 0 and got[11] == 0
+    assert got[1] > 0 and got[2] > 0
+
+
+def test_trustrank_partitioning_invariant(spark):
+    edges = _rand_edges(random.Random(14), n_nodes=30, n_edges=90)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {tuple(r) for r in trustrank(df.repartition(1), seeds=[3, 4]).collect()}
+    b = {tuple(r) for r in trustrank(df.repartition(17), seeds=[3, 4]).collect()}
+    assert a == b
+
+
+def test_trustrank_oracle_matches_python_reference():
+    duckdb = pytest.importorskip("duckdb")
+    edges = _rand_edges(random.Random(33), n_nodes=25, n_edges=70)
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = trustrank_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)", seeds=[0, 5], iters=4
+    )
+    got = dict(duckdb.sql(sql).fetchall())
+    assert got == _py_trustrank(edges, [0, 5], iters=4)
+
+
+def test_trustrank_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="seed"):
+        trustrank(df, seeds=[])
