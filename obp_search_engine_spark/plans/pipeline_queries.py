@@ -2480,7 +2480,13 @@ def q_index_delta_merge(spark, sf_dir):
         == 0
     )
     base_docs = d.filter(~in_delta)
-    base_index = ranking.inverted_index(base_docs)
+    # in production the base index is a stored table read twice (the
+    # pass-through anti-join and the rebuild semi-join); materialize the
+    # synthetic one so the graded plan has the same shape instead of
+    # re-running the full index groupBy per consumer
+    base_index = ranking.inverted_index(base_docs).localCheckpoint(
+        eager=False
+    )
     return ranking.merge_index_delta(
         base_index,
         delta_docs=d.filter(in_delta),
