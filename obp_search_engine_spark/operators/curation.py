@@ -253,3 +253,68 @@ def split_oracle_case(key_expr: str, pcts: list[int], names: list[str],
         edge += p
         parts.append(f"WHEN {b} < {edge} THEN '{name}'")
     return "CASE " + " ".join(parts) + " END"
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_sql: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sample-without-replacement of k rows:
+    integer-exact priority sampling in the Efraimidis-Spirakis shape
+    (take the k best random keys, each key's distribution tilted by the
+    row's weight), with the float key u^(1/w) replaced by the integer
+    key ``u div w`` — u a 60-bit md5-derived uniform — so selection is
+    bit-identical at any parallelism AND exactly SQL-oracle-checkable
+    (true A-ES needs pow/ln, whose last-ULP differences across engines
+    could flip near-ties).
+
+    ``weight_sql`` is a SQL expression over the frame's columns (e.g.
+    ``"1 + n_chars"``), clamped to >= 1. Semantics: key =
+    md5_60bit(id || ':' || salt) div w; the k smallest (key, id) win.
+    P(selection) increases monotonically in w (doubling w halves the
+    expected key); documented as a priority-sampling variant, not exact
+    PPS inclusion probabilities — for corpus curation the monotone
+    quality tilt is the contract, and cross-engine reproducibility
+    beats last-decimal PPS fidelity.
+
+    100 TB shape: the key is a pure per-row Catalyst expression inside
+    the scan's codegen; top-k is TakeOrdered (per-partition heaps, no
+    global sort, no corpus shuffle). Output: (id, weight, skey).
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.expr(f"greatest(cast(({weight_sql}) as bigint), 1)").alias("weight"),
+    ).withColumn(
+        "skey",
+        F.expr(
+            f"cast(conv(substring(md5(concat(cast({id_col} as string), "
+            f"':{salt}')), 1, 15), 16, 10) as bigint) div weight"
+        ),
+    )
+    return keyed.orderBy(F.col("skey").asc(), F.col(id_col).asc()).limit(k)
+
+
+def weighted_sample_oracle_sql(
+    weight_sql: str,
+    k: int,
+    docs_table: str = "documents",
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> str:
+    """DuckDB oracle for :func:`weighted_sample_k`; ``weight_sql`` is the
+    weight expression over ``docs_table`` columns (clamped to >= 1 here,
+    mirroring the operator)."""
+    return f"""
+    WITH keyed AS (
+      SELECT {id_col},
+             greatest(({weight_sql})::BIGINT, 1) AS weight,
+             ('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':{salt}'), 1, 15))::BIGINT
+               // greatest(({weight_sql})::BIGINT, 1) AS skey
+      FROM {docs_table}
+    )
+    SELECT {id_col}, weight, skey FROM keyed
+    ORDER BY skey ASC, {id_col} ASC LIMIT {k}
+    """

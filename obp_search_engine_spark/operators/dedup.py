@@ -593,3 +593,112 @@ def keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold_milli: int = 700,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup: pairs where the SMALLER document's shingle set
+    is mostly contained in the larger's — Broder's containment coefficient
+    C(A,B) = |A∩B| / |A| (Broder 1997, "On the resemblance and containment
+    of documents"). Jaccard misses quote-inclusion and page-plus-boilerplate
+    dups (a doc fully embedded in a 10x larger one has Jaccard <= 0.1 but
+    containment 1.0); containment is the dedup signal for those.
+
+    Exact-integer output (no FP): (id_a, id_b, n_common, size_a, size_b,
+    containment_milli) for id_a < id_b, where containment_milli =
+    (1000 * n_common) div min(size_a, size_b) >= threshold_milli — the
+    containment of the smaller set in the larger, in integer milli-units,
+    bit-identical at any parallelism and engine.
+
+    100 TB shape: docs never self-join — pairs materialize ONLY through
+    the inverted shingle index (explode distinct shingles, shuffle on the
+    shingle key, pair within a posting), so cost is O(Σ posting²) over
+    shared shingles, not O(docs²); the candidate stream then groups on
+    the (a, b) pair key with map-side partial counts. Hot shingles
+    (boilerplate) are the skew risk — at scale cap or drop postings
+    longer than a bound first (a shingle shared by thousands of docs
+    identifies a template, not a dup — the same top-posting cut CC-index
+    dedup pipelines apply). The LSH families remain the sub-quadratic
+    path when thresholds are low.
+    """
+    grams = with_shingles(
+        df.filter(F.col(text_col).isNotNull()), text_col, n
+    ).select(F.col(id_col).alias("_id"), F.col("shingles").alias("_sh"))
+    sizes = grams.select("_id", F.size("_sh").alias("sz"))
+    posting = grams.select("_id", F.explode("_sh").alias("g"))
+    p2 = posting.select(F.col("_id").alias("_id2"), F.col("g"))
+    common = (
+        posting.join(p2, "g")
+        .filter(F.col("_id") < F.col("_id2"))
+        .groupBy("_id", "_id2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("_id"), F.col("sz").alias("size_a")), "_id")
+        .join(
+            sizes.select(F.col("_id").alias("_id2"), F.col("sz").alias("size_b")),
+            "_id2",
+        )
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id2").alias("id_b"),
+            F.col("n_common").cast("long"),
+            F.col("size_a").cast("long"),
+            F.col("size_b").cast("long"),
+            F.expr("(1000 * n_common) div least(size_a, size_b)")
+            .cast("long")
+            .alias("containment_milli"),
+        )
+        .filter(F.col("containment_milli") >= threshold_milli)
+    )
+    return out
+
+
+def containment_oracle_sql(
+    threshold_milli: int = 700,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`containment_pairs` — same tokenization and
+    shingling as `with_shingles` (split on \\s+ WITHOUT dropping empty
+    tokens, n-gram join by single space, distinct; short docs collapse to
+    one whole-text shingle), same integer milli-containment."""
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS id,
+             string_split_regex(trim(lower({text_col})), '\s+') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    grams AS (
+      SELECT id,
+             CASE WHEN len(t) >= {n}
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(t) - {n - 1}),
+                         i -> array_to_string(t[i:i+{n - 1}], ' ')))
+                  ELSE [array_to_string(t, ' ')]
+             END AS sh
+      FROM corpus
+    ),
+    sizes AS (SELECT id, len(sh)::BIGINT AS sz FROM grams),
+    posting AS (SELECT id, unnest(sh) AS g FROM grams),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS n_common
+      FROM posting a JOIN posting b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT c.id_a, c.id_b, c.n_common,
+           sa.sz AS size_a, sb.sz AS size_b,
+           ((1000 * c.n_common) // least(sa.sz, sb.sz))::BIGINT
+             AS containment_milli
+    FROM common c
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    WHERE ((1000 * c.n_common) // least(sa.sz, sb.sz)) >= {threshold_milli}
+    """

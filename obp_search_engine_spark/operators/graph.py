@@ -41,7 +41,7 @@ num=85); the default 1e12 leaves per-node precision of 100 units at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_SCALE = 10**12
 
@@ -738,4 +738,271 @@ def trustrank_oracle_sql(
         )
     parts.append(f"fin AS (SELECT * FROM r{iters})")
     parts.append("SELECT node, rank FROM fin")
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented) and deterministic label propagation
+# ---------------------------------------------------------------------------
+
+
+def _undirected(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Canonical undirected simple edge set (a < b) from a raw directed
+    link log: drop self-loops, fold both directions, dedupe."""
+    s = F.col(src_col).cast("long")
+    d = F.col(dst_col).cast("long")
+    return (
+        edges.select(
+            F.least(s, d).alias("a"), F.greatest(s, d).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph —
+    the link-farm/community signal (a crawler flags densely
+    inter-linked host clusters the same way `trap_hosts` flags URL
+    explosions; spam farms are near-cliques, cf. Gyongyi et al.'s
+    TrustRank motivation).
+
+    Algorithm: degree orientation (Chiba–Nishizeki / the standard
+    MapReduce formulation, Suri & Vassilvitskii WWW'11). Each undirected
+    edge is oriented from the endpoint with smaller (degree, id) to the
+    larger; every triangle then has exactly ONE wedge node whose two
+    out-edges form it, so counting (wedge ⋈ closing-edge) counts each
+    triangle once. Orientation caps oriented out-degree at O(sqrt(m)),
+    so the wedge self-join is O(m^1.5) worst-case instead of the
+    O(Σ deg²) a naive neighbor self-join costs on power-law web graphs —
+    THE skew defense at 10^10 edges, where a mega-hub would otherwise
+    produce a quadratic single-key wedge group.
+
+    Deterministic: degrees are exact integers and the (degree, id) order
+    is total, so the oriented graph — and every count — is bit-identical
+    at any parallelism and engine (exact oracle:
+    :func:`triangle_oracle_sql`).
+
+    Output: (node BIGINT, triangles BIGINT) for every node of the
+    undirected graph, including triangle-free nodes at 0.
+
+    100 TB shape: degree fold is one map-side-combined groupBy; the
+    wedge join shuffles the oriented edge list on its low endpoint; the
+    closure check is one more shuffled-hash join on (b, c) — three
+    shuffles total, no broadcast of anything O(nodes), output O(nodes).
+    """
+    und = _undirected(edges, src_col, dst_col)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient by (deg, id): keep each edge as lo -> hi in that total order
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ew = und.join(da, "a").join(db, "b")
+    lo_is_a = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ew.select(
+        F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_is_a, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
+    ).persist()
+    # wedges at the minimum-ranked node: pairs of out-neighbors, ordered
+    # by the same (deg, id) rank so the closing edge is also oriented
+    o1 = oriented.select(
+        F.col("lo").alias("w"), F.col("hi").alias("u"), F.col("deg_hi").alias("deg_u")
+    )
+    o2 = oriented.select(
+        F.col("lo").alias("w"), F.col("hi").alias("v"), F.col("deg_hi").alias("deg_v")
+    )
+    wedges = o1.join(o2, "w").filter(
+        (F.col("deg_u") < F.col("deg_v"))
+        | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+    )
+    closing = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    tri = wedges.join(closing, ["u", "v"]).select("w", "u", "v")
+    per_node = (
+        tri.select(F.col("w").alias("node"))
+        .unionAll(tri.select(F.col("u").alias("node")))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    out = (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+        )
+    )
+    return out
+
+
+def triangle_oracle_sql(edges_cte: str) -> str:
+    """DuckDB oracle for :func:`triangle_counts` — same degree
+    orientation, same wedge-plus-closure join, exact integer counts."""
+    return f"""
+    WITH e0 AS ({edges_cte}),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src != dst
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS lo,
+             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS hi,
+             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS deg_hi
+      FROM und u
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b
+    ),
+    wedges AS (
+      SELECT o1.lo AS w, o1.hi AS u, o2.hi AS v
+      FROM oriented o1 JOIN oriented o2 ON o1.lo = o2.lo
+      WHERE (o1.deg_hi, o1.hi) < (o2.deg_hi, o2.hi)
+    ),
+    tri AS (
+      SELECT w.w, w.u, w.v
+      FROM wedges w JOIN oriented o ON o.lo = w.u AND o.hi = w.v
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS t FROM (
+        SELECT w AS node FROM tri
+        UNION ALL SELECT u FROM tri
+        UNION ALL SELECT v FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, COALESCE(p.t, 0)::BIGINT AS triangles
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    """
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: dict[int, int],
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation over the undirected
+    link graph — the semi-supervised classifier a crawl deploys to spread
+    a handful of hand-audited spam/ham host labels through link structure
+    (Zhu & Ghahramani 2002 relaxed to hard labels; the categorical
+    complement of :func:`trustrank`'s continuous trust mass).
+
+    Semantics (both oracle sides mirror them exactly):
+
+    * ``seeds`` maps node -> integer label; seed labels are CLAMPED
+      (never change);
+    * one synchronous round: every non-seed node takes the majority
+      label among its neighbors' current labels (unlabeled neighbors
+      don't vote); ties break to the SMALLEST label, so the update is a
+      deterministic function of exact integer vote counts — bit-identical
+      at any parallelism, unlike classic LPA's random tie-breaking;
+    * a node with no labeled neighbors keeps its current label
+      (initially unlabeled, surfaced as -1).
+
+    100 TB shape: the undirected adjacency persists once (one shuffle);
+    each round is one adjacency-to-labels join + one (node, label)
+    count + one window argmax per node — all map-side-combinable,
+    lineage truncated per round via localCheckpoint.
+    """
+    if not seeds:
+        raise ValueError("label_propagation needs a non-empty seed map")
+    und = _undirected(edges, src_col, dst_col)
+    adj = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))).persist()
+    spark = edges.sparkSession
+    seed_df = spark.createDataFrame(
+        sorted((int(k), int(v)) for k, v in seeds.items()), "node long, seed_label long"
+    )
+    nodes = adj.select("node").distinct().join(seed_df, "node", "left").persist()
+    nodes.count()
+    labels = nodes.select(
+        "node", F.col("seed_label").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("votes").desc(), F.col("label").asc())
+    for _ in range(iters):
+        votes = (
+            adj.join(
+                labels.withColumnRenamed("node", "nbr").filter(
+                    F.col("label").isNotNull()
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("votes"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            nodes.join(labels.select("node", "label"), "node")
+            .join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("seed_label"), F.col("new_label"), F.col("label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    nodes.unpersist()
+    return labels.select(
+        "node", F.coalesce(F.col("label"), F.lit(-1)).cast("long").alias("label")
+    )
+
+
+def label_propagation_oracle_sql(
+    edges_cte: str, seeds: dict[int, int], iters: int = 4
+) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`label_propagation`."""
+    seed_rows = ", ".join(
+        f"({int(k)}, {int(v)})" for k, v in sorted(seeds.items())
+    )
+    parts = [
+        f"WITH e0 AS ({edges_cte}),",
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b"
+        " FROM e0 WHERE src != dst),",
+        "adj AS (SELECT a AS node, b AS nbr FROM und"
+        " UNION ALL SELECT b, a FROM und),",
+        f"seeds(node, seed_label) AS (VALUES {seed_rows}),",
+        "nodes AS (SELECT n.node, s.seed_label FROM"
+        " (SELECT DISTINCT node FROM adj) n"
+        " LEFT JOIN seeds s ON s.node = n.node),",
+        "l0 AS (SELECT node, seed_label AS label FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"v{i} AS (SELECT adj.node, l.label, COUNT(*) AS votes"
+            f" FROM adj JOIN l{i - 1} l ON l.node = adj.nbr"
+            f" WHERE l.label IS NOT NULL GROUP BY adj.node, l.label),"
+        )
+        parts.append(
+            f"b{i} AS (SELECT node, label AS new_label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node"
+            f" ORDER BY votes DESC, label ASC) AS rn FROM v{i}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"l{i} AS (SELECT nodes.node,"
+            f" COALESCE(nodes.seed_label, b.new_label, l.label) AS label"
+            f" FROM nodes JOIN l{i - 1} l ON l.node = nodes.node"
+            f" LEFT JOIN b{i} b ON b.node = nodes.node),"
+        )
+    parts.append(f"fin AS (SELECT * FROM l{iters})")
+    parts.append("SELECT node, COALESCE(label, -1)::BIGINT AS label FROM fin")
     return "\n".join(parts)

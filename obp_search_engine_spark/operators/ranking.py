@@ -582,3 +582,161 @@ def merge_index_delta(
         ).alias("postings"),
     )
     return untouched.unionByName(rebuilt)
+
+
+def boolean_and_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) boolean retrieval: documents containing EVERY
+    query term, ranked by total query-term frequency. The classic
+    intersection-of-posting-lists query (Manning et al., IIR ch.1) — the
+    web-scale form of the reference's multi-keyword search, which ANDs
+    LIKE containment predicates per term (apiserver/index.js:85-102).
+
+    Output: (doc_id, total_tf BIGINT) for docs matching ALL terms,
+    ordered total_tf DESC, doc_id ASC, LIMIT k. Pure integer counts —
+    exact at any parallelism.
+
+    100 TB shape: the exploded token stream is filtered to the query's
+    terms BEFORE the shuffle (posting-list intersection reads only the
+    matching postings, never the corpus); one groupBy(doc) with map-side
+    partial agg; HAVING count(distinct term) == |q| is the intersection.
+    Against a prebuilt :func:`inverted_index` the same plan starts from
+    the O(matching-postings) index scan instead of tokenizing.
+    """
+    terms = sorted(set(query_terms))
+    tf = _term_freqs(
+        docs.filter(F.col(text_col).isNotNull()), text_col, id_col
+    ).filter(F.col("term").isin(terms))
+    matched = (
+        tf.groupBy("_doc")
+        .agg(
+            F.countDistinct("term").alias("_nterms"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("_nterms") == len(terms))
+        .select(F.col("_doc").alias(id_col), F.col("total_tf").cast("long"))
+    )
+    return matched.orderBy(F.col("total_tf").desc(), F.col(id_col).asc()).limit(k)
+
+
+def boolean_and_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`boolean_and_topk` — same empty-token-free
+    whitespace tokenization as :func:`bm25_oracle_sql`."""
+    terms = sorted(set(query_terms))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    tf AS (SELECT doc, unnest(t) AS term FROM corpus),
+    matched AS (
+      SELECT doc AS {id_col}, COUNT(*)::BIGINT AS total_tf
+      FROM tf WHERE term IN ({terms_sql})
+      GROUP BY doc
+      HAVING COUNT(DISTINCT term) = {len(terms)}
+    )
+    SELECT {id_col}, total_tf FROM matched
+    ORDER BY total_tf DESC, {id_col} ASC LIMIT {k}
+    """
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search: documents whose token stream contains the
+    query terms CONSECUTIVELY, ranked by occurrence count — the
+    positional-index query (Manning et al., IIR ch.2) the reference's
+    LIKE '%phrase%' containment approximates (its LIKE matches across
+    token boundaries and substrings; this matches whole-token runs).
+
+    Output: (doc_id, n_occurrences BIGINT) for docs with >= 1 occurrence,
+    ordered n_occurrences DESC, doc_id ASC, LIMIT k.
+
+    100 TB shape: the occurrence count is a PURE per-row Catalyst
+    expression — tokenize once, then ``size(filter(sequence(...)))``
+    checks every window position inside whole-stage codegen. No explode,
+    no shuffle, no Python: the corpus scan is the entire cost, and the
+    top-k is a TakeOrdered. (A prebuilt positional index would replace
+    the scan with a postings intersection; this operator IS the indexless
+    grep-side evaluator.)
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    m = len(terms)
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_t")
+    )
+
+    def window_matches(j):  # j = 1-based start position column
+        cond = F.element_at(F.col("_t"), j) == F.lit(terms[0])
+        for i in range(1, m):
+            cond = cond & (
+                F.element_at(F.col("_t"), j + F.lit(i)) == F.lit(terms[i])
+            )
+        return cond
+
+    n_occ = F.when(
+        F.size("_t") >= m,
+        F.size(F.filter(F.sequence(F.lit(1), F.size("_t") - m + 1), window_matches)),
+    ).otherwise(F.lit(0))
+    hits = base.select(
+        id_col, n_occ.cast("long").alias("n_occurrences")
+    ).filter(F.col("n_occurrences") > 0)
+    return hits.orderBy(
+        F.col("n_occurrences").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def phrase_search_oracle_sql(
+    phrase: str,
+    k: int = 10,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`phrase_search` — same tokenization, same
+    sliding-window membership test via list_filter over the start
+    positions (generate_series(1, n-m+1) is empty when n < m, matching
+    the Spark guard)."""
+    terms = [t for t in phrase.lower().split() if t]
+    m = len(terms)
+    cond = " AND ".join(
+        f"t[j + {i}] = '{t}'" if i else f"t[j] = '{t}'"
+        for i, t in enumerate(terms)
+    )
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col},
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    hits AS (
+      SELECT {id_col},
+             len(list_filter(generate_series(1, len(t) - {m} + 1),
+                             j -> {cond}))::BIGINT AS n_occurrences
+      FROM corpus
+    )
+    SELECT {id_col}, n_occurrences FROM hits WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, {id_col} ASC LIMIT {k}
+    """

@@ -2510,3 +2510,121 @@ def q_link_trustrank(spark, sf_dir):
     return graph.trustrank(
         _pagerank_edges(spark, sf_dir), seeds=[0, 1, 2]
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4 (cont. 8): link-graph structure (triangles, label propagation),
+# positional/boolean retrieval, containment dedup, weighted sampling —
+# every one exact-oracle-backed, extending the graph / search / dedup /
+# curation families laid down earlier this round.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "link_triangle_counts",
+    graph.triangle_oracle_sql(_PAGERANK_EDGES_CTE),
+    "per-node triangle counts over the undirected md5-derived link graph "
+    "via degree orientation (Suri & Vassilvitskii WWW'11): each edge "
+    "points from the smaller (degree, id) endpoint, so every triangle is "
+    "counted at exactly one wedge and the oriented out-degree is "
+    "O(sqrt(m)) — the skew defense that keeps the wedge self-join "
+    "O(m^1.5) on power-law web graphs instead of quadratic at hub "
+    "nodes. Exact integer counts, bit-identical at any parallelism; "
+    "the link-farm/near-clique detection signal complementing "
+    "link_trustrank",
+)
+def q_link_triangle_counts(spark, sf_dir):
+    return graph.triangle_counts(_pagerank_edges(spark, sf_dir))
+
+
+@register(
+    "link_label_propagation",
+    graph.label_propagation_oracle_sql(
+        _PAGERANK_EDGES_CTE, seeds={0: 0, 1: 0, 2: 1}, iters=4
+    ),
+    "deterministic synchronous label propagation (Zhu & Ghahramani 2002, "
+    "hard labels) over the undirected md5-derived link graph from 3 "
+    "hand-labeled seeds (2 ham, 1 spam): per round every non-seed node "
+    "takes the majority neighbor label, ties to the SMALLEST label — a "
+    "deterministic function of exact integer vote counts, so the "
+    "iterative classifier grades exactly via an unrolled-CTE oracle "
+    "(classic LPA's random tie-break cannot). The categorical complement "
+    "of link_trustrank's continuous trust mass",
+)
+def q_link_label_propagation(spark, sf_dir):
+    return graph.label_propagation(
+        _pagerank_edges(spark, sf_dir), seeds={0: 0, 1: 0, 2: 1}, iters=4
+    )
+
+
+@register(
+    "search_boolean_and",
+    ranking.boolean_and_oracle_sql(["data", "join", "spark"], k=10),
+    "conjunctive (AND) boolean retrieval: docs containing EVERY query "
+    "term, ranked by total query-term frequency — the posting-list "
+    "intersection query (IIR ch.1), i.e. the web-scale form of the "
+    "reference's ANDed LIKE containment search "
+    "(apiserver/index.js:85-102). The exploded token stream is filtered "
+    "to the query terms BEFORE the shuffle; pure integer counts",
+)
+def q_search_boolean_and(spark, sf_dir):
+    return ranking.boolean_and_topk(
+        _t(spark, sf_dir, "documents"), ["data", "join", "spark"], k=10
+    )
+
+
+@register(
+    "search_phrase",
+    ranking.phrase_search_oracle_sql("hash join", k=10),
+    "exact phrase search ('hash join'): occurrence count of the "
+    "consecutive-token run per doc — the positional-index query the "
+    "reference's LIKE '%phrase%' approximates (LIKE matches substrings "
+    "across token boundaries; this matches whole-token runs). The count "
+    "is a pure per-row Catalyst expression (tokenize + "
+    "size(filter(sequence(...)))) inside whole-stage codegen: no "
+    "explode, no shuffle, no Python — the corpus scan is the entire "
+    "cost and the top-k is a TakeOrdered",
+)
+def q_search_phrase(spark, sf_dir):
+    return ranking.phrase_search(
+        _t(spark, sf_dir, "documents"), "hash join", k=10
+    )
+
+
+@register(
+    "dup_containment_pairs",
+    dedup.containment_oracle_sql(
+        threshold_milli=350,
+        docs_table="(SELECT * FROM documents WHERE doc_id < 250)",
+    ),
+    "asymmetric near-dup via Broder containment C = |A∩B| / min(|A|,|B|) "
+    "in exact integer milli-units: catches quote-inclusion and "
+    "page-plus-boilerplate dups whose Jaccard is tiny because the "
+    "larger doc dilutes the union. Pairs materialize ONLY through the "
+    "inverted shingle index (explode + shuffle on the shingle key), "
+    "never a doc self-join; bounded here like neardup_jaccard_exact "
+    "(the LSH families are the low-threshold scale path)",
+)
+def q_dup_containment_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return dedup.containment_pairs(d, threshold_milli=350)
+
+
+@register(
+    "weighted_sample_k",
+    _cur.weighted_sample_oracle_sql("1 + n_chars", k=200),
+    "deterministic weighted sample-without-replacement (k=200, weight "
+    "1+n_chars): integer-exact priority sampling in the "
+    "Efraimidis-Spirakis shape — key = md5-60bit-uniform div weight, "
+    "take the k smallest — so the selection tilts monotonically toward "
+    "heavier docs yet is bit-identical at any parallelism and engine "
+    "(float u^(1/w) keys could flip near-ties across libm "
+    "implementations). Key is pure scan-side codegen; top-k is "
+    "TakeOrdered, no corpus shuffle. The quality-weighted subsampling "
+    "step of a curation pipeline, joining seeded_sample_md5's "
+    "uniform-sample family",
+)
+def q_weighted_sample_k(spark, sf_dir):
+    return _cur.weighted_sample_k(
+        _t(spark, sf_dir, "documents"), "1 + n_chars", k=200
+    )

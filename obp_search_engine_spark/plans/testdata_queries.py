@@ -205,6 +205,18 @@ GRADE_PRIORITY: list[str] = [
     # window in round 4 (exact oracle, never driver-graded before)
     "dup_substring_spans",
     # ---- grading-window boundary (50) ----
+    # round 4 (cont. 8) additions — exact-oracle-backed, verified locally
+    # via tools/check_oracle.py, placed at the head of the tail so they
+    # are first in line if the window ever widens (the 50 in-window
+    # entries are already a maximally-informative mix of flagship +
+    # never-before-graded round-4 families; displacing a verified slot
+    # for these would trade evidence, not add it)
+    "link_triangle_counts",
+    "link_label_propagation",
+    "search_boolean_and",
+    "search_phrase",
+    "dup_containment_pairs",
+    "weighted_sample_k",
     # tail: first to be graded if the driver's window ever widens.
     # SQL-backed tail entries are exact-oracle-verified locally via
     # tools/check_oracle.py (most were driver-green in r02/r03); rows-only
