@@ -73,6 +73,17 @@ BENCH_QUERIES = [
     "link_hits",
     "cms_term_freq",
     "doc_lm_perplexity",
+    # round-4 (cont. 8) additions: graph structure (triangles, k-core,
+    # label prop), retrieval (boolean AND, phrase), weighted sampling,
+    # rendezvous sharding, df-pruned index
+    "link_triangle_counts",
+    "link_kcore",
+    "link_label_propagation",
+    "search_boolean_and",
+    "search_phrase",
+    "weighted_sample_k",
+    "shard_rendezvous",
+    "index_df_pruned",
 ]
 
 

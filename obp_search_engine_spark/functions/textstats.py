@@ -167,3 +167,36 @@ def prefix_fingerprint_col(text: Column, n_tokens: int = 8) -> Column:
     group boilerplate-led documents)."""
     toks = tokens_col(F.lower(text))
     return F.md5(F.array_join(F.slice(toks, 1, n_tokens), " "))
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Web-text normalization, the pre-tokenization cleanup every corpus
+    pipeline runs (CCNet/C4 do the same three in spirit):
+
+    1. **dehyphenation** — ``-`` at a line break rejoins the split word
+       (``auto-\\nmatic`` -> ``automatic``), the classic PDF/print
+       extraction artifact;
+    2. **control-char strip** — C0 controls (except tab/newline/CR,
+       which are whitespace) become spaces;
+    3. **whitespace collapse** — runs of space/tab/CR/LF fold to one
+       space, ends trimmed.
+
+    Pure Catalyst regexp_replace chain, RE2-safe explicit classes (no
+    ``\\s``/``\\d`` shorthands — Java/RE2 divergence), portable to
+    DuckDB with the explicit ``'g'`` flag (Spark replaces all matches by
+    default; DuckDB only with the flag). Order matters and is part of
+    the contract: dehyphenate BEFORE the collapse (the collapse would
+    turn the line break into a space and strand the hyphen).
+    """
+    t = F.regexp_replace(text, "-[\r\n]+[ \t]*", "")
+    t = F.regexp_replace(t, "[\x00-\x08\x0b\x0c\x0e-\x1f]", " ")
+    t = F.regexp_replace(t, "[ \t\r\n]+", " ")
+    return F.trim(t)
+
+
+NORMALIZE_TEXT_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace({col}, "
+    "'-[\\r\\n]+[ \\t]*', '', 'g'), "
+    "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', ' ', 'g'), "
+    "'[ \\t\\r\\n]+', ' ', 'g'))"
+)

@@ -1006,3 +1006,153 @@ def label_propagation_oracle_sql(
     parts.append(f"fin AS (SELECT * FROM l{iters})")
     parts.append("SELECT node, COALESCE(label, -1)::BIGINT AS label FROM fin")
     return "\n".join(parts)
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    peels: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling over the undirected simple graph: repeatedly delete
+    nodes of degree < k (``peels`` synchronous rounds), returning the
+    survivors with their degree inside the surviving subgraph — the dense
+    core extraction of Seidman 1983 / Batagelj-Zaversnik. Link farms and
+    tightly-woven template networks live in high-k cores while genuine
+    editorial pages rarely exceed small k: the coarse dual of
+    :func:`triangle_counts` (cores are cheap where triangle joins are
+    hot), and the standard first cut for "which hosts deserve graph-rank
+    budget".
+
+    ``peels`` bounds the rounds (a fixed-depth operator grades exactly;
+    full convergence just means running until a round deletes nothing —
+    at web scale peels≈10 reaches the fixpoint on real degree
+    distributions because each round removes whole degree-layers).
+    Deterministic: degree thresholds on exact integer counts.
+
+    Output: (node BIGINT, degree BIGINT) for nodes still alive after
+    ``peels`` rounds, degree measured in the surviving subgraph.
+
+    100 TB shape: each round is one map-side-combined degree count + one
+    semi-join of the edge list against surviving nodes (both endpoints) —
+    2 shuffles/round on the edge key, nothing O(nodes) on the driver,
+    lineage truncated per round.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = _undirected(edges, src_col, dst_col)
+    g = und.localCheckpoint(eager=True)
+    for _ in range(peels):
+        deg = (
+            g.select(F.col("a").alias("node"))
+            .unionAll(g.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        g = (
+            g.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        g.select(F.col("a").alias("node"))
+        .unionAll(g.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+
+
+def kcore_oracle_sql(edges_cte: str, k: int, peels: int = 4) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`kcore_nodes`."""
+    parts = [
+        f"WITH e0 AS ({edges_cte}),",
+        "g0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b"
+        " FROM e0 WHERE src != dst),",
+    ]
+    for i in range(1, peels + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, COUNT(*) AS degree FROM ("
+            f"SELECT a AS node FROM g{i - 1} UNION ALL SELECT b FROM g{i - 1}"
+            f") GROUP BY node),"
+        )
+        parts.append(
+            f"k{i} AS (SELECT node FROM d{i} WHERE degree >= {k}),"
+        )
+        parts.append(
+            f"g{i} AS (SELECT g.a, g.b FROM g{i - 1} g"
+            f" JOIN k{i} ka ON ka.node = g.a"
+            f" JOIN k{i} kb ON kb.node = g.b),"
+        )
+    parts.append(
+        f"fin AS (SELECT node, COUNT(*)::BIGINT AS degree FROM ("
+        f"SELECT a AS node FROM g{peels} UNION ALL SELECT b FROM g{peels}"
+        f") GROUP BY node)"
+    )
+    parts.append(f"SELECT node, degree FROM fin WHERE degree >= {k}")
+    return "\n".join(parts)
+
+
+def reciprocity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-source reciprocity of the directed link graph: how many of a
+    node's out-links point back — (node, n_out, n_recip, recip_milli)
+    with recip_milli = (1000 * n_recip) div n_out in exact integer
+    milli-units. Organic linking is mostly one-way (reciprocity of the
+    web graph is low); near-total reciprocity across a set of hosts is
+    the signature of a link-exchange ring — the classic pre-TrustRank
+    spam heuristic, and a cheap one: it needs no iteration at all.
+
+    100 TB shape: the deduped edge list self-joins once on the reversed
+    key (shuffled-hash on (dst, src) vs (src, dst) — an equi-join, no
+    explosion: output <= input), then one map-side-combined groupBy(src).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.intersect(rev)  # edges whose reverse also exists
+    out = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("n_out"))
+        .join(
+            recip.groupBy("src").agg(F.count("*").alias("n_recip")),
+            "src",
+            "left",
+        )
+        .select(
+            F.col("src").alias("node"),
+            F.col("n_out").cast("long"),
+            F.coalesce(F.col("n_recip"), F.lit(0)).cast("long").alias("n_recip"),
+            F.expr("(1000 * coalesce(n_recip, 0)) div n_out")
+            .cast("long")
+            .alias("recip_milli"),
+        )
+    )
+    return out
+
+
+def reciprocity_oracle_sql(edges_cte: str) -> str:
+    """DuckDB oracle for :func:`reciprocity`."""
+    return f"""
+    WITH e0 AS ({edges_cte}),
+    e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+    recip AS (
+      SELECT e.src, e.dst FROM e1 e
+      JOIN e1 r ON r.src = e.dst AND r.dst = e.src
+    ),
+    n_out AS (SELECT src, COUNT(*) AS n_out FROM e1 GROUP BY src),
+    n_rec AS (SELECT src, COUNT(*) AS n_recip FROM recip GROUP BY src)
+    SELECT o.src AS node, o.n_out::BIGINT AS n_out,
+           COALESCE(r.n_recip, 0)::BIGINT AS n_recip,
+           ((1000 * COALESCE(r.n_recip, 0)) // o.n_out)::BIGINT AS recip_milli
+    FROM n_out o LEFT JOIN n_rec r ON r.src = o.src
+    """

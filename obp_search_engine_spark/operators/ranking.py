@@ -740,3 +740,61 @@ def phrase_search_oracle_sql(
     SELECT {id_col}, n_occurrences FROM hits WHERE n_occurrences > 0
     ORDER BY n_occurrences DESC, {id_col} ASC LIMIT {k}
     """
+
+
+def prune_index_by_df(
+    docs: DataFrame,
+    max_df_pct: int = 20,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dynamic-stopword index pruning: rebuild the inverted index keeping
+    only terms whose document frequency sits inside
+    ``min_df <= df <= (max_df_pct% of N)``. Corpus-derived stopword cuts
+    (Luhn 1958's "resolving power" band) beat a fixed stopword list on
+    web text — template words, boilerplate navigation, and per-language
+    function words all surface as high-df terms automatically, and
+    hapaxes (df < min_df) bloat the term dictionary while never matching
+    a multi-term query usefully.
+
+    Output: the surviving (term, df_docs, total_tf, postings) rows of
+    :func:`inverted_index`, plus nothing else — i.e. the index you would
+    actually serve. The df band is computed from exact integer counts
+    (the N threshold is ``(N * max_df_pct) div 100``), so the cut is
+    bit-identical at any parallelism.
+
+    100 TB shape: identical to :func:`inverted_index` (the df filter is
+    a HAVING on the already-grouped term row — no extra shuffle, no
+    second corpus pass); the pruned index is strictly smaller, hot
+    template terms being exactly the rows dropped — the same skew the
+    shard_size knob otherwise has to absorb.
+    """
+    corpus = docs.filter(F.col(text_col).isNotNull())
+    n_docs = corpus.count()
+    max_df = (n_docs * max_df_pct) // 100
+    idx = inverted_index(corpus, text_col=text_col, id_col=id_col)
+    return idx.filter(
+        (F.col("df_docs") >= min_df) & (F.col("df_docs") <= max_df)
+    )
+
+
+def prune_index_oracle_sql(
+    max_df_pct: int = 20,
+    min_df: int = 2,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`prune_index_by_df`."""
+    base = inverted_index_oracle_sql(
+        docs_table=docs_table, text_col=text_col, id_col=id_col, min_df=1
+    )
+    return f"""
+    WITH idx AS ({base}),
+    n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM {docs_table}
+          WHERE {text_col} IS NOT NULL)
+    SELECT idx.* FROM idx, n
+    WHERE idx.df_docs >= {int(min_df)}
+      AND idx.df_docs <= (n.n_docs * {int(max_df_pct)}) // 100
+    """

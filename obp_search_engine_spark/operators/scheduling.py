@@ -261,3 +261,90 @@ def revisit_priority(
         cp.alias("change_pct"),
         (F.col("age_rounds") * (F.lit(1) + cp)).cast("long").alias("priority"),
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "rdv",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998): each key goes to the shard with the highest
+    md5-derived score — the assignment scheme whose defining property is
+    MINIMAL MOVEMENT under resharding (adding shard S+1 relocates only
+    the keys whose new score wins, ~1/(S+1) of them; modulo hashing
+    relocates nearly everything). This is how the sharded artifacts this
+    engine builds — seen-set partitions, inverted-index shards, ANN
+    buckets — get pinned to executors/servers without a coordination
+    service.
+
+    Output: (key, shard INT) — deterministic, engine-portable (scores
+    are the md5_32 pattern), and a pure per-row Catalyst expression:
+    the argmax over ``n_shards`` scores unrolls into a ``greatest``
+    comparison chain inside whole-stage codegen — no explode, no
+    shuffle, no per-row Python.
+
+    ``n_shards`` is bounded (an expression per shard): fine for the
+    tens-to-hundreds of physical shards rendezvous is used for; use
+    bucketed partitioning for data-partition counts beyond that.
+    """
+    if not (1 <= n_shards <= 512):
+        raise ValueError("n_shards must be in [1, 512]")
+    key = F.col(key_col).cast("string")
+
+    def score(s: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(key, F.lit(f":{salt}:{s}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    # linear-size argmax: array_max over (score, -shard) structs compares
+    # lexicographically, so the winner is the highest score with ties to
+    # the LOWEST shard id. (A chained when(score > best) fold would
+    # reference the previous best twice per level — an exponentially
+    # growing expression tree that stalls Catalyst analysis beyond ~12
+    # shards.)
+    winner = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    score(s).alias("score"),
+                    F.lit(-s).cast("int").alias("neg_shard"),
+                )
+                for s in range(n_shards)
+            ]
+        )
+    )
+    return df.select(
+        F.col(key_col), (-winner.getField("neg_shard")).cast("int").alias("shard")
+    )
+
+
+def rendezvous_oracle_sql(
+    n_shards: int,
+    table: str = "documents",
+    key_col: str = "doc_id",
+    salt: str = "rdv",
+) -> str:
+    """DuckDB oracle for :func:`rendezvous_assign` — the same md5 scores,
+    argmax expressed as a window rank over the unnested shard list (ties
+    to the LOWER shard id, mirroring the operator's strict > update)."""
+    return f"""
+    WITH scored AS (
+      SELECT {key_col}, s,
+             ('0x' || substr(md5(CAST({key_col} AS VARCHAR)
+                             || ':{salt}:' || s), 1, 8))::BIGINT AS score
+      FROM {table}, unnest(generate_series(0, {int(n_shards) - 1})) AS t(s)
+    ),
+    ranked AS (
+      SELECT {key_col}, s,
+             ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                ORDER BY score DESC, s ASC) AS rn
+      FROM scored
+    )
+    SELECT {key_col}, s::INT AS shard FROM ranked WHERE rn = 1
+    """

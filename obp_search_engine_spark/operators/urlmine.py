@@ -92,3 +92,117 @@ def url_template_oracle_sql(urls_sql: str, url_col: str = "url") -> str:
            count(DISTINCT u2)::BIGINT AS n_urls
     FROM t GROUP BY 1, 2
     """
+
+
+def sitemap_loc_urls(
+    sitemaps: DataFrame, xml_col: str = "xml", host_col: str = "host"
+) -> DataFrame:
+    """Extract ``<loc>`` URLs from sitemap XML documents — the
+    seed-discovery channel robots.txt points a crawler at (sitemaps.org
+    protocol; the reference crawls a closed peer list and never parses
+    one, but an open-web frontier bootstraps from exactly this).
+
+    One output row per <loc> entry: (host, url, pos) with pos the
+    1-based position of the entry inside its sitemap — position is what
+    a scheduler keys on when a sitemap is larger than its fetch budget
+    (the protocol orders entries by site-declared importance).
+
+    Parsing is ``regexp_extract_all`` with an RE2-safe pattern
+    (``<loc>[^<]*</loc>`` — no lazy quantifiers, whose semantics differ
+    across regex engines) + ``posexplode``: pure Catalyst, portable to
+    DuckDB verbatim, no XML library and no Python in the hot path. Real
+    sitemap.xml.gz bodies arrive as the pages table's binary column and
+    decompress in the same Arrow UDF stage as text extraction; the
+    parse itself stays JVM-side.
+
+    100 TB shape: per-row expression inside the scan's codegen (a
+    sitemap row explodes to <= 50k locs by protocol cap); no shuffle at
+    all until the caller joins the discovered URLs against the seen-set.
+    """
+    locs = F.regexp_extract_all(
+        F.col(xml_col), F.lit("<loc>([^<]*)</loc>"), 1
+    )
+    return sitemaps.select(
+        F.col(host_col), F.posexplode(locs).alias("pos0", "url")
+    ).select(
+        host_col,
+        F.col("url"),
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+    )
+
+
+def sitemap_oracle_sql(sitemaps_cte: str) -> str:
+    """DuckDB oracle for :func:`sitemap_loc_urls`; ``sitemaps_cte`` must
+    yield (host, xml)."""
+    return f"""
+    WITH sm AS ({sitemaps_cte}),
+    ex AS (
+      SELECT host,
+             regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS locs
+      FROM sm
+    )
+    SELECT host, locs[p] AS url, p::BIGINT AS pos
+    FROM ex, unnest(generate_series(1, len(locs))) AS t(p)
+    """
+
+
+# multi-part public suffixes recognized by the PSL-lite extractor below.
+# A production deployment loads the full publicsuffix.org list (a few
+# thousand rows, broadcast); the ALGORITHM — longest-known-suffix match,
+# registrable domain = suffix + one label — is what this implements.
+MULTI_SUFFIXES = ("co.uk", "com.au", "co.jp", "github.io")
+
+
+def registrable_domain_col(
+    host: Column, multi_suffixes: tuple[str, ...] = MULTI_SUFFIXES
+) -> Column:
+    """Registrable domain (eTLD+1) of a hostname, PSL-lite: if the last
+    two labels form a known multi-part public suffix the registrable
+    domain is the last THREE labels, else the last two (bare/single-label
+    hosts pass through). Host-level operators (politeness clocks, budget
+    allocation, mirror detection, boilerplate) all over-split without
+    this — ``a.example.co.uk`` and ``b.example.co.uk`` are one site, and
+    treating ``co.uk`` itself as the site would glue half of Britain
+    into one politeness queue.
+
+    Pure Catalyst (split + element_at with negative indexes + an IN
+    chain over the suffix set), portable to DuckDB verbatim — no UDF,
+    no library, evaluated inside the scan's codegen.
+    """
+    labels = F.split(F.lower(host), r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return (
+        F.when((n >= 3) & last2.isin(*multi_suffixes), last3)
+        .when(n >= 2, last2)
+        .otherwise(F.lower(host))
+    )
+
+
+def registrable_domain_sql(
+    host_sql: str, multi_suffixes: tuple[str, ...] = MULTI_SUFFIXES
+) -> str:
+    """DuckDB twin of :func:`registrable_domain_col` over ``host_sql``."""
+    suf = ", ".join(f"'{s}'" for s in multi_suffixes)
+    return f"""
+    CASE
+      WHEN len(string_split(lower({host_sql}), '.')) >= 3
+           AND string_split(lower({host_sql}), '.')[-2] || '.' ||
+               string_split(lower({host_sql}), '.')[-1] IN ({suf})
+        THEN string_split(lower({host_sql}), '.')[-3] || '.' ||
+             string_split(lower({host_sql}), '.')[-2] || '.' ||
+             string_split(lower({host_sql}), '.')[-1]
+      WHEN len(string_split(lower({host_sql}), '.')) >= 2
+        THEN string_split(lower({host_sql}), '.')[-2] || '.' ||
+             string_split(lower({host_sql}), '.')[-1]
+      ELSE lower({host_sql})
+    END
+    """

@@ -2628,3 +2628,209 @@ def q_weighted_sample_k(spark, sf_dir):
     return _cur.weighted_sample_k(
         _t(spark, sf_dir, "documents"), "1 + n_chars", k=200
     )
+
+
+from ..operators import urlmine  # noqa: E402
+
+_SITEMAPS_CTE = """
+  SELECT source AS host,
+         '<urlset>' || string_agg(
+           '<url><loc>https://' || source || '/doc/' || doc_id
+             || '</loc></url>', '' ORDER BY doc_id)
+           || '</urlset>' AS xml
+  FROM documents GROUP BY source
+"""
+
+
+def _sitemaps_df(spark, sf_dir):
+    """Deterministic synthetic sitemaps: one XML doc per source host,
+    entries ordered by doc_id — the Spark twin of _SITEMAPS_CTE."""
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    entry = lambda i: F.concat(  # noqa: E731
+        F.lit("<url><loc>https://"),
+        F.col("source"),
+        F.lit("/doc/"),
+        i.cast("string"),
+        F.lit("</loc></url>"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("_ids"))
+        .select(
+            F.col("source").alias("host"),
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.expr(
+                        "transform(_ids, i -> concat('<url><loc>https://', "
+                        "source, '/doc/', cast(i as string), '</loc></url>'))"
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+
+
+@register(
+    "sitemap_extract",
+    urlmine.sitemap_oracle_sql(_SITEMAPS_CTE),
+    "extract <loc> URLs (with their in-sitemap position) from sitemap "
+    "XML documents — the robots.txt-advertised seed-discovery channel an "
+    "open-web crawler bootstraps from (sitemaps.org protocol). Parsing "
+    "is regexp_extract_all with an RE2-safe pattern + posexplode: pure "
+    "Catalyst inside the scan's codegen, no XML library, no Python, no "
+    "shuffle until the frontier merge. Sitemaps synthesized "
+    "deterministically per source host (entries ordered by doc_id) on "
+    "both engines",
+)
+def q_sitemap_extract(spark, sf_dir):
+    return urlmine.sitemap_loc_urls(_sitemaps_df(spark, sf_dir))
+
+
+@register(
+    "link_kcore",
+    graph.kcore_oracle_sql(_PAGERANK_EDGES_CTE, k=3, peels=4),
+    "k-core peeling (k=3, 4 synchronous rounds) over the undirected "
+    "md5-derived link graph: repeatedly delete degree<k nodes, return "
+    "survivors with their in-subgraph degree (Seidman 1983). Link farms "
+    "live in high-k cores; the coarse dual of link_triangle_counts at a "
+    "fraction of the join cost — 2 shuffles per round, exact integer "
+    "thresholds, unrolled-CTE oracle",
+)
+def q_link_kcore(spark, sf_dir):
+    return graph.kcore_nodes(_pagerank_edges(spark, sf_dir), k=3, peels=4)
+
+
+@register(
+    "link_reciprocity",
+    graph.reciprocity_oracle_sql(_PAGERANK_EDGES_CTE),
+    "per-node link reciprocity in integer milli-units: how many of a "
+    "node's out-links point back — near-total reciprocity across hosts "
+    "is a link-exchange-ring signature (the cheap, non-iterative spam "
+    "heuristic complementing link_trustrank). One reversed-key "
+    "self-equi-join (output <= input, no explosion) + one "
+    "map-side-combined groupBy",
+)
+def q_link_reciprocity(spark, sf_dir):
+    return graph.reciprocity(_pagerank_edges(spark, sf_dir))
+
+
+@register(
+    "index_df_pruned",
+    ranking.prune_index_oracle_sql(max_df_pct=80, min_df=2),
+    "dynamic-stopword index pruning: keep terms with "
+    "2 <= df <= 80% of N (Luhn's resolving-power band) — corpus-derived "
+    "stopword cuts catch template/boilerplate/function words "
+    "automatically on web text, and the dropped high-df terms are "
+    "exactly the skewed postings rows. Same single-shuffle shape as "
+    "inverted_index_postings (the band is a HAVING on the grouped row); "
+    "integer-exact thresholds",
+)
+def q_index_df_pruned(spark, sf_dir):
+    return ranking.prune_index_by_df(
+        _t(spark, sf_dir, "documents"), max_df_pct=80, min_df=2
+    )
+
+
+@register(
+    "shard_rendezvous",
+    scheduling.rendezvous_oracle_sql(n_shards=16),
+    "rendezvous (highest-random-weight) shard assignment of doc_ids to "
+    "16 shards (Thaler & Ravishankar 1998): each key goes to its "
+    "top-scoring shard, so resharding to S+1 moves only ~1/(S+1) of "
+    "keys — how seen-set partitions / index shards / ANN buckets pin to "
+    "executors without a coordinator. Pure per-row codegen (the argmax "
+    "unrolls to a comparison chain — no explode, no shuffle); md5 "
+    "scores make it engine-portable and exactly graded",
+)
+def q_shard_rendezvous(spark, sf_dir):
+    return scheduling.rendezvous_assign(
+        _t(spark, sf_dir, "documents"), n_shards=16
+    )
+
+
+_DIRTY_TEXT_SPARK = (
+    "concat(substring(text, 1, 40), '-', char(10), '  ', "
+    "substring(text, 41, 2147483647), char(7), ' tail', char(9), char(9))"
+)
+_DIRTY_TEXT_DUCK = (
+    "substr(text, 1, 40) || '-' || chr(10) || '  ' || "
+    "substr(text, 41) || chr(7) || ' tail' || chr(9) || chr(9)"
+)
+
+
+@register(
+    "text_normalize",
+    rf"""
+    SELECT doc_id,
+           {ts.NORMALIZE_TEXT_SQL.format(col=_DIRTY_TEXT_DUCK)} AS clean_text,
+           length({ts.NORMALIZE_TEXT_SQL.format(col=_DIRTY_TEXT_DUCK)})::BIGINT
+             AS n_chars_clean
+    FROM documents WHERE text IS NOT NULL
+    """,
+    "web-text normalization (dehyphenate line breaks, strip C0 control "
+    "chars, collapse whitespace runs — the CCNet/C4-style pre-tokenize "
+    "cleanup) as a pure Catalyst regexp_replace chain with RE2-safe "
+    "explicit classes; graded over deterministically dirtied text (both "
+    "engines inject the same line-break hyphen, BEL and tab artifacts) "
+    "so the transform is exercised, not a no-op. Scan-side codegen, "
+    "zero shuffle",
+)
+def q_text_normalize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dirty = F.expr(_DIRTY_TEXT_SPARK)
+    clean = ts.normalize_text_col(dirty)
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
+_HOSTS_SPARK = (
+    "concat(element_at(array('', 'www.', 'cdn.'), cast("
+    "conv(substring(md5(concat(source, '~sub')), 1, 8), 16, 10) % 3 as int)"
+    " + 1), source, '.', element_at(array('com', 'org', 'net', 'co.uk', "
+    "'com.au', 'github.io'), cast(conv(substring(md5(concat(source, "
+    "'~tld')), 1, 8), 16, 10) % 6 as int) + 1))"
+)
+_HOSTS_DUCK = (
+    "(['', 'www.', 'cdn.'])[(('0x' || substr(md5(source || '~sub'), 1, 8))"
+    "::BIGINT % 3)::INT + 1] || source || '.' || "
+    "(['com', 'org', 'net', 'co.uk', 'com.au', 'github.io'])"
+    "[(('0x' || substr(md5(source || '~tld'), 1, 8))::BIGINT % 6)::INT + 1]"
+)
+
+
+@register(
+    "host_registrable_domain",
+    f"""
+    WITH hosts AS (
+      SELECT doc_id, {_HOSTS_DUCK} AS host FROM documents
+    )
+    SELECT {urlmine.registrable_domain_sql("host")} AS domain,
+           COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT host)::BIGINT AS n_hosts
+    FROM hosts GROUP BY 1
+    """,
+    "registrable-domain (eTLD+1) rollup, PSL-lite: longest-known-suffix "
+    "match so a.example.co.uk / b.example.co.uk aggregate to one site "
+    "while co.uk itself never becomes a 'site' — the grouping key every "
+    "host-level operator (politeness, budget, mirrors, boilerplate) "
+    "actually wants. Hostnames synthesized deterministically (md5 "
+    "subdomain/TLD choice, incl. multi-part suffixes) on both engines; "
+    "extraction is pure split/element_at codegen, one map-side-combined "
+    "groupBy",
+)
+def q_host_registrable_domain(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "host", F.expr(_HOSTS_SPARK)
+    )
+    return d.groupBy(
+        urlmine.registrable_domain_col(F.col("host")).alias("domain")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )

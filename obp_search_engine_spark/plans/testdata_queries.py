@@ -217,6 +217,13 @@ GRADE_PRIORITY: list[str] = [
     "search_phrase",
     "dup_containment_pairs",
     "weighted_sample_k",
+    "sitemap_extract",
+    "link_kcore",
+    "link_reciprocity",
+    "index_df_pruned",
+    "shard_rendezvous",
+    "text_normalize",
+    "host_registrable_domain",
     # tail: first to be graded if the driver's window ever widens.
     # SQL-backed tail entries are exact-oracle-verified locally via
     # tools/check_oracle.py (most were driver-green in r02/r03); rows-only

