@@ -407,6 +407,188 @@ def duplicate_spans(
     )
 
 
+_WINNOW_SHIFT = 1 << 24  # key = h * 2^24 + pos; docs are bounded at 16M grams
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    g: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS algorithm): hash every g-token gram, slide a w-gram window,
+    and select each window's minimum hash — guaranteeing at least one
+    fingerprint per w consecutive grams (expected density 2/(w+1)) while
+    staying robust to insertions that full-gram-set fingerprints are not.
+    Tie-break: leftmost minimal gram, encoded arithmetically as
+    min(h·2^24 + pos) so the selection is a single window MIN — no argmin,
+    no second pass (the paper's variant picks the rightmost; leftmost is
+    the same guarantee and one expression). Docs shorter than w grams
+    contribute their global minimum (every non-empty doc fingerprints).
+
+    Output: (doc_id, pos, fp) — the selected gram positions (1-based) and
+    their 32-bit md5-portable hashes, distinct per doc.
+
+    100 TB shape: tokenize+explode is one pure-Catalyst pass; the window
+    MIN partitions by doc_id, so nothing shuffles across documents except
+    the initial doc-partition — per-doc work, linear in tokens, and the
+    selected set (~2/(w+1) of grams) is what downstream joins ever see.
+    Exact DuckDB oracle via the portable md5_32 hash. Reference analogue:
+    the PK-dedup contract of crawler/db/mysql.go:293 lifted to content
+    fingerprints."""
+    from pyspark.sql import Window
+
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).filter(
+        F.size("_t") >= g
+    )
+    grams = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (g - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    (
+                        md5_32_col(F.array_join(F.slice("_t", i, g), " "))
+                        * F.lit(_WINNOW_SHIFT)
+                        + i.cast("long")
+                    ).alias("key"),
+                ),
+            )
+        ).alias("g"),
+    ).select("_id", "g.pos", "g.key")
+    wmin = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    wcnt = Window.partitionBy("_id")
+    sel = (
+        grams.withColumn("_mk", F.min("key").over(wmin))
+        .withColumn("_ng", F.count("*").over(wcnt))
+        .filter(F.col("pos") <= F.greatest(F.lit(1), F.col("_ng") - (w - 1)))
+        .select("_id", "_mk")
+        .distinct()
+    )
+    # decode with bit ops, not FP division: keys reach 2^56 > 2^53, where
+    # a double round-trip would corrupt the quotient
+    return sel.select(
+        F.col("_id").alias(id_col),
+        (F.col("_mk") % _WINNOW_SHIFT).alias("pos"),
+        F.shiftright("_mk", 24).alias("fp"),
+    )
+
+
+def winnow_oracle_sql(
+    g: int = 4,
+    w: int = 4,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`winnow_fingerprints` — same tokenization,
+    same md5_32 gram hash, same h·2^24+pos arithmetic argmin."""
+    return rf"""
+    WITH toks AS (
+      SELECT {id_col} AS id,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    grams AS (
+      SELECT id,
+             unnest([{{'pos': i,
+                       'key': ('0x' || substr(md5(array_to_string(
+                                 t[i:i+{g - 1}], ' ')), 1, 8))::BIGINT
+                              * {_WINNOW_SHIFT} + i}}
+                     for i in range(1, len(t) - {g - 2})]) AS gr
+      FROM toks WHERE len(t) >= {g}
+    ),
+    keys AS (SELECT id, gr.pos AS pos, gr.key AS key FROM grams),
+    wmin AS (
+      SELECT id, pos,
+             MIN(key) OVER (PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {w - 1} FOLLOWING) AS mk,
+             COUNT(*) OVER (PARTITION BY id) AS ng
+      FROM keys
+    ),
+    sel AS (
+      SELECT DISTINCT id, mk FROM wmin
+      WHERE pos <= greatest(1, ng - {w - 1})
+    )
+    SELECT id AS {id_col},
+           (mk % {_WINNOW_SHIFT})::BIGINT AS pos,
+           (mk // {_WINNOW_SHIFT})::BIGINT AS fp
+    FROM sel
+    """
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    g: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate candidate pairs from shared winnowing fingerprints —
+    MOSS's match step: docs sharing >= min_shared selected fingerprints.
+    Fingerprints living in more than max_fp_docs docs are dropped as stop
+    fingerprints (boilerplate grams) BEFORE the pair explode — the skew
+    guard that bounds the self-join at Σ_fp C(docs_with_fp, 2) with each
+    term capped at C(max_fp_docs, 2), the same amputation
+    mirrors.mirror_host_pairs applies to its fingerprint join.
+
+    Output: (doc_a, doc_b, n_shared) with doc_a < doc_b."""
+    sel = winnow_fingerprints(df, g=g, w=w, text_col=text_col, id_col=id_col)
+    fps = sel.select(F.col(id_col).alias("_id"), "fp").distinct()
+    kept = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_nd"))
+        .filter((F.col("_nd") >= 2) & (F.col("_nd") <= max_fp_docs))
+        .select("fp")
+    )
+    fps = fps.join(kept, "fp", "left_semi")
+    a = fps.select(F.col("fp"), F.col("_id").alias("doc_a"))
+    b = fps.select(F.col("fp"), F.col("_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_pairs_oracle_sql(
+    g: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 64,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`winnow_dup_pairs`."""
+    inner = winnow_oracle_sql(
+        g=g, w=w, docs_table=docs_table, text_col=text_col, id_col=id_col
+    )
+    return f"""
+    WITH sel AS ({inner}),
+    fps AS (SELECT DISTINCT {id_col} AS id, fp FROM sel),
+    kept AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND {max_fp_docs}
+    ),
+    kf AS (SELECT id, fp FROM fps WHERE fp IN (SELECT fp FROM kept))
+    SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*)::BIGINT AS n_shared
+    FROM kf a JOIN kf b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING COUNT(*) >= {min_shared}
+    """
+
+
 def simhash32_md5_col(text_col, nbits: int = 32):
     """32-bit SimHash as a pure Catalyst expression over md5-portable token
     hashes — no UDF, no shuffle, and DuckDB computes the identical value

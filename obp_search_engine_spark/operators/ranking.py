@@ -58,6 +58,66 @@ def _term_freqs(
     )
 
 
+def _bm25_components(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float,
+    b: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(_doc, term, c) per-(doc, query-term) BM25 partial scores —
+    c = idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), the shared
+    core of :func:`bm25_topk` and :func:`bm25_maxscore_topk`."""
+    terms = sorted(set(query_terms))
+    corpus = docs.filter(F.col(text_col).isNotNull())
+    stats = corpus.select(
+        F.size(nonempty_tokens_col(F.lower(F.col(text_col)))).alias("_dl")
+    ).agg(F.count("*").alias("n"), F.avg("_dl").alias("avgdl")).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+
+    tf = _term_freqs(corpus, text_col, id_col).filter(F.col("term").isin(terms))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    return tf.join(F.broadcast(dfreq), "term").select(
+        "_doc",
+        "term",
+        (
+            idf
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
+                )
+            )
+        ).alias("c"),
+    )
+
+
+def _fold_scores(comp: DataFrame, id_col: str) -> DataFrame:
+    """(id_col, score): per-doc sorted-term strict-left-fold of the
+    partial scores, rounded to 6 decimals (the FP-portable sum)."""
+    return (
+        comp.groupBy("_doc")
+        .agg(F.collect_list(F.struct("term", "c")).alias("_cs"))
+        .select(
+            F.col("_doc").alias(id_col),
+            F.round(
+                F.aggregate(
+                    F.array_sort("_cs"), F.lit(0.0), lambda acc, x: acc + x["c"]
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -76,52 +136,86 @@ def bm25_topk(
     text tokenizes to nothing). Deterministic at any parallelism: the
     only FP sum folds in sorted-term order (module docstring).
     """
-    terms = sorted(set(query_terms))
-    corpus = docs.filter(F.col(text_col).isNotNull())
-    stats = corpus.select(
-        F.size(nonempty_tokens_col(F.lower(F.col(text_col)))).alias("_dl")
-    ).agg(F.count("*").alias("n"), F.avg("_dl").alias("avgdl")).first()
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
-
-    tf = _term_freqs(corpus, text_col, id_col).filter(F.col("term").isin(terms))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    comp = (
-        tf.join(F.broadcast(dfreq), "term")
-        .select(
-            "_doc",
-            "term",
-            (
-                idf
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
-                    )
-                )
-            ).alias("c"),
-        )
-    )
-    scored = (
-        comp.groupBy("_doc")
-        .agg(F.collect_list(F.struct("term", "c")).alias("_cs"))
-        .select(
-            F.col("_doc").alias(id_col),
-            F.round(
-                F.aggregate(
-                    F.array_sort("_cs"), F.lit(0.0), lambda acc, x: acc + x["c"]
-                ),
-                6,
-            ).alias("score"),
-        )
-    )
+    comp = _bm25_components(docs, query_terms, k1, b, text_col, id_col)
+    scored = _fold_scores(comp, id_col)
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_maxscore_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Max-score pruned BM25 top-k (Turtle & Flood 1995) — result-identical
+    to :func:`bm25_topk` (same oracle), but the expensive full-scoring
+    aggregation only runs over docs that can still enter the top-k:
+
+    1. per-term upper bound ub(t) = max partial score over t's postings
+       (a handful of rows, broadcast);
+    2. phase 1 fully scores only docs containing the highest-ub term and
+       takes their top-k → threshold θ (the k-th phase-1 score; −∞ when
+       phase 1 holds fewer than k docs);
+    3. phase 2 computes, for every remaining doc, the cheap upper bound
+       Σ ub(t) over the query terms it contains (narrow map-side-combined
+       sum, no sort, no struct collect) and fully scores ONLY docs whose
+       bound reaches θ − 1e-6 (the slack covers the round(6) on scores;
+       slack only reduces pruning, never correctness).
+
+    Pruning proof: a pruned doc has true score ≤ Σ ub(t over its terms)
+    < θ, and phase 1 already holds k docs at ≥ θ, so in the total order
+    (score DESC, doc_id ASC) it can never displace them. At web scale
+    against the partitioned inverted index (term-partitioned postings),
+    phase 1 reads one term's partition and phase 2's wide fold touches
+    only survivors — the classic DAAT max-score saving expressed as two
+    bounded DataFrame aggregations. Everything stays lazy: θ rides a
+    broadcast 1-row cross join, no driver collect.
+    """
+    comp = _bm25_components(docs, query_terms, k1, b, text_col, id_col)
+    # Catalyst won't reuse the shared subtree across the four consumers;
+    # comp is O(matching postings), bounded, so pin it.
+    comp = comp.localCheckpoint(eager=False)
+
+    ub = comp.groupBy("term").agg(F.max("c").alias("ub"))
+    top_term = ub.orderBy(F.col("ub").desc(), F.col("term").asc()).limit(1)
+
+    p1_docs = (
+        comp.join(F.broadcast(top_term.select("term")), "term", "left_semi")
+        .select("_doc")
+        .distinct()
+    )
+    p1_topk = (
+        _fold_scores(comp.join(p1_docs, "_doc", "left_semi"), id_col)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    theta = p1_topk.agg(
+        F.when(F.count("*") >= k, F.min("score"))
+        .otherwise(F.lit(float("-inf")))
+        .alias("_theta")
+    )
+
+    p2 = comp.join(p1_docs, "_doc", "left_anti")
+    p2_bounds = (
+        p2.join(F.broadcast(ub), "term")
+        .groupBy("_doc")
+        .agg(F.sum("ub").alias("_bound"))
+    )
+    p2_survivors = (
+        p2_bounds.crossJoin(F.broadcast(theta))
+        .filter(F.col("_bound") >= F.col("_theta") - F.lit(1e-6))
+        .select("_doc")
+    )
+    p2_scored = _fold_scores(p2.join(p2_survivors, "_doc", "left_semi"), id_col)
+
+    return (
+        p1_topk.unionByName(p2_scored)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def bm25_oracle_sql(

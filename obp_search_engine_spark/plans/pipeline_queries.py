@@ -714,6 +714,39 @@ def q_dup_substring_excise(spark, sf_dir):
 
 
 @register(
+    "winnow_fingerprints",
+    dedup.winnow_oracle_sql(g=4, w=4),
+    "winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 "
+    "— MOSS): 4-token gram hashes, 4-gram sliding window, each window's "
+    "minimum selected via the arithmetic argmin key h*2^24+pos (single "
+    "window MIN, no second pass) — guaranteed >=1 fingerprint per 4 "
+    "consecutive grams at ~2/(w+1) density, robust to insertions. "
+    "Per-doc windows only: nothing shuffles across documents; the "
+    "selected ~40% of grams is all downstream dedup joins ever see. "
+    "Exact DuckDB oracle via the portable md5_32 hash",
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"), g=4, w=4)
+
+
+@register(
+    "winnow_dup_pairs",
+    dedup.winnow_pairs_oracle_sql(g=4, w=4, min_shared=2, max_fp_docs=64),
+    "near-duplicate candidate pairs from shared winnowing fingerprints "
+    "(MOSS match step): docs sharing >=2 selected fps, with fps living "
+    "in >64 docs dropped as stop fingerprints BEFORE the pair explode — "
+    "the same C(cap,2) skew amputation as mirror_host_pairs, bounding "
+    "the self-join at any corpus size. Complements minhash-LSH: "
+    "position-aware (catches long verbatim passages the bag-of-shingles "
+    "signature dilutes) at a fraction of the signature cost",
+)
+def q_winnow_dup_pairs(spark, sf_dir):
+    return dedup.winnow_dup_pairs(
+        _t(spark, sf_dir, "documents"), g=4, w=4, min_shared=2, max_fp_docs=64
+    )
+
+
+@register(
     "neardup_simhash",
     r"""
     WITH toks AS (
@@ -1663,6 +1696,24 @@ _BM25_TERMS = ["hash", "join", "spark"]
 )
 def q_search_bm25_topk(spark, sf_dir):
     return ranking.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@register(
+    "search_bm25_maxscore",
+    ranking.bm25_oracle_sql(_BM25_TERMS, k=10),
+    "max-score pruned BM25 top-10 (Turtle & Flood 1995) — "
+    "result-identical to search_bm25_topk (graded against the SAME "
+    "exact oracle), but the wide full-scoring fold only runs over docs "
+    "that can still beat the phase-1 threshold: per-term upper bounds "
+    "are broadcast, θ rides a 1-row lazy cross join, and pruned docs "
+    "never enter the struct-collect aggregation. The DAAT pruning that "
+    "makes 10^10-doc keyword queries read one hot-term partition plus "
+    "a bounded survivor set instead of every posting",
+)
+def q_search_bm25_maxscore(spark, sf_dir):
+    return ranking.bm25_maxscore_topk(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k=10
+    )
 
 
 @register(

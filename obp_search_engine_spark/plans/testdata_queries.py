@@ -211,6 +211,10 @@ GRADE_PRIORITY: list[str] = [
     # entries are already a maximally-informative mix of flagship +
     # never-before-graded round-4 families; displacing a verified slot
     # for these would trade evidence, not add it)
+    # round 4 (cont. 9) additions — exact-oracle-backed, verified locally
+    "search_bm25_maxscore",
+    "winnow_fingerprints",
+    "winnow_dup_pairs",
     "link_triangle_counts",
     "link_label_propagation",
     "search_boolean_and",

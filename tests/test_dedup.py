@@ -251,3 +251,97 @@ def test_keep_canonical_one_per_cluster(spark):
     labels = dedup.connected_components(edges, nodes=docs.select("doc_id"))
     kept = sorted(r.doc_id for r in dedup.keep_canonical(docs, labels).collect())
     assert kept == [1, 10, 99]
+
+
+# ---------------------------------------------------------------------------
+# winnowing (Schleimer, Wilkerson & Aiken 2003)
+# ---------------------------------------------------------------------------
+def _py_md5_32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_winnow(text: str, g: int = 4, w: int = 4):
+    """Independent reference: leftmost-min winnowing via (h, pos) argmin."""
+    toks = [t for t in text.lower().split() if t]
+    grams = [
+        (i + 1, _py_md5_32(" ".join(toks[i : i + g])))
+        for i in range(len(toks) - g + 1)
+    ]
+    if not grams:
+        return set()
+    sel = set()
+    last_valid = max(1, len(grams) - w + 1)
+    for s in range(1, last_valid + 1):
+        win = grams[s - 1 : s - 1 + w]
+        pos, h = min(win, key=lambda ph: (ph[1], ph[0]))
+        sel.add((pos, h))
+    return sel
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "a b c d e f g h i j k l m",
+        "x x x x x x x x",  # all-equal hashes: leftmost tie-break per window
+        "one two three four",  # exactly g tokens: single global min
+        "a b c d e",  # fewer grams than w
+        "the quick brown fox jumps over the lazy dog the quick brown fox",
+    ],
+)
+def test_winnow_matches_python_reference(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r.pos, r.fp) for r in dedup.winnow_fingerprints(df, g=4, w=4).collect()
+    }
+    assert got == _py_winnow(text, g=4, w=4)
+
+
+def test_winnow_density_guarantee(spark):
+    """Every window of w consecutive grams contains a selected position —
+    the paper's coverage guarantee."""
+    import random
+
+    rng = random.Random(17)
+    text = " ".join(rng.choice("aa bb cc dd ee ff gg".split()) for _ in range(200))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sel = sorted(r.pos for r in dedup.winnow_fingerprints(df, g=4, w=4).collect())
+    n_grams = 200 - 3
+    for s in range(1, n_grams - 3 + 1):
+        assert any(s <= p <= s + 3 for p in sel), f"window at {s} uncovered"
+    # density: |sel| is a small fraction of grams, never all of them
+    assert len(sel) < n_grams
+
+
+def test_winnow_dup_pairs_detects_shared_passage(spark):
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "intro words here " + passage),
+        (2, passage + " closing remarks follow now"),
+        (3, "completely different text with no overlap at all whatsoever"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.winnow_dup_pairs(df, g=4, w=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_winnow_stop_fingerprint_cap(spark):
+    """A fingerprint shared by more docs than the cap is amputated before
+    the pair explode."""
+    boiler = "common boiler plate line repeated verbatim everywhere always"
+    rows = [(i, boiler) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert (
+        dedup.winnow_dup_pairs(df, g=4, w=4, min_shared=1, max_fp_docs=3).count()
+        == 0
+    )
+    assert (
+        dedup.winnow_dup_pairs(df, g=4, w=4, min_shared=1, max_fp_docs=10).count()
+        == 15
+    )

@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from obp_search_engine_spark.operators.ranking import (
+    bm25_maxscore_topk,
     bm25_topk,
     inverted_index,
 )
@@ -97,6 +98,56 @@ def test_bm25_fold_is_partitioning_invariant(spark):
     a = bm25_topk(docs.repartition(1), _WORDS, k=30).collect()
     b = bm25_topk(docs.repartition(17), _WORDS, k=30).collect()
     assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_bm25_maxscore_equals_exact(spark, seed):
+    """Max-score pruning is result-identical to the exhaustive scorer on
+    randomized corpora — the theorem the shared oracle grading rests on."""
+    rows = _rand_docs(random.Random(seed), n=80)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for terms, k in [(["hash", "join", "spark"], 10), (_WORDS, 5), (["page"], 3)]:
+        exact = [(r.doc_id, r.score) for r in bm25_topk(docs, terms, k=k).collect()]
+        pruned = [
+            (r.doc_id, r.score) for r in bm25_maxscore_topk(docs, terms, k=k).collect()
+        ]
+        assert pruned == exact == _py_bm25(rows, terms, k=k)
+
+
+def test_bm25_maxscore_edge_cases(spark):
+    """Phase 1 smaller than k (θ = −∞ → no pruning), query terms absent
+    from the corpus (empty result), and k beyond the corpus size."""
+    rows = [(0, "hash join"), (1, "join"), (2, "scan sort"), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # only one doc contains 'hash' (the top-ub term), k=2 > phase-1 size
+    exact = [(r.doc_id, r.score) for r in bm25_topk(docs, ["hash", "scan"], k=2).collect()]
+    pruned = [
+        (r.doc_id, r.score)
+        for r in bm25_maxscore_topk(docs, ["hash", "scan"], k=2).collect()
+    ]
+    assert pruned == exact and len(pruned) == 2
+    assert bm25_maxscore_topk(docs, ["zzz"], k=5).count() == 0
+    assert (
+        bm25_maxscore_topk(docs, ["join"], k=50).count()
+        == bm25_topk(docs, ["join"], k=50).count()
+    )
+
+
+def test_bm25_maxscore_prunes_dominated_docs(spark):
+    """A corpus built so phase 2 provably prunes: k docs rich in the
+    top-ub term dominate a long tail that only contains a weak term whose
+    upper bound cannot reach θ. The pruned run must still return exactly
+    the exhaustive top-k (tie-break order included)."""
+    rows = [(i, "hash hash hash join") for i in range(5)]
+    rows += [(100 + i, "scan") for i in range(60)]  # weak-term-only tail
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = [(r.doc_id, r.score) for r in bm25_topk(docs, ["hash", "scan"], k=5).collect()]
+    pruned = [
+        (r.doc_id, r.score)
+        for r in bm25_maxscore_topk(docs, ["hash", "scan"], k=5).collect()
+    ]
+    assert pruned == exact
+    assert all(d < 100 for d, _ in pruned)  # the tail never places
 
 
 @pytest.mark.parametrize("seed", [7, 23])
