@@ -326,3 +326,118 @@ def cms_oracle_sql(
       ON cells.row = probed.row AND cells.col = probed.col
     GROUP BY probed.v
     """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+def hist_registers(
+    df: DataFrame,
+    value_col: str,
+    bin_width: int = 16,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram sketch over a non-negative integer column:
+    ``(*group_cols, bin BIGINT, n BIGINT)`` with ``bin = value div
+    bin_width``. The quantile dual of the HLL/CMS registers: pure
+    integers, and merging sketches from different partitions / crawl
+    rounds / snapshots is a plain ``groupBy(bin).sum(n)`` —
+    sketch-of-union == merge-of-sketches EXACTLY, the property
+    :func:`hist_merge` shares with :func:`hll_merge`.
+
+    100 TB shape: one map-side-combined groupBy onto a keyspace bounded
+    by ``max_value / bin_width`` (a few thousand rows for doc-length
+    telemetry at ANY corpus size); the per-row bin is codegen. The error
+    bound is structural: a quantile estimate is off by at most
+    ``bin_width / 2`` absolute."""
+    gc = list(group_cols or [])
+    return (
+        df.select(
+            *gc,
+            F.expr(f"cast({value_col} as bigint) div {int(bin_width)}").alias(
+                "bin"
+            ),
+        )
+        .groupBy(*gc, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches (same bin_width): union + sum — exactly
+    the sketch of the unioned inputs (sum is associative)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "n"]
+    return out.groupBy(*keys).agg(F.sum("n").alias("n"))
+
+
+def hist_quantiles(
+    registers: DataFrame,
+    q_pcts: list[int],
+    bin_width: int = 16,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each integer
+    percentile q, the midpoint of the first bin whose cumulative count
+    reaches ``ceil(q * N / 100)`` (the rank, computed in exact integer
+    arithmetic — bit-stable at any parallelism, unlike interpolated
+    FP percentiles). Returns ``(q_pct, est)``, both BIGINT."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = registers.select(
+        "bin", "n", F.sum("n").over(w).alias("cum")
+    )
+    tot = registers.agg(F.sum("n").alias("total"))
+    qs = registers.sparkSession.createDataFrame(
+        [(int(q),) for q in q_pcts], "q_pct long"
+    )
+    # rank = ceil(q*N/100) in integers; first bin with cum >= rank
+    ranked = qs.crossJoin(F.broadcast(tot)).select(
+        "q_pct",
+        F.expr("(q_pct * total + 99) div 100").alias("_rank"),
+    )
+    half = int(bin_width) // 2
+    return (
+        ranked.join(cum, F.col("cum") >= F.col("_rank"))
+        .groupBy("q_pct")
+        .agg(F.min("bin").alias("_bin"))
+        .select(
+            "q_pct",
+            (F.col("_bin") * int(bin_width) + F.lit(half)).alias("est"),
+        )
+    )
+
+
+def hist_quantile_oracle_sql(
+    values_sql: str,
+    q_pcts: list[int],
+    bin_width: int = 16,
+    value_col: str = "v",
+) -> str:
+    """DuckDB oracle for hist_registers |> hist_quantiles over
+    ``values_sql`` (one ``value_col`` column)."""
+    qs = ", ".join(f"({int(q)})" for q in q_pcts)
+    half = int(bin_width) // 2
+    return f"""
+    WITH vals AS ({values_sql}),
+    regs AS (
+      SELECT {value_col}::BIGINT // {int(bin_width)} AS bin,
+             COUNT(*)::BIGINT AS n
+      FROM vals GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, SUM(n) OVER (ORDER BY bin
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+      FROM regs
+    ),
+    tot AS (SELECT SUM(n) AS total FROM regs),
+    qs(q_pct) AS (VALUES {qs})
+    SELECT q_pct::BIGINT AS q_pct,
+           (MIN(bin) * {int(bin_width)} + {half})::BIGINT AS est
+    FROM qs CROSS JOIN tot JOIN cum
+      ON cum.cum >= (q_pct * tot.total + 99) // 100
+    GROUP BY q_pct
+    """

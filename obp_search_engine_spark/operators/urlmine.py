@@ -206,3 +206,143 @@ def registrable_domain_sql(
       ELSE lower({host_sql})
     END
     """
+
+
+# ---------------------------------------------------------------------------
+# DUST: different URLs with similar text (Bar-Yossef et al., WWW 2006)
+# ---------------------------------------------------------------------------
+def _url_path_col(url: Column) -> Column:
+    return F.regexp_extract(F.lower(url), _SCHEME + "[^/?#]*(/[^?#]*)", 1)
+
+
+def _url_query_col(url: Column) -> Column:
+    return F.regexp_extract(F.lower(url), "[?]([^#]*)", 1)
+
+
+def _dust_rule_col(pa: Column, pb: Column, qa: Column, qb: Column) -> Column:
+    """Classify a same-content URL pair into the rewrite rule that maps
+    one onto the other, first match wins: strip_query (paths equal,
+    queries differ), trailing_slash (queries equal, paths equal modulo
+    a trailing '/'), index_file (queries equal, paths equal modulo a
+    '/index.html' leaf), else other."""
+    # '/+$' strip == DuckDB rtrim(p, '/') (F.rtrim has no trim-set arg)
+    noslash = lambda p: F.regexp_replace(p, "/+$", "")
+    slash_a, slash_b = noslash(pa), noslash(pb)
+    idx = lambda p: noslash(F.regexp_replace(p, "/index[.]html$", "/"))
+    return (
+        F.when((pa == pb) & (qa != qb), F.lit("strip_query"))
+        .when((qa == qb) & (slash_a == slash_b), F.lit("trailing_slash"))
+        .when((qa == qb) & (idx(pa) == idx(pb)), F.lit("index_file"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def dust_url_pairs(
+    df: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    max_group: int = 32,
+) -> DataFrame:
+    """DUST pair detection (Bar-Yossef et al. 2006, 'Do not crawl in the
+    DUST'): URLs on the same host with identical content fingerprints are
+    aliases; each pair is classified by the rewrite rule that maps one
+    onto the other (strip_query / trailing_slash / index_file / other).
+    Output: (host, url_a, url_b, rule) with url_a < url_b.
+
+    100 TB shape: one groupBy on (host, fp) — the 16-byte fingerprint,
+    never the text; alias groups larger than ``max_group`` URLs are
+    dropped BEFORE the pair explode (they are mirror/trap pathology, not
+    minable rules — the C(cap,2) amputation of mirror_host_pairs), so
+    the self-join is bounded by C(max_group, 2) per group. Rule
+    classification is per-row codegen."""
+    u = df.select(
+        url_host_col(F.col(url_col)).alias("host"),
+        F.col(fp_col).alias("_fp"),
+        F.col(url_col).alias("_u"),
+    ).distinct()
+    kept = (
+        u.groupBy("host", "_fp")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_group))
+        .select("host", "_fp")
+    )
+    u = u.join(kept, ["host", "_fp"], "left_semi")
+    a = u.select("host", "_fp", F.col("_u").alias("url_a"))
+    b = u.select("host", "_fp", F.col("_u").alias("url_b"))
+    pairs = a.join(b, ["host", "_fp"]).filter(F.col("url_a") < F.col("url_b"))
+    return pairs.select(
+        "host",
+        "url_a",
+        "url_b",
+        _dust_rule_col(
+            _url_path_col(F.col("url_a")),
+            _url_path_col(F.col("url_b")),
+            _url_query_col(F.col("url_a")),
+            _url_query_col(F.col("url_b")),
+        ).alias("rule"),
+    )
+
+
+def dust_rules(
+    df: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    max_group: int = 32,
+    min_support: int = 2,
+) -> DataFrame:
+    """Per-host DUST rewrite rules with support: (host, rule, n_pairs)
+    for rules backed by >= ``min_support`` alias pairs — the mined rules
+    a frontier applies at canonicalization time so known-alias URLs are
+    never fetched twice (the paper's end goal). Tiny keyspace (hosts x 4
+    rules): map-side combine does all the work."""
+    return (
+        dust_url_pairs(df, url_col=url_col, fp_col=fp_col, max_group=max_group)
+        .groupBy("host", "rule")
+        .agg(F.count("*").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_support)
+    )
+
+
+def dust_rules_oracle_sql(
+    urls_sql: str,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    max_group: int = 32,
+    min_support: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`dust_rules` over ``urls_sql`` rows of
+    (url, fp)."""
+    host = f"regexp_extract(lower({url_col}), '{_SCHEME}([^/?#]+)', 1)"
+    path = f"regexp_extract(lower({url_col}), '{_SCHEME}[^/?#]*(/[^?#]*)', 1)"
+    query = f"regexp_extract(lower({url_col}), '[?]([^#]*)', 1)"
+    idx = (
+        lambda p: f"rtrim(regexp_replace({p}, '/index[.]html$', '/'), '/')"
+    )
+    return f"""
+    WITH raw AS MATERIALIZED ({urls_sql}),
+    u AS (
+      SELECT DISTINCT {host} AS host, {fp_col} AS fp, {url_col} AS u2,
+             {path} AS p, {query} AS q
+      FROM raw
+    ),
+    kept AS (
+      SELECT host, fp FROM u GROUP BY host, fp
+      HAVING COUNT(*) BETWEEN 2 AND {max_group}
+    ),
+    ku AS (SELECT u.* FROM u SEMI JOIN kept
+           ON u.host = kept.host AND u.fp = kept.fp),
+    pairs AS (
+      SELECT a.host,
+             CASE WHEN a.p = b.p AND a.q != b.q THEN 'strip_query'
+                  WHEN a.q = b.q AND rtrim(a.p, '/') = rtrim(b.p, '/')
+                    THEN 'trailing_slash'
+                  WHEN a.q = b.q AND {idx("a.p")} = {idx("b.p")}
+                    THEN 'index_file'
+                  ELSE 'other' END AS rule
+      FROM ku a JOIN ku b
+        ON a.host = b.host AND a.fp = b.fp AND a.u2 < b.u2
+    )
+    SELECT host, rule, COUNT(*)::BIGINT AS n_pairs
+    FROM pairs GROUP BY host, rule
+    HAVING COUNT(*) >= {min_support}
+    """

@@ -2051,6 +2051,38 @@ def q_corpus_distinct_hll_merge(spark, sf_dir):
     return sketches.hll_estimate(sketches.hll_merge(a, b), ["source"], b=6)
 
 
+_DOCLEN_VALS_CTE = r"""
+  SELECT len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> x != '')) AS v
+  FROM documents WHERE text IS NOT NULL
+"""
+
+
+@register(
+    "doclen_quantile_hist",
+    sketches.hist_quantile_oracle_sql(
+        _DOCLEN_VALS_CTE, q_pcts=[50, 90, 99], bin_width=16
+    ),
+    "mergeable histogram quantile sketch: doc token-length p50/p90/p99 "
+    "from a fixed-width (16-token) integer histogram — the quantile "
+    "member of the sketch family (HLL distinct, CMS frequency, this). "
+    "All-integer rank arithmetic (ceil(q*N/100) via div), so estimates "
+    "are bit-stable at any parallelism, unlike interpolated FP "
+    "percentiles (doclen_percentiles grades those exactly; this grades "
+    "the sketch a 1000-executor telemetry pipeline would actually "
+    "ship: per-partition histograms merge by groupBy-sum, keyspace "
+    "bounded by max_len/16 at ANY corpus size; error <= bin_width/2 "
+    "by construction)",
+)
+def q_doclen_quantile_hist(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    vals = d.select(
+        F.size(ts.nonempty_tokens_col(F.lower(F.col("text")))).alias("v")
+    )
+    regs = sketches.hist_registers(vals, "v", bin_width=16)
+    return sketches.hist_quantiles(regs, q_pcts=[50, 90, 99], bin_width=16)
+
+
 @register(
     "snapshot_change_detection",
     snapshots.snapshot_diff_oracle_sql(
@@ -2460,6 +2492,72 @@ def q_url_template_mining(spark, sf_dir):
         d.select(F.concat(base, F.lit("/about")).alias("url")).distinct()
     )
     return urlmine.url_template_counts(urls)
+
+
+# DUST fixture: each doc's canonical URL plus deterministic alias
+# variants (session-id query for doc_id%3==0, trailing slash for %4==0,
+# /index.html leaf for %5==0), all sharing the doc's content
+# fingerprint; cross-doc exact-dup texts on one host alias too ('other').
+_DUST_URLS_CTE = """
+  SELECT 'http://' || source || '.example/p/' || doc_id AS url,
+         md5(coalesce(text, '')) AS fp
+  FROM documents
+  UNION ALL
+  SELECT 'http://' || source || '.example/p/' || doc_id
+         || '?sess=' || substr(md5(doc_id::VARCHAR || '~q'), 1, 8),
+         md5(coalesce(text, ''))
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'http://' || source || '.example/p/' || doc_id || '/',
+         md5(coalesce(text, ''))
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT 'http://' || source || '.example/p/' || doc_id || '/index.html',
+         md5(coalesce(text, ''))
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register(
+    "dust_mining_rules",
+    urlmine.dust_rules_oracle_sql(_DUST_URLS_CTE, max_group=32, min_support=2),
+    "DUST rule mining (Bar-Yossef et al., WWW 2006 — 'Do not crawl in "
+    "the DUST'): same-host URLs with identical content fingerprints are "
+    "aliases; each alias pair is classified by the rewrite rule mapping "
+    "one onto the other (strip_query / trailing_slash / index_file / "
+    "other) and rules with >=2 supporting pairs are emitted per host — "
+    "what the frontier applies at canonicalization time so known-alias "
+    "URLs are never fetched twice. One groupBy on (host, 16-byte fp), "
+    "alias groups >32 URLs amputated before the C(n,2) pair explode, "
+    "rule classification pure per-row codegen",
+)
+def q_dust_mining_rules(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("_id"),
+        F.col("doc_id").alias("_num"),
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+    )
+    base = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example/p/"), F.col("_id")
+    )
+    canon = d.select(base.alias("url"), "fp")
+    sess = d.filter(F.col("_num") % 3 == 0).select(
+        F.concat(
+            base,
+            F.lit("?sess="),
+            F.substring(F.md5(F.concat(F.col("_id"), F.lit("~q"))), 1, 8),
+        ).alias("url"),
+        "fp",
+    )
+    slash = d.filter(F.col("_num") % 4 == 0).select(
+        F.concat(base, F.lit("/")).alias("url"), "fp"
+    )
+    index = d.filter(F.col("_num") % 5 == 0).select(
+        F.concat(base, F.lit("/index.html")).alias("url"), "fp"
+    )
+    urls = canon.unionByName(sess).unionByName(slash).unionByName(index)
+    return urlmine.dust_rules(urls, max_group=32, min_support=2)
 
 
 from ..operators import curation as _cur  # noqa: E402

@@ -215,6 +215,8 @@ GRADE_PRIORITY: list[str] = [
     "search_bm25_maxscore",
     "winnow_fingerprints",
     "winnow_dup_pairs",
+    "dust_mining_rules",
+    "doclen_quantile_hist",
     "link_triangle_counts",
     "link_label_propagation",
     "search_boolean_and",

@@ -112,3 +112,70 @@ def test_estimator_accuracy_envelope(spark):
 def test_alpha_table():
     assert _alpha(64) == 0.709
     assert abs(_alpha(256) - 0.7213 / (1 + 1.079 / 256)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile sketch
+# ---------------------------------------------------------------------------
+def test_hist_merge_equals_sketch_of_union(spark):
+    from obp_search_engine_spark.operators.sketches import (
+        hist_merge,
+        hist_registers,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    a = spark.createDataFrame([(rng.randrange(500),) for _ in range(400)], "v long")
+    b = spark.createDataFrame([(rng.randrange(500),) for _ in range(300)], "v long")
+    merged = {
+        (r.bin, r.n) for r in hist_merge(
+            hist_registers(a, "v"), hist_registers(b, "v")
+        ).collect()
+    }
+    direct = {
+        (r.bin, r.n)
+        for r in hist_registers(a.unionByName(b), "v").collect()
+    }
+    assert merged == direct
+
+
+def test_hist_quantiles_error_bound_and_reference(spark):
+    from obp_search_engine_spark.operators.sketches import (
+        hist_quantiles,
+        hist_registers,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    vals = [rng.randrange(1000) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    regs = hist_registers(df, "v", bin_width=16)
+    got = {r.q_pct: r.est for r in hist_quantiles(regs, [50, 90, 99], 16).collect()}
+
+    # independent python reference: same rank rule on the raw values
+    svals = sorted(vals)
+    for q in (50, 90, 99):
+        rank = -(-q * len(svals) // 100)  # ceil
+        true_val = svals[rank - 1]
+        # estimate = midpoint of the bin holding the rank-th value
+        assert got[q] == (true_val // 16) * 16 + 8
+        assert abs(got[q] - true_val) <= 8  # bin_width/2 bound
+
+
+def test_hist_quantiles_partitioning_invariant(spark):
+    from obp_search_engine_spark.operators.sketches import (
+        hist_quantiles,
+        hist_registers,
+    )
+
+    import random
+
+    rng = random.Random(23)
+    df = spark.createDataFrame(
+        [(rng.randrange(300),) for _ in range(500)], "v long"
+    )
+    a = hist_quantiles(hist_registers(df.repartition(1), "v"), [50, 90, 99]).collect()
+    b = hist_quantiles(hist_registers(df.repartition(13), "v"), [50, 90, 99]).collect()
+    assert sorted((r.q_pct, r.est) for r in a) == sorted((r.q_pct, r.est) for r in b)

@@ -112,3 +112,55 @@ def test_matches_duckdb_oracle(spark):
     con.executemany("INSERT INTO urls VALUES (?)", [(u,) for u in urls])
     sql = url_template_oracle_sql("SELECT url FROM urls")
     assert got == sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+# ---------------------------------------------------------------------------
+# DUST (Bar-Yossef et al. 2006)
+# ---------------------------------------------------------------------------
+def test_dust_pair_rule_classification(spark):
+    from obp_search_engine_spark.operators.urlmine import dust_url_pairs
+
+    rows = [
+        ("http://a.com/x", "f1"),
+        ("http://a.com/x?sess=123", "f1"),  # strip_query vs canonical
+        ("http://a.com/y", "f2"),
+        ("http://a.com/y/", "f2"),  # trailing_slash
+        ("http://a.com/z/", "f3"),
+        ("http://a.com/z/index.html", "f3"),  # index_file
+        ("http://a.com/p", "f4"),
+        ("http://a.com/q", "f4"),  # unrelated paths -> other
+        ("http://b.com/x", "f1"),  # same fp, DIFFERENT host: never pairs
+        ("http://a.com/solo", "f9"),  # singleton group: no pair
+    ]
+    df = spark.createDataFrame(rows, "url string, fp string")
+    got = {
+        (r.url_a, r.url_b): r.rule for r in dust_url_pairs(df).collect()
+    }
+    assert got == {
+        ("http://a.com/x", "http://a.com/x?sess=123"): "strip_query",
+        ("http://a.com/y", "http://a.com/y/"): "trailing_slash",
+        ("http://a.com/z/", "http://a.com/z/index.html"): "index_file",
+        ("http://a.com/p", "http://a.com/q"): "other",
+    }
+
+
+def test_dust_rules_support_and_group_cap(spark):
+    from obp_search_engine_spark.operators.urlmine import dust_rules
+
+    rows = []
+    # 3 strip_query alias pairs on host a (support 3)
+    for i in range(3):
+        rows += [
+            (f"http://a.com/p{i}", f"g{i}"),
+            (f"http://a.com/p{i}?s=1", f"g{i}"),
+        ]
+    # one trailing_slash pair (support 1 < min_support=2: filtered)
+    rows += [("http://a.com/t", "h"), ("http://a.com/t/", "h")]
+    # an oversized alias group (cap 4): amputated entirely
+    rows += [(f"http://a.com/big{j}", "bigfp") for j in range(6)]
+    df = spark.createDataFrame(rows, "url string, fp string")
+    got = {
+        (r.host, r.rule): r.n_pairs
+        for r in dust_rules(df, max_group=4, min_support=2).collect()
+    }
+    assert got == {("a.com", "strip_query"): 3}
