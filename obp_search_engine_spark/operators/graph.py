@@ -1162,3 +1162,151 @@ def reciprocity_oracle_sql(edges_cte: str) -> str:
            ((1000 * COALESCE(r.n_recip, 0)) // o.n_out)::BIGINT AS recip_milli
     FROM n_out o LEFT JOIN n_rec r ON r.src = o.src
     """
+
+
+def opic(
+    edges: DataFrame,
+    rounds: int = 4,
+    scale: int = DEFAULT_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobéna, WWW 2003): THE frontier-priority algorithm designed for
+    crawling. Each node holds integer "cash"; every round it pays
+    ``cash div (out_deg + 1)`` to each out-neighbor AND to a virtual
+    node (the paper's construction: the virtual node absorbs dangling
+    mass and redistributes its own cash ``div N`` to every node,
+    guaranteeing ergodicity without FP damping), while ``history``
+    accumulates the cash seen — importance ≈ history, available at ANY
+    point of the crawl rather than after convergence, which is why a
+    crawler prefers it to PageRank for scheduling (the pagerank /
+    trustrank operators stay the post-hoc ranking pair).
+
+    Integer fixed-point like :func:`pagerank`: truncating div leaks
+    bounded mass instead of redistributing it, every quantity is BIGINT,
+    so the result is bit-identical at any parallelism and exactly
+    oracle-checkable (:func:`opic_oracle_sql`).
+
+    Returns (node BIGINT, cash BIGINT, history BIGINT) after ``rounds``
+    synchronous rounds over every node appearing as src or dst.
+
+    100 TB shape: identical to pagerank — the degree-folded edge list
+    shuffles once and persists; each round is one shuffled-hash join +
+    one groupBy(dst) with map-side partial sums (2 shuffles), the
+    virtual node's cash rides a 1-row broadcast cross join (never
+    driver state), and ``localCheckpoint`` per round keeps the plan
+    O(1) in rounds.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    degs = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = e.join(degs, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        ew.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("history"),
+        )
+    init = scale // n
+    spark = edges.sparkSession
+    state = nodes.join(degs.withColumnRenamed("src", "node"), "node", "left").select(
+        "node",
+        F.lit(init).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+        F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+    ).localCheckpoint(eager=True)
+    vdf = spark.createDataFrame([(0,)], "vcash long").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        shares = state.select(
+            "node",
+            "cash",
+            "history",
+            "deg",
+            F.expr("cash div (deg + 1)").alias("share"),
+        )
+        contrib = (
+            ew.join(
+                shares.select(F.col("node").alias("src"), "share"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        vin = shares.agg(
+            F.coalesce(F.sum("share"), F.lit(0)).cast("long").alias("vnew")
+        )
+        vout = vdf.select(F.expr(f"vcash div {n}").alias("vshare"))
+        state = (
+            shares.join(contrib, shares.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(vout))
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0)) + F.col("vshare"))
+                .cast("long")
+                .alias("cash"),
+                (F.col("history") + F.col("cash")).cast("long").alias("history"),
+                "deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+        vdf = vin.select(F.col("vnew").alias("vcash")).localCheckpoint(
+            eager=True
+        )
+    ew.unpersist()
+    nodes.unpersist()
+    return state.select("node", "cash", "history")
+
+
+def opic_oracle_sql(
+    edges_cte: str, rounds: int = 4, scale: int = DEFAULT_SCALE
+) -> str:
+    """DuckDB oracle for :func:`opic` — unrolled CTE chain, one
+    (state, vcash) pair per round, same integer semantics."""
+    parts = [
+        f"WITH e0 AS ({edges_cte}),",
+        "e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),",
+        "degs AS (SELECT src, COUNT(*) AS deg FROM e1 GROUP BY src),",
+        "nodes AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),",
+        f"p AS (SELECT COUNT(*) AS n, {scale} // COUNT(*) AS init FROM nodes),",
+        "s0 AS (SELECT nodes.node, p.init::BIGINT AS cash, 0::BIGINT AS history,"
+        " COALESCE(degs.deg, 0)::BIGINT AS deg"
+        " FROM nodes CROSS JOIN p LEFT JOIN degs ON degs.src = nodes.node),",
+        "v0 AS (SELECT 0::BIGINT AS vcash),",
+    ]
+    for i in range(1, rounds + 1):
+        j = i - 1
+        parts.append(
+            f"sh{j} AS (SELECT node, cash, history, deg,"
+            f" cash // (deg + 1) AS share FROM s{j}),"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e1.dst AS node, SUM(sh.share) AS s"
+            f" FROM e1 JOIN sh{j} sh ON e1.src = sh.node GROUP BY e1.dst),"
+        )
+        parts.append(
+            f"s{i} AS (SELECT sh.node,"
+            f" (COALESCE(c.s, 0) + v.vcash // p.n)::BIGINT AS cash,"
+            f" (sh.history + sh.cash)::BIGINT AS history, sh.deg"
+            f" FROM sh{j} sh CROSS JOIN v{j} v CROSS JOIN p"
+            f" LEFT JOIN c{i} c ON c.node = sh.node),"
+        )
+        parts.append(
+            f"v{i} AS (SELECT COALESCE(SUM(share), 0)::BIGINT AS vcash FROM sh{j}),"
+        )
+    parts.append(f"fin AS (SELECT * FROM s{rounds})")
+    parts.append("SELECT node, cash, history FROM fin")
+    return "\n".join(parts)

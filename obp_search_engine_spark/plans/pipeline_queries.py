@@ -436,6 +436,23 @@ def q_host_pagerank(spark, sf_dir):
 
 
 @register(
+    "frontier_opic_priority",
+    graph.opic_oracle_sql(_PAGERANK_EDGES_CTE, rounds=4),
+    "OPIC on-line page importance (Abiteboul, Preda & Cobéna, WWW 2003) "
+    "— THE frontier-priority algorithm designed for crawling: integer "
+    "cash diffuses one round per crawl round (cash div (deg+1) per "
+    "out-link plus the paper's virtual node absorbing dangling mass), "
+    "history accumulates, and importance ≈ history is available at ANY "
+    "point of the crawl instead of after convergence. Same fixed-point "
+    "BIGINT discipline as host_pagerank (bit-identical at any "
+    "parallelism; exact unrolled-CTE oracle); the virtual node's cash "
+    "rides a 1-row broadcast, never driver state",
+)
+def q_frontier_opic_priority(spark, sf_dir):
+    return graph.opic(_pagerank_edges(spark, sf_dir), rounds=4)
+
+
+@register(
     "link_degree_hist",
     f"""
     WITH e0 AS ({_PAGERANK_EDGES_CTE}),

@@ -217,6 +217,7 @@ GRADE_PRIORITY: list[str] = [
     "winnow_dup_pairs",
     "dust_mining_rules",
     "doclen_quantile_hist",
+    "frontier_opic_priority",
     "link_triangle_counts",
     "link_label_propagation",
     "search_boolean_and",

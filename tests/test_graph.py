@@ -371,3 +371,66 @@ def test_trustrank_validation(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="seed"):
         trustrank(df, seeds=[])
+
+
+# ---------------------------------------------------------------------------
+# OPIC (Abiteboul, Preda & Cobéna 2003)
+# ---------------------------------------------------------------------------
+def _py_opic(edges, rounds=4, scale=DEFAULT_SCALE):
+    e = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    if not nodes:
+        return {}
+    deg = {}
+    for a, _ in e:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(nodes)
+    cash = {v: scale // n for v in nodes}
+    hist = {v: 0 for v in nodes}
+    vcash = 0
+    for _ in range(rounds):
+        share = {v: cash[v] // (deg.get(v, 0) + 1) for v in nodes}
+        nxt = {v: vcash // n for v in nodes}
+        for a, b in e:
+            nxt[b] += share[a]
+        vcash = sum(share.values())
+        for v in nodes:
+            hist[v] += cash[v]
+        cash = nxt
+    return {v: (cash[v], hist[v]) for v in nodes}
+
+
+@pytest.mark.parametrize("seed", [5, 17, 91])
+def test_opic_matches_python_reference(spark, seed):
+    from obp_search_engine_spark.operators.graph import opic
+
+    edges = _rand_edges(random.Random(seed))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.cash, r.history) for r in opic(df, rounds=4).collect()}
+    assert got == _py_opic(edges, rounds=4)
+
+
+def test_opic_partitioning_invariant_and_dangling(spark):
+    from obp_search_engine_spark.operators.graph import opic
+
+    # node 3 is dangling: all its cash flows to the virtual node and
+    # comes back divided by N — never lost to a sink
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.node: (r.cash, r.history) for r in opic(df.repartition(1), rounds=5).collect()}
+    b = {r.node: (r.cash, r.history) for r in opic(df.repartition(9), rounds=5).collect()}
+    assert a == b == _py_opic(edges, rounds=5)
+    # the dangling node keeps receiving cash (virtual redistribution)
+    assert a[3][1] > 0 and a[3][0] > 0
+
+
+def test_opic_mass_conservation_bound(spark):
+    from obp_search_engine_spark.operators.graph import opic
+
+    edges = _rand_edges(random.Random(3), n_nodes=30, n_edges=80)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = opic(df, rounds=4).collect()
+    total_cash = sum(r.cash for r in rows)
+    # truncating div leaks at most (deg+1) units per node per round plus
+    # the virtual remainder; total cash stays within scale and positive
+    assert 0 < total_cash <= DEFAULT_SCALE
