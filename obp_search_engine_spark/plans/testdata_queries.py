@@ -96,13 +96,18 @@ GRADE_PRIORITY: list[str] = [
     # of schema_migration / group_collect_join / ban_ratio (r03-green,
     # now tail)
     "event_rollup",
-    "event_type_pivot",
     "doclen_percentiles",
     # round 4 (cont. 3): search-side ranking — BM25 + the inverted-index
     # build, the web-scale form of the reference's keyword search
     # (apiserver/index.js:85-102); take the slots of point_update /
     # label_writeback (simple point writes, r03-green, now tail)
     "search_bm25_topk",
+    # round 4 (cont. 9): max-score pruned BM25 — graded against the SAME
+    # oracle as search_bm25_topk, so the driver verifies the DAAT pruning
+    # theorem (result-identity) directly; slot from event_type_pivot
+    # (rollup + percentiles keep the analytics family in-window; pivot
+    # stays exact via check_oracle.py at the tail head)
+    "search_bm25_maxscore",
     "inverted_index_postings",
     # round 4 (cont. 4): the rest of the search-result surface — TF-IDF
     # more-like-this (the reference's related-listings feature at web
@@ -196,7 +201,6 @@ GRADE_PRIORITY: list[str] = [
     # exact cosine top-k inside its buckets — the brute-force baseline
     # entry rotated to tail in cont. 6, r03-green)
     "ann_lsh_topk_md5",
-    "ann_ivf_topk_md5",
     # round 4 (cont. 3): md5-portable near-dup PAIRS — the last ANN
     # family member upgraded to exact oracle; takes sort_paginate's slot
     # (pagination also covered by search_listings_page, r03-green, tail)
@@ -204,20 +208,22 @@ GRADE_PRIORITY: list[str] = [
     # exact-substring dup spans (Lee et al. 2022) — promoted into the
     # window in round 4 (exact oracle, never driver-graded before)
     "dup_substring_spans",
+    # round 4 (cont. 9): OPIC — the crawl-time frontier-priority
+    # algorithm (Abiteboul et al. 2003), the operator closest to the
+    # north star's frontier ordering; slot from ann_ivf_topk_md5
+    # (ann_lsh_topk_md5 + embedding_neardup_md5 keep the md5-portable
+    # ANN pattern in-window; IVF stays exact via check_oracle.py)
+    "frontier_opic_priority",
     # ---- grading-window boundary (50) ----
-    # round 4 (cont. 8) additions — exact-oracle-backed, verified locally
-    # via tools/check_oracle.py, placed at the head of the tail so they
-    # are first in line if the window ever widens (the 50 in-window
-    # entries are already a maximally-informative mix of flagship +
-    # never-before-graded round-4 families; displacing a verified slot
-    # for these would trade evidence, not add it)
-    # round 4 (cont. 9) additions — exact-oracle-backed, verified locally
-    "search_bm25_maxscore",
+    # round 4 (cont. 8/9) additions — exact-oracle-backed, verified
+    # locally via tools/check_oracle.py, placed at the head of the tail
+    # so they are first in line if the window ever widens
+    "ann_ivf_topk_md5",
+    "event_type_pivot",
     "winnow_fingerprints",
     "winnow_dup_pairs",
     "dust_mining_rules",
     "doclen_quantile_hist",
-    "frontier_opic_priority",
     "link_triangle_counts",
     "link_label_propagation",
     "search_boolean_and",
