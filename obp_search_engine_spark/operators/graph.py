@@ -728,7 +728,7 @@ def trustrank_oracle_sql(
         "ew AS (SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS deg FROM e1),",
         "nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),",
         f"r0 AS (SELECT node, CASE WHEN node IN ({seed_list})"
-        f" THEN {init} ELSE 0 END AS rank FROM nodes),",
+        f" THEN {init}::BIGINT ELSE 0::BIGINT END AS rank FROM nodes),",
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -738,7 +738,8 @@ def trustrank_oracle_sql(
         )
         parts.append(
             f"r{i} AS (SELECT nodes.node,"
-            f" (CASE WHEN nodes.node IN ({seed_list}) THEN {base} ELSE 0 END"
+            f" (CASE WHEN nodes.node IN ({seed_list})"
+            f" THEN {base}::BIGINT ELSE 0::BIGINT END"
             f" + COALESCE(c.s, 0))::BIGINT AS rank"
             f" FROM nodes LEFT JOIN c{i} c ON c.node = nodes.node),"
         )
@@ -1310,3 +1311,266 @@ def opic_oracle_sql(
     parts.append(f"fin AS (SELECT * FROM s{rounds})")
     parts.append("SELECT node, cash, history FROM fin")
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# SALSA (stochastic HITS) and spam mass (PageRank vs TrustRank)
+# ---------------------------------------------------------------------------
+
+
+def salsa(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = DEFAULT_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Fixed-point integer SALSA (Lempel & Moran, WWW 2000): the
+    stochastic variant of HITS the major engines actually shipped for
+    related-pages / who-to-follow (cf. Twitter's WTF, WWW 2013).
+    Where HITS sums raw neighbor mass (so dense regions dominate via
+    the L2 mutual reinforcement), SALSA is a random WALK on the
+    bipartite hub/authority view — every step divides the sending
+    node's mass by its degree, so scores converge to (per component)
+    the degree distribution and the TKC effect disappears: a tightly
+    knit spam clique no longer captures the whole ranking. That
+    degree-normalized walk is the authority signal a crawl scheduler
+    wants next to :func:`pagerank` (which this repo already grades):
+    same conserved-mass semantics, but bidirectional.
+
+    Semantics (mirrored exactly by :func:`salsa_oracle_sql`):
+
+    * self-loops and duplicate edges removed first; in/out-degrees
+      computed after removal and folded onto the edge rows;
+    * every node starts with ``auth = scale div n`` mass units;
+    * backward half-step (authority -> hub along reversed edges):
+      ``hub(i) = sum over edges i->j of (auth(j) div indeg(j))``;
+    * forward half-step: ``auth(j) = sum over edges i->j of
+      (hub(i) div outdeg(i))``;
+    * integer division truncates per edge-group, so a bounded trickle
+      of mass leaks each half-step (same discipline as
+      :func:`pagerank`); nodes with no in-edges hold no authority
+      after the first step — the bipartite walk simply never reaches
+      them (documented, like dangling mass in pagerank).
+
+    No multiplications at all, so overflow needs only ``scale < 2^63``
+    — the default 10^12 leaves the same per-node precision as
+    pagerank. Bit-identical at any shuffle parallelism: integer sums
+    are associative and both divisions are by per-edge-row constants.
+
+    100 TB shape: the degree-folded edge list shuffles ONCE and
+    persists; each half-step is one shuffled-hash join + one map-side-
+    combined groupBy (2 shuffles per full iteration, nothing O(nodes)
+    on the driver); ``localCheckpoint`` per iteration keeps the plan
+    O(1) in iters. Skew: a mega-hub's in-edges all carry the same
+    ``auth div indeg`` value and combine map-side, so hot authorities
+    cost one reduce key, not a broadcast.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ew = (
+        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+        .join(e.groupBy("dst").agg(F.count("*").alias("indeg")), "dst")
+        .persist()
+    )
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .union(ew.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        ew.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("auth"),
+            F.lit(0).cast("long").alias("hub"),
+        )
+    init = scale // n
+    auth = nodes.select("node", F.lit(init).cast("long").alias("auth"))
+    hub = None
+    for i in range(iters):
+        hraw = (
+            ew.join(auth, ew.dst == auth.node)
+            .select("src", F.expr("auth div indeg").alias("c"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("c").alias("hub"))
+        )
+        hub = nodes.join(hraw, "node", "left").select(
+            "node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub")
+        )
+        araw = (
+            ew.join(hub, ew.src == hub.node)
+            .select("dst", F.expr("hub div outdeg").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("auth"))
+        )
+        auth = nodes.join(araw, "node", "left").select(
+            "node", F.coalesce("auth", F.lit(0)).cast("long").alias("auth")
+        )
+        if truncate_lineage:
+            state = auth.join(hub, "node").localCheckpoint(eager=True)
+            auth = state.select("node", "auth")
+            hub = state.select("node", "hub")
+    out = auth.join(hub, "node").select("node", "auth", "hub")
+    ew.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def salsa_oracle_sql(
+    edges_cte: str, iters: int = 5, scale: int = DEFAULT_SCALE
+) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`salsa` (MATERIALIZED like
+    the HITS oracle — each level is referenced twice)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_cte}),",
+        "e1 AS MATERIALIZED"
+        " (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),",
+        "ew AS MATERIALIZED (SELECT src, dst,"
+        " COUNT(*) OVER (PARTITION BY src) AS outdeg,"
+        " COUNT(*) OVER (PARTITION BY dst) AS indeg FROM e1),",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM ew UNION SELECT dst FROM ew),",
+        f"a0 AS MATERIALIZED (SELECT node,"
+        f" ({scale} // (SELECT COUNT(*) FROM nodes))::BIGINT AS auth"
+        " FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT ew.src AS node,"
+            f" SUM(a.auth // ew.indeg) AS r"
+            f" FROM ew JOIN a{i - 1} a ON ew.dst = a.node GROUP BY ew.src),"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT nodes.node,"
+            f" COALESCE(hr.r, 0)::BIGINT AS hub"
+            f" FROM nodes LEFT JOIN hr{i} hr ON hr.node = nodes.node),"
+        )
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT ew.dst AS node,"
+            f" SUM(h.hub // ew.outdeg) AS r"
+            f" FROM ew JOIN h{i} h ON ew.src = h.node GROUP BY ew.dst),"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT nodes.node,"
+            f" COALESCE(ar.r, 0)::BIGINT AS auth"
+            f" FROM nodes LEFT JOIN ar{i} ar ON ar.node = nodes.node),"
+        )
+    parts.append(
+        f"fin AS (SELECT a.node, a.auth, h.hub"
+        f" FROM a{iters} a JOIN h{iters} h ON h.node = a.node)"
+    )
+    parts.append("SELECT node, auth, hub FROM fin")
+    return "\n".join(parts)
+
+
+SPAM_MASS_SCALE = 10**9  # rank*rank-total products must stay under 2^63
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: list[int],
+    iters: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = SPAM_MASS_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina & Pedersen,
+    'Link Spam Detection Based on Mass Estimation', VLDB 2006): the
+    fraction of a node's PageRank that does NOT flow from the trusted
+    core — the actionable per-node output of the PageRank/TrustRank
+    pair this repo already grades. A page whose rank is high but whose
+    trust-scaled rank is low earns its position from spam-farm links;
+    the crawl scheduler demotes it before spending fetch budget.
+
+    Integer semantics (mirrored exactly by :func:`spam_mass_oracle_sql`):
+
+    * ``pr`` = :func:`pagerank`, ``tr`` = :func:`trustrank`, both at
+      ``scale`` mass units (10^9 here, NOT the 10^12 default: the
+      cross-normalization below multiplies two rank sums, and
+      scale^2 must stay under 2^63);
+    * TrustRank mass is normalized onto the PageRank scale so the two
+      are comparable: ``trust_scaled = (tr * total_pr) div total_tr``
+      (the paper's core-PageRank estimate);
+    * absolute spam mass ``= greatest(pr - trust_scaled, 0)`` —
+      clamped at 0 exactly as the paper treats negative mass;
+    * ``spam_mass_ppm = (mass * 10^6) div pr`` in parts-per-million
+      (pr >= its teleport base > 0, so the division is safe; ppm keeps
+      the output integer => bit-identical at any parallelism).
+
+    100 TB shape: the two rank computations share the pagerank cost
+    model (2 shuffles/iteration each); the combine is one join on node
+    plus two 1-row totals that ride a crossJoin broadcast — nothing
+    new shuffles at O(corpus).
+    """
+    pr = pagerank(
+        edges, iters=iters, damping=damping, scale=scale,
+        src_col=src_col, dst_col=dst_col,
+    )
+    tr = trustrank(
+        edges, seeds, iters=iters, damping=damping, scale=scale,
+        src_col=src_col, dst_col=dst_col,
+    )
+    tpr = pr.agg(F.sum("rank").alias("_tpr"))
+    ttr = tr.agg(F.sum("rank").alias("_ttr"))
+    return (
+        pr.join(tr.withColumnRenamed("rank", "trank"), "node")
+        .crossJoin(tpr)
+        .crossJoin(ttr)
+        .select(
+            "node",
+            "rank",
+            F.expr("(trank * _tpr) div greatest(_ttr, 1)")
+            .cast("long")
+            .alias("trust_scaled"),
+            F.expr(
+                "(greatest(rank - (trank * _tpr) div greatest(_ttr, 1), 0)"
+                " * 1000000) div greatest(rank, 1)"
+            )
+            .cast("long")
+            .alias("spam_mass_ppm"),
+        )
+    )
+
+
+def spam_mass_oracle_sql(
+    edges_cte: str,
+    seeds: list[int],
+    iters: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = SPAM_MASS_SCALE,
+) -> str:
+    """DuckDB oracle for :func:`spam_mass`: the two unrolled rank
+    chains ride as nested-WITH subqueries (DuckDB scopes each chain's
+    CTE names inside its subquery), combined by the same integer
+    normalization."""
+    pr_sql = pagerank_oracle_sql(edges_cte, iters=iters, damping=damping, scale=scale)
+    tr_sql = trustrank_oracle_sql(
+        edges_cte, seeds, iters=iters, damping=damping, scale=scale
+    )
+    return "\n".join(
+        [
+            f"WITH pr AS MATERIALIZED ({pr_sql}),",
+            f"tr AS MATERIALIZED ({tr_sql}),",
+            "tot AS (SELECT (SELECT SUM(rank) FROM pr) AS tpr,",
+            "              (SELECT SUM(rank) FROM tr) AS ttr),",
+            "fin AS (SELECT p.node, p.rank,",
+            "  ((t.rank * tot.tpr) // greatest(tot.ttr, 1))::BIGINT"
+            " AS trust_scaled,",
+            "  ((greatest(p.rank - (t.rank * tot.tpr)"
+            " // greatest(tot.ttr, 1), 0)"
+            " * 1000000) // greatest(p.rank, 1))::BIGINT AS spam_mass_ppm",
+            "  FROM pr p JOIN tr t ON t.node = p.node CROSS JOIN tot)",
+            "SELECT node, rank, trust_scaled, spam_mass_ppm FROM fin",
+        ]
+    )

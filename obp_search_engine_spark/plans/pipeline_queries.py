@@ -3000,3 +3000,44 @@ def q_host_registrable_domain(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.countDistinct("host").cast("long").alias("n_hosts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4 (cont. 10): SALSA (the degree-normalized HITS actually shipped
+# for related-pages) and spam mass (the actionable PageRank-vs-TrustRank
+# per-node signal) — both exact-oracle iterative graph entries over the
+# same md5-derived link graph as host_pagerank.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "link_salsa",
+    graph.salsa_oracle_sql(_PAGERANK_EDGES_CTE, iters=4),
+    "fixed-point integer SALSA (Lempel & Moran, WWW 2000; the algorithm "
+    "behind Twitter's who-to-follow, WWW 2013): HITS with every half-"
+    "step a degree-normalized random WALK instead of a raw mass sum, so "
+    "the tightly-knit-community (TKC) capture that lets a spam clique "
+    "dominate HITS disappears. Pure BIGINT mass (no multiplications at "
+    "all), bit-identical at any shuffle parallelism; exact unrolled-CTE "
+    "oracle like host_pagerank / link_hits",
+)
+def q_link_salsa(spark, sf_dir):
+    return graph.salsa(_pagerank_edges(spark, sf_dir), iters=4)
+
+
+@register(
+    "link_spam_mass",
+    graph.spam_mass_oracle_sql(_PAGERANK_EDGES_CTE, seeds=[0, 1, 2]),
+    "relative spam mass in ppm (Gyongyi et al., VLDB 2006): the "
+    "fraction of each node's PageRank NOT flowing from the trusted "
+    "core, via trust_scaled = (tr * total_pr) div total_tr on the "
+    "shared 10^9 integer scale — the per-node DECISION the "
+    "host_pagerank/link_trustrank pair exists to feed (demote "
+    "spam-boosted hosts before spending fetch budget). The combine is "
+    "one node join + two 1-row crossJoin totals; oracle nests both "
+    "unrolled rank chains as scoped subquery-CTEs",
+)
+def q_link_spam_mass(spark, sf_dir):
+    return graph.spam_mass(
+        _pagerank_edges(spark, sf_dir), seeds=[0, 1, 2]
+    )

@@ -140,9 +140,17 @@ GRADE_PRIORITY: list[str] = [
     # and stays in-window, token_budget_packing_dist grades the packer
     # against the same oracle)
     "snapshot_change_detection",
-    "host_change_rates",
     "host_distinct_hll",
-    "corpus_distinct_hll_merge",
+    # round 4 (cont. 10): SALSA (degree-normalized HITS, the TKC fix)
+    # and relative spam mass (the actionable PageRank-vs-TrustRank
+    # per-node decision — its oracle re-verifies BOTH unrolled rank
+    # chains in one graded row). Slots from host_change_rates
+    # (snapshot_change_detection keeps the recrawl-diff family
+    # in-window) and corpus_distinct_hll_merge (host_distinct_hll
+    # keeps the HLL family in-window) — both never-driver-graded but
+    # exact via check_oracle.py, now at the tail head
+    "link_salsa",
+    "link_spam_mass",
     # round 4 (cont. 6b): the CMS frequency dual of the HLL sketch and
     # the change-aware revisit scheduler the diff feeds; slots from
     # dedup_exact_groups (simplest of five in-window dedup entries) and
@@ -219,6 +227,10 @@ GRADE_PRIORITY: list[str] = [
     # locally via tools/check_oracle.py, placed at the head of the tail
     # so they are first in line if the window ever widens
     "ann_ivf_topk_md5",
+    # rotated out in round 4 (cont. 10) for the SALSA / spam-mass
+    # promotions — exact via check_oracle.py, families still in-window
+    "host_change_rates",
+    "corpus_distinct_hll_merge",
     "event_type_pivot",
     "winnow_fingerprints",
     "winnow_dup_pairs",
