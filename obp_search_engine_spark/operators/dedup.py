@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -883,4 +883,127 @@ def containment_oracle_sql(
     JOIN sizes sa ON sa.id = c.id_a
     JOIN sizes sb ON sb.id = c.id_b
     WHERE ((1000 * c.n_common) // least(sa.sz, sb.sz)) >= {threshold_milli}
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide paragraph dedup (CCNet)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (Wenzek et al., 'CCNet', LREC
+    2020 §3.2 — the first stage of the CommonCrawl pipeline, run there
+    over every shard of a snapshot): split each document into
+    paragraphs, keep only the FIRST occurrence of each distinct
+    paragraph corpus-wide, reassemble. This is what strips the
+    boilerplate that per-host detection (operators/boilerplate.py)
+    can't see — cookie banners and share-bars repeated across MILLIONS
+    of hosts ("English content goes from 70% down to 33%" of CC after
+    this step, per the paper).
+
+    Semantics (mirrored exactly by :func:`paragraph_dedup_oracle_sql`):
+
+    * paragraphs = ``split(text, '\\n')``, 1-based positions; paragraphs
+      that trim to '' are removed entirely (not counted, not emitted);
+    * first occurrence of a paragraph = the row with the smallest
+      ``(doc_id, pos)`` among all rows carrying that exact trimmed
+      paragraph — deterministic, no ties possible;
+    * ``kept_text`` = surviving paragraphs re-joined with '\\n' in
+      original position order ('' when everything was dropped — the
+      caller filters those docs);
+    * counts: ``n_pars`` (non-empty paragraphs), ``n_kept``.
+
+    100 TB shape: the explode is O(total text bytes); the first-wins
+    selection is ONE window over the 16-byte md5 paragraph key (shuffle
+    keyed on the hash, never on paragraph text; a mega-duplicated
+    banner is one hot key whose rows carry only (doc_id, pos) — the
+    paragraph string itself rides once per row but combines nowhere);
+    reassembly is one groupBy(doc_id) with collect_list bounded by
+    document size. Two shuffles total, both on compact keys.
+    """
+    did = F.col(id_col)
+    pars = (
+        docs.select(
+            did.alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos0", "par"),
+        )
+        .select(
+            "_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.trim(F.col("par")).alias("par"),
+        )
+        .filter(F.col("par") != "")
+    )
+    w = Window.partitionBy(F.md5(F.col("par"))).orderBy("_id", "pos")
+    ranked = pars.withColumn("_rn", F.row_number().over(w))
+    keep = (F.col("s._rn") == 1)
+    per_doc = (
+        ranked.alias("s")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pars"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("s.pos").alias("pos"),
+                                    keep.alias("keep"),
+                                    F.col("s.par").alias("par"),
+                                )
+                            )
+                        ),
+                        lambda s: s.keep,
+                    ),
+                    lambda s: s.par,
+                ),
+                "\n",
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        docs.select(did.alias("_id"))
+        .distinct()
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_pars", F.lit(0)).cast("long").alias("n_pars"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+def paragraph_dedup_oracle_sql(
+    docs_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB oracle for :func:`paragraph_dedup` over ``docs_sql``."""
+    return f"""
+    WITH d AS MATERIALIZED ({docs_sql}),
+    pars0 AS (
+      SELECT {id_col} AS _id, j AS pos,
+             trim(string_split({text_col}, chr(10))[j]) AS par
+      FROM d, unnest(generate_series(
+               1, len(string_split({text_col}, chr(10))))) AS t(j)),
+    pars AS (SELECT * FROM pars0 WHERE par != ''),
+    ranked AS (
+      SELECT _id, pos, par,
+             row_number() OVER (PARTITION BY par ORDER BY _id, pos) AS rn
+      FROM pars),
+    agg AS (
+      SELECT _id, COUNT(*)::BIGINT AS n_pars,
+             SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             COALESCE(string_agg(CASE WHEN rn = 1 THEN par END,
+                                 chr(10) ORDER BY pos), '') AS kept_text
+      FROM ranked GROUP BY _id)
+    SELECT d._id AS {id_col}, COALESCE(a.n_pars, 0) AS n_pars,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.kept_text, '') AS kept_text
+    FROM (SELECT DISTINCT {id_col} AS _id FROM d) d
+    LEFT JOIN agg a ON a._id = d._id
     """

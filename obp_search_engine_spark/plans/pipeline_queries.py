@@ -3041,3 +3041,188 @@ def q_link_spam_mass(spark, sf_dir):
     return graph.spam_mass(
         _pagerank_edges(spark, sf_dir), seeds=[0, 1, 2]
     )
+
+
+# The synthetic corpus has no newlines, so (host_boilerplate_lines
+# pattern) the graded entry injects three paragraphs per document
+# IDENTICALLY on both sides: a near-unique head (its own text prefix),
+# a 'SHARED n' banner duplicated across ~1/7 of the corpus (the
+# cross-host cookie-banner shape CCNet exists to strip), and an
+# md5-gated third paragraph that is per-host boilerplate for ~1/3 of
+# docs and near-unique filler otherwise.
+_PAR_DOCS_CTE = """
+  SELECT doc_id,
+         'U ' || substr(text, 1, 64)
+         || chr(10) || 'SHARED ' || (doc_id % 7)::VARCHAR
+         || chr(10) || CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),
+                                                 1, 8))::BIGINT % 3 = 0
+                            THEN 'FTR ' || source
+                            ELSE 'TAIL ' || substr(md5(doc_id::VARCHAR),
+                                                   9, 6) END AS text
+  FROM documents
+"""
+
+
+@register(
+    "par_dedup_corpus",
+    dedup.paragraph_dedup_oracle_sql(_PAR_DOCS_CTE),
+    "corpus-wide paragraph dedup (CCNet, Wenzek et al. LREC 2020 §3.2): "
+    "keep only the FIRST (doc_id, pos) occurrence of every distinct "
+    "trimmed paragraph across the whole corpus, reassemble in position "
+    "order — the cross-host banner strip per-host boilerplate detection "
+    "cannot see. First-wins is ONE window over the md5 paragraph key "
+    "(16-byte shuffle key, never the text), reassembly one "
+    "groupBy(doc_id); graded over documents + injected shared/host/"
+    "unique paragraphs so every rule does real work",
+)
+def q_par_dedup_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    did_s = F.col("doc_id").cast("string")
+    third = F.when(
+        dedup.md5_32_col(did_s) % 3 == 0,
+        F.concat(F.lit("FTR "), F.col("source")),
+    ).otherwise(F.concat(F.lit("TAIL "), F.substring(F.md5(did_s), 9, 6)))
+    text2 = F.concat(
+        F.lit("U "),
+        F.substring(F.col("text"), 1, 64),
+        F.lit("\nSHARED "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\n"),
+        third,
+    )
+    return dedup.paragraph_dedup(
+        d.select("doc_id", text2.alias("text"))
+    )
+
+
+from ..operators import quality  # noqa: E402
+
+# The synthetic corpus is single-line, punctuation-free prose, so the
+# graded quality entries synthesize the discriminating features
+# IDENTICALLY on both sides: variable-length bodies (word-count rule),
+# doc_id-gated stopword/symbol/numeric-word injections, bullet and
+# ellipsis line blocks (Gopher); terminal-punctuation sentence blocks
+# plus javascript / brace / lorem-ipsum tripwires (C4).
+_GOPHER_DOCS_CTE = """
+  SELECT doc_id,
+    substr(text, 1, (1 + (doc_id % 240) * 3)::INT)
+    || CASE WHEN doc_id % 4 != 0 THEN ' the of and' ELSE ' xx yy zz' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' # # # # # # # # # #' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' 11 22 33 44 55 66 77 88 99 00 12 34 56 78 90 21 43 65'
+            ELSE '' END
+    || CASE WHEN doc_id % 6 = 0
+            THEN repeat(chr(10) || '- bullet item', 10) ELSE '' END
+    || CASE WHEN doc_id % 9 = 0
+            THEN chr(10) || 'to be continued...' || chr(10) || 'more soon...'
+            ELSE '' END AS text
+  FROM documents
+"""
+
+
+@register(
+    "gopher_quality_flags",
+    quality.gopher_oracle_sql(_GOPHER_DOCS_CTE),
+    "the Gopher quality rules (Rae et al. 2021 Appendix A1.1): word-"
+    "count window, mean word length, symbol-to-word ratio, bullet/"
+    "ellipsis line fractions, alphabetic-word fraction, stop-word "
+    "probe — THE standard webtext pre-training gate (MassiveText/"
+    "RefinedWeb/FineWeb all remix it). ALL-INTEGER decision arithmetic "
+    "(100*a >= k*b), zero shuffles — every rule is a Catalyst filter/"
+    "aggregate lambda inside whole-stage codegen. Graded over bodies "
+    "of varying length + doc_id-gated rule tripwires so every rule "
+    "discriminates both ways",
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.col("text").substr(
+        F.lit(1), (F.lit(1) + (did % 240) * 3).cast("int")
+    )
+    text2 = F.concat(
+        body,
+        F.when(did % 4 != 0, F.lit(" the of and")).otherwise(
+            F.lit(" xx yy zz")
+        ),
+        F.when(did % 7 == 0, F.lit(" # # # # # # # # # #")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 11 == 0,
+            F.lit(" 11 22 33 44 55 66 77 88 99 00 12 34 56 78 90 21 43 65"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 0, F.repeat(F.lit("\n- bullet item"), 10)
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0,
+            F.lit("\nto be continued...\nmore soon..."),
+        ).otherwise(F.lit("")),
+    )
+    return quality.gopher_flags(d.select("doc_id", text2.alias("text")))
+
+
+_C4_DOCS_CTE = """
+  SELECT doc_id,
+    'Intro header without punctuation'
+    || chr(10) || 'This is sentence number ' || doc_id
+    || ' in the corpus.'
+    || chr(10) || 'Sentence two is also here with words.'
+    || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'Third sentence appears for some docs.'
+                 || chr(10) || 'Fourth one too, yes indeed.'
+                 || chr(10) || 'And a fifth to cross the gate.'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || 'Enable javascript to view this.' ELSE '' END
+    || CASE WHEN doc_id % 10 = 0
+            THEN chr(10) || 'function() { return }' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+    || chr(10) || 'Too short.' AS text
+  FROM documents
+"""
+
+
+@register(
+    "c4_line_clean",
+    quality.c4_oracle_sql(_C4_DOCS_CTE),
+    "C4's line-level cleaning (Raffel et al. 2020 JMLR 2.2): keep "
+    "trimmed lines ending in terminal punctuation with >= 3 words and "
+    "no 'javascript'; page gates for '{', 'lorem ipsum', and >= 5 "
+    "surviving lines — the other canonical webtext filter next to "
+    "gopher_quality_flags. Pure projection (one Catalyst filter "
+    "lambda), no shuffle; graded over injected sentence blocks + "
+    "gated tripwires so the keep rule, the word floor, and all three "
+    "page gates each discriminate",
+)
+def q_c4_line_clean(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.lit("Intro header without punctuation"),
+        F.lit("\nThis is sentence number "),
+        did.cast("string"),
+        F.lit(" in the corpus."),
+        F.lit("\nSentence two is also here with words."),
+        F.when(
+            did % 3 == 0,
+            F.lit(
+                "\nThird sentence appears for some docs."
+                "\nFourth one too, yes indeed."
+                "\nAnd a fifth to cross the gate."
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0, F.lit("\nEnable javascript to view this.")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 10 == 0, F.lit("\nfunction() { return }")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0, F.lit("\nLorem ipsum dolor sit amet.")
+        ).otherwise(F.lit("")),
+        F.lit("\nToo short."),
+    )
+    return quality.c4_clean(d.select("doc_id", text2.alias("text")))

@@ -72,7 +72,6 @@ GRADE_PRIORITY: list[str] = [
     # host_pagerank promoted (never driver-graded before); crawl_one_node /
     # staleness_top1 / profile_branch_upsert (r03-green, semantics covered
     # by the remaining crawl + merge_upsert entries) rotate to the tail
-    "link_degree_hist",
     "crawl_trap_hosts",
     # round 4 (cont. 7): TrustRank — seed-personalized spam-demotion
     # companion to host_pagerank; slot from renest_listing (F13/F14,
@@ -114,7 +113,11 @@ GRADE_PRIORITY: list[str] = [
     # scale) and hit snippets; take the slots of json_decode_fallback /
     # string_ops (function-surface entries, r03-green, now tail)
     "more_like_this",
-    "search_snippets",
+    # round 4 (cont. 10): corpus-wide paragraph dedup (CCNet §3.2) —
+    # the cross-host banner strip, flagship webtext operator; slot from
+    # search_snippets (search family keeps bm25 x2 + more_like_this +
+    # inverted_index_postings in-window)
+    "par_dedup_corpus",
     # streaming-shaped (event_window_counts r03-green, rotated to tail
     # in cont. 7 — event_sessions keeps the streaming family in-window)
     "event_sessions",
@@ -165,6 +168,14 @@ GRADE_PRIORITY: list[str] = [
     # evidenced from the tail)
     "doc_lm_perplexity",
     "index_delta_merge",
+    # round 4 (cont. 10): the two canonical published webtext gates —
+    # Gopher rules (Rae et al. 2021 A1.1) and C4 line cleaning (Raffel
+    # et al. 2020 §2.2) — slots from related_pages_cocitation and
+    # link_degree_hist (the graph family keeps pagerank / trustrank /
+    # salsa / spam-mass / hits / bfs / opic / trap-hosts in-window;
+    # both rotated entries stay exact via check_oracle.py)
+    "gopher_quality_flags",
+    "c4_line_clean",
     # LLM-data-pipeline: dedup families (exact-groups entry rotated to
     # tail in cont. 6b; the md5-fingerprint grouping it grades is also
     # the first stage of the in-window curation_pipeline)
@@ -192,7 +203,6 @@ GRADE_PRIORITY: list[str] = [
     # (co-citation top-k) — see the snapshot/sketch comment above for
     # the slots they take
     "link_hits",
-    "related_pages_cocitation",
     "classify_documents_nb",
     # LLM-data-pipeline: curation (components rotated to tail in round 4
     # cont. 6 — the composed pipeline below covers them in-window)
@@ -231,6 +241,9 @@ GRADE_PRIORITY: list[str] = [
     # promotions — exact via check_oracle.py, families still in-window
     "host_change_rates",
     "corpus_distinct_hll_merge",
+    "related_pages_cocitation",
+    "link_degree_hist",
+    "search_snippets",
     "event_type_pivot",
     "winnow_fingerprints",
     "winnow_dup_pairs",
