@@ -1574,3 +1574,199 @@ def spam_mass_oracle_sql(
             "SELECT node, rank, trust_scaled, spam_mass_ppm FROM fin",
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Bow-tie decomposition (Broder et al. 2000)
+# ---------------------------------------------------------------------------
+
+
+def _reach(e: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame:
+    """Depth-capped multi-source reachable SET (node BIGINT) over the
+    persisted edge list ``e`` (cols src, dst) from the ``seeds`` frame
+    (col node). Same per-level join + anti-join shape as
+    :func:`bfs_depths`, minus depths; early-exits on an empty level."""
+    visited = seeds.select("node").distinct().localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(max_depth):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def bowtie_components(
+    edges: DataFrame,
+    pivot: int,
+    max_depth: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bow-tie decomposition of the web graph (Broder et al., 'Graph
+    structure in the Web', WWW 2000): classify every node relative to
+    the giant strongly-connected component around ``pivot`` —
+
+    * ``SCC``: reaches pivot AND is reached by it (the core);
+    * ``IN``: reaches the core but is not reached back (new/obscure
+      pages that link in — prime crawl-frontier material);
+    * ``OUT``: reached from the core, never links back (link sinks,
+      often corporate leaf sites);
+    * ``TUBE``: on an IN->OUT path that bypasses the core;
+    * ``TENDRIL_IN``: hangs off IN (reachable from IN, reaches
+      neither core nor OUT);
+    * ``TENDRIL_OUT``: leads into OUT (reaches OUT, unreachable from
+      IN or core);
+    * ``DISCONNECTED``: none of the above.
+
+    The paper's measurement (each bow-tie region ~a quarter of the
+    1999 web) is the canonical capacity argument for frontier
+    budgeting: a crawler seeded inside SCC never sees IN without
+    outside seeds. ``pivot`` should be a known-core node (e.g. the
+    max-PageRank host).
+
+    Semantics are DEPTH-CAPPED reachability (``max_depth`` hops per
+    sweep, documented; pick it >= the graph diameter for the exact
+    paper decomposition) — pure set algebra, no floats, so the result
+    is bit-identical at any parallelism and exactly oracle-checkable
+    via :func:`bowtie_oracle_sql`'s four unrolled reach chains.
+
+    100 TB shape: four multi-source BFS sweeps (forward/backward from
+    pivot, forward from IN, backward from OUT), each level one
+    shuffled-hash join + one anti-join against the visited set — the
+    production crawl-round shape. The final classification is one
+    six-way left-join flag projection, no collect anywhere.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+    piv = spark.createDataFrame([(int(pivot),)], "node long")
+    fwd = _reach(e, piv, max_depth)
+    bwd = _reach(rev, piv, max_depth)
+    scc = fwd.join(bwd, "node").select("node").persist()
+    in_set = bwd.join(scc, "node", "left_anti").persist()
+    out_set = fwd.join(scc, "node", "left_anti").persist()
+    core = scc.union(in_set).union(out_set)
+    t_from_in = _reach(e, in_set, max_depth).join(core, "node", "left_anti")
+    t_to_out = _reach(rev, out_set, max_depth).join(core, "node", "left_anti")
+    flag = lambda s, name: s.select(  # noqa: E731
+        "node", F.lit(True).alias(name)
+    )
+    out = (
+        nodes.join(flag(scc, "_scc"), "node", "left")
+        .join(flag(in_set, "_in"), "node", "left")
+        .join(flag(out_set, "_out"), "node", "left")
+        .join(flag(t_from_in, "_tfi"), "node", "left")
+        .join(flag(t_to_out, "_tto"), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_scc"), "SCC")
+            .when(F.col("_in"), "IN")
+            .when(F.col("_out"), "OUT")
+            .when(F.col("_tfi") & F.col("_tto"), "TUBE")
+            .when(F.col("_tfi"), "TENDRIL_IN")
+            .when(F.col("_tto"), "TENDRIL_OUT")
+            .otherwise("DISCONNECTED")
+            .alias("component"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    for df in (e, nodes, scc, in_set, out_set):
+        df.unpersist()
+    return out
+
+
+def _reach_chain_sql(
+    prefix: str, edge_rel: str, seed_sql: str, max_depth: int
+) -> list[str]:
+    """Emit an unrolled depth-capped reachable-set chain: CTEs
+    ``{prefix}v{d}`` / ``{prefix}f{d}``; the final set is
+    ``{prefix}v{max_depth}``. MATERIALIZED: each level is referenced
+    twice (frontier join + NOT IN), which would otherwise re-inline
+    exponentially."""
+    parts = [
+        f"{prefix}v0 AS MATERIALIZED (SELECT DISTINCT node FROM ({seed_sql})),",
+        f"{prefix}f0 AS MATERIALIZED (SELECT node FROM {prefix}v0),",
+    ]
+    for d in range(1, max_depth + 1):
+        parts.append(
+            f"{prefix}f{d} AS MATERIALIZED (SELECT DISTINCT e.dst AS node"
+            f" FROM {edge_rel} e JOIN {prefix}f{d - 1} f ON e.src = f.node"
+            f" WHERE e.dst NOT IN (SELECT node FROM {prefix}v{d - 1})),"
+        )
+        parts.append(
+            f"{prefix}v{d} AS MATERIALIZED (SELECT node FROM {prefix}v{d - 1}"
+            f" UNION SELECT node FROM {prefix}f{d}),"
+        )
+    return parts
+
+
+def bowtie_oracle_sql(
+    edges_cte: str, pivot: int, max_depth: int = 12
+) -> str:
+    """DuckDB oracle for :func:`bowtie_components`: four unrolled reach
+    chains + the same six-way precedence classification."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_cte}),",
+        "e1 AS MATERIALIZED"
+        " (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),",
+        "erev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM e1),",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),",
+    ]
+    piv = f"SELECT {int(pivot)}::BIGINT AS node"
+    parts += _reach_chain_sql("fw", "e1", piv, max_depth)
+    parts += _reach_chain_sql("bw", "erev", piv, max_depth)
+    last = f"v{max_depth}"
+    parts += [
+        f"scc AS MATERIALIZED (SELECT node FROM fw{last}"
+        f" INTERSECT SELECT node FROM bw{last}),",
+        f"inset AS MATERIALIZED (SELECT node FROM bw{last}"
+        " EXCEPT SELECT node FROM scc),",
+        f"outset AS MATERIALIZED (SELECT node FROM fw{last}"
+        " EXCEPT SELECT node FROM scc),",
+        "core AS MATERIALIZED (SELECT node FROM scc"
+        " UNION SELECT node FROM inset UNION SELECT node FROM outset),",
+    ]
+    parts += _reach_chain_sql("ti", "e1", "SELECT node FROM inset", max_depth)
+    parts += _reach_chain_sql("to", "erev", "SELECT node FROM outset", max_depth)
+    parts += [
+        f"tfi AS MATERIALIZED (SELECT node FROM ti{last}"
+        " EXCEPT SELECT node FROM core),",
+        f"tto AS MATERIALIZED (SELECT node FROM to{last}"
+        " EXCEPT SELECT node FROM core),",
+        "fin AS (SELECT n.node,",
+        "  CASE WHEN n.node IN (SELECT node FROM scc) THEN 'SCC'",
+        "       WHEN n.node IN (SELECT node FROM inset) THEN 'IN'",
+        "       WHEN n.node IN (SELECT node FROM outset) THEN 'OUT'",
+        "       WHEN n.node IN (SELECT node FROM tfi)",
+        "            AND n.node IN (SELECT node FROM tto) THEN 'TUBE'",
+        "       WHEN n.node IN (SELECT node FROM tfi) THEN 'TENDRIL_IN'",
+        "       WHEN n.node IN (SELECT node FROM tto) THEN 'TENDRIL_OUT'",
+        "       ELSE 'DISCONNECTED' END AS component",
+        "  FROM nodes n)",
+        "SELECT node, component FROM fin",
+    ]
+    return "\n".join(parts)

@@ -3226,3 +3226,49 @@ def q_c4_line_clean(spark, sf_dir):
         F.lit("\nToo short."),
     )
     return quality.c4_clean(d.select("doc_id", text2.alias("text")))
+
+
+# The md5 link graph is one giant SCC + IN fringe (433/63/4 at sf0.01),
+# so the graded entry appends a 10-edge deterministic appendage (node ids
+# offset at 10^7, far above any testdata corpus) that instantiates the
+# remaining bow-tie classes: an extra IN node, an SCC->fresh OUT chain,
+# a TENDRIL_OUT feeder, a TENDRIL_IN sink, an IN->OUT TUBE bypass, and
+# a DISCONNECTED pair — all seven labels then discriminate.
+_BOWTIE_APPENDAGE = [
+    (10_000_001, 0),            # IN
+    (0, 10_000_002),            # OUT
+    (10_000_002, 10_000_003),   # OUT (second hop)
+    (10_000_004, 10_000_002),   # TENDRIL_OUT
+    (10_000_001, 10_000_005),   # TENDRIL_IN
+    (10_000_001, 10_000_006),   # TUBE entry
+    (10_000_006, 10_000_002),   # TUBE exit
+    (10_000_007, 10_000_008),   # DISCONNECTED pair
+]
+
+_BOWTIE_EDGES_CTE = (
+    _PAGERANK_EDGES_CTE
+    + "  UNION ALL SELECT * FROM (VALUES "
+    + ", ".join(f"({a}::BIGINT, {b}::BIGINT)" for a, b in _BOWTIE_APPENDAGE)
+    + ") AS app(src, dst)"
+)
+
+
+@register(
+    "web_bowtie_structure",
+    graph.bowtie_oracle_sql(_BOWTIE_EDGES_CTE, pivot=0, max_depth=12),
+    "bow-tie decomposition of the link graph (Broder et al., WWW 2000): "
+    "SCC / IN / OUT / TUBE / TENDRIL_IN / TENDRIL_OUT / DISCONNECTED "
+    "relative to the core around pivot 0 — the canonical web-structure "
+    "measurement and the frontier-budget argument (a crawler seeded in "
+    "SCC never discovers IN without outside seeds). Four depth-capped "
+    "multi-source BFS sweeps, each level one shuffled-hash join + one "
+    "anti-join (the production crawl-round shape); pure set algebra so "
+    "bit-identical at any parallelism; oracle = four unrolled "
+    "MATERIALIZED reach chains + the same precedence CASE",
+)
+def q_web_bowtie_structure(spark, sf_dir):
+    spark_app = spark.createDataFrame(
+        _BOWTIE_APPENDAGE, "src long, dst long"
+    )
+    edges = _pagerank_edges(spark, sf_dir).unionByName(spark_app)
+    return graph.bowtie_components(edges, pivot=0, max_depth=12)

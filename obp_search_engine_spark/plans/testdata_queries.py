@@ -194,10 +194,11 @@ GRADE_PRIORITY: list[str] = [
     # exactly oracle-checkable; takes the slot of unlisted_filter (simple
     # filter, r03-green, now tail)
     "host_pagerank",
-    # round 4 (cont. 3): BFS min-depth — the reference's frontier-depth
-    # rank standalone; takes verified_moderators_endpoint's slot (simple
-    # filter, r03-green, now tail)
-    "link_bfs_depths",
+    # round 4 (cont. 10): bow-tie decomposition (Broder et al. 2000) —
+    # the canonical web-structure measurement; slot from link_bfs_depths
+    # (bowtie's four reach sweeps exercise the same BFS machinery; bfs
+    # stays exact via check_oracle.py at the tail head)
+    "web_bowtie_structure",
     # round 4 (cont. 6): the iterative dual of host_pagerank (integer
     # HITS hubs/authorities) and link-structure related pages
     # (co-citation top-k) — see the snapshot/sketch comment above for
@@ -241,6 +242,7 @@ GRADE_PRIORITY: list[str] = [
     # promotions — exact via check_oracle.py, families still in-window
     "host_change_rates",
     "corpus_distinct_hll_merge",
+    "link_bfs_depths",
     "related_pages_cocitation",
     "link_degree_hist",
     "search_snippets",
