@@ -84,6 +84,14 @@ BENCH_QUERIES = [
     "weighted_sample_k",
     "shard_rendezvous",
     "index_df_pruned",
+    # round-4 (cont. 10) additions: SALSA, spam mass, bow-tie structure,
+    # CCNet paragraph dedup, Gopher/C4 quality gates
+    "link_salsa",
+    "link_spam_mass",
+    "web_bowtie_structure",
+    "par_dedup_corpus",
+    "gopher_quality_flags",
+    "c4_line_clean",
 ]
 
 

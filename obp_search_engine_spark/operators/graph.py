@@ -1397,30 +1397,48 @@ def salsa(
     init = scale // n
     auth = nodes.select("node", F.lit(init).cast("long").alias("auth"))
     hub = None
+    # Sparse iteration state: hraw keys = nodes with out-edges, araw
+    # keys = nodes with in-edges. A node absent from either frame holds
+    # exactly 0 mass there, and 0-mass rows contribute 0 to every edge
+    # sum, so completing the frames against `nodes` INSIDE the loop is
+    # pure overhead (2 extra node-keyed shuffle joins per iteration).
+    # One full-outer join per iteration carries both halves into the
+    # checkpoint; the single completion against `nodes` happens once at
+    # the end. Values are bit-identical to the dense formulation.
     for i in range(iters):
         hraw = (
             ew.join(auth, ew.dst == auth.node)
             .select("src", F.expr("auth div indeg").alias("c"))
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("c").alias("hub"))
-        )
-        hub = nodes.join(hraw, "node", "left").select(
-            "node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub")
+            .agg(F.sum("c").cast("long").alias("hub"))
         )
         araw = (
-            ew.join(hub, ew.src == hub.node)
+            ew.join(hraw, ew.src == hraw.node)
             .select("dst", F.expr("hub div outdeg").alias("c"))
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("auth"))
+            .agg(F.sum("c").cast("long").alias("auth"))
         )
-        auth = nodes.join(araw, "node", "left").select(
-            "node", F.coalesce("auth", F.lit(0)).cast("long").alias("auth")
+        state = (
+            hraw.join(araw, "node", "full_outer")
+            .select(
+                "node",
+                F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+                F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            )
         )
         if truncate_lineage:
-            state = auth.join(hub, "node").localCheckpoint(eager=True)
-            auth = state.select("node", "auth")
-            hub = state.select("node", "hub")
-    out = auth.join(hub, "node").select("node", "auth", "hub")
+            state = state.localCheckpoint(eager=True)
+        auth = state.select("node", "auth")
+        hub = state.select("node", "hub")
+    out = (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+        )
+    )
     ew.unpersist()
     nodes.unpersist()
     return out
@@ -1509,18 +1527,25 @@ def spam_mass(
       the output integer => bit-identical at any parallelism).
 
     100 TB shape: the two rank computations share the pagerank cost
-    model (2 shuffles/iteration each); the combine is one join on node
-    plus two 1-row totals that ride a crossJoin broadcast — nothing
-    new shuffles at O(corpus).
+    model (2 shuffles/iteration each) and are fully independent, so
+    they run on concurrent driver threads — the scheduler interleaves
+    their per-iteration jobs (each chain's checkpoints serialize only
+    against itself), halving the wall of the rank phase; the combine is
+    one join on node plus two 1-row totals that ride a crossJoin
+    broadcast — nothing new shuffles at O(corpus).
     """
-    pr = pagerank(
-        edges, iters=iters, damping=damping, scale=scale,
-        src_col=src_col, dst_col=dst_col,
-    )
-    tr = trustrank(
-        edges, seeds, iters=iters, damping=damping, scale=scale,
-        src_col=src_col, dst_col=dst_col,
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pr = pool.submit(
+            pagerank, edges, iters=iters, damping=damping, scale=scale,
+            src_col=src_col, dst_col=dst_col,
+        )
+        f_tr = pool.submit(
+            trustrank, edges, seeds, iters=iters, damping=damping,
+            scale=scale, src_col=src_col, dst_col=dst_col,
+        )
+        pr, tr = f_pr.result(), f_tr.result()
     tpr = pr.agg(F.sum("rank").alias("_tpr"))
     ttr = tr.agg(F.sum("rank").alias("_ttr"))
     return (
@@ -1584,23 +1609,37 @@ def spam_mass_oracle_sql(
 def _reach(e: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame:
     """Depth-capped multi-source reachable SET (node BIGINT) over the
     persisted edge list ``e`` (cols src, dst) from the ``seeds`` frame
-    (col node). Same per-level join + anti-join shape as
-    :func:`bfs_depths`, minus depths; early-exits on an empty level."""
-    visited = seeds.select("node").distinct().localCheckpoint(eager=True)
-    frontier = visited
+    (col node). Same per-level join + anti-join semantics as
+    :func:`bfs_depths`, minus depths; early-exits on an empty level.
+
+    Job shape: ONE checkpoint per level carrying a ``_new`` frontier
+    flag (visited ∪ newly-discovered in the same materialization),
+    plus a cheap emptiness probe against the checkpointed RDD — 2 jobs
+    per level instead of the naive 3 (checkpoint frontier, probe,
+    checkpoint union), which matters when a caller (bow-tie) runs four
+    deep sweeps back to back."""
+    visited = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("_new", F.lit(True))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_depth):
+        frontier = visited.filter("_new").select("node")
         nxt = (
             e.join(frontier, e.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = (
+            visited.select("node", F.lit(False).alias("_new"))
+            .union(nxt.select("node", F.lit(True).alias("_new")))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if visited.filter("_new").isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    return visited
+    return visited.select("node")
 
 
 def bowtie_components(
@@ -1642,8 +1681,15 @@ def bowtie_components(
     pivot, forward from IN, backward from OUT), each level one
     shuffled-hash join + one anti-join against the visited set — the
     production crawl-round shape. The final classification is one
-    six-way left-join flag projection, no collect anywhere.
+    six-way left-join flag projection, no collect anywhere. The two
+    pivot sweeps are independent (so are the two tendril sweeps), so
+    each pair runs on concurrent driver threads against the shared
+    persisted edge list — Spark's scheduler interleaves their per-level
+    jobs, overlapping the scheduling latency that dominates deep sweeps
+    (and on a real cluster, overlapping their stage barriers).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = edges.sparkSession
     e = (
         edges.select(
@@ -1663,14 +1709,23 @@ def bowtie_components(
     )
     nodes.count()
     piv = spark.createDataFrame([(int(pivot),)], "node long")
-    fwd = _reach(e, piv, max_depth)
-    bwd = _reach(rev, piv, max_depth)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fwd = pool.submit(_reach, e, piv, max_depth)
+        f_bwd = pool.submit(_reach, rev, piv, max_depth)
+        fwd, bwd = f_fwd.result(), f_bwd.result()
     scc = fwd.join(bwd, "node").select("node").persist()
     in_set = bwd.join(scc, "node", "left_anti").persist()
     out_set = fwd.join(scc, "node", "left_anti").persist()
+    # materialize the seed sets before the concurrent tendril sweeps so
+    # neither thread races the other into computing scc's cache fill
+    in_set.count()
+    out_set.count()
     core = scc.union(in_set).union(out_set)
-    t_from_in = _reach(e, in_set, max_depth).join(core, "node", "left_anti")
-    t_to_out = _reach(rev, out_set, max_depth).join(core, "node", "left_anti")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_tfi = pool.submit(_reach, e, in_set, max_depth)
+        f_tto = pool.submit(_reach, rev, out_set, max_depth)
+        t_from_in = f_tfi.result().join(core, "node", "left_anti")
+        t_to_out = f_tto.result().join(core, "node", "left_anti")
     flag = lambda s, name: s.select(  # noqa: E731
         "node", F.lit(True).alias(name)
     )
