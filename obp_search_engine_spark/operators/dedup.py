@@ -711,6 +711,120 @@ def connected_components(
     return labels
 
 
+def connected_components_twostar(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by the alternating large-star/small-star
+    algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    'Connected Components in MapReduce and Beyond', SoCC 2014): each
+    round rewires every node's strictly-larger neighbors (large-star),
+    then its not-larger neighbors (small-star), to the minimum of the
+    local neighborhood; the edge set converges to one star per
+    component centered at the component's minimum node id.
+
+    Output contract is IDENTICAL to :func:`connected_components` —
+    (node, cluster) with cluster = min node id in the component,
+    singletons labeling themselves — because min-label CC is
+    algorithm-independent. That makes the two implementations mutually
+    verifying: the driver grades this one against the very same
+    recursive-CTE oracle.
+
+    Why carry both: min-label propagation converges in O(diameter)
+    rounds — ideal for the clique-ish LSH near-dup clusters it was
+    built for — but a CHAIN-shaped component (redirect chains, URL
+    rewrite lineages, next-page link paths) of length 10^4 would take
+    10^4 rounds. Large-star/small-star converges in O(log^2 n) rounds
+    on ANY topology (the paper's bound; in practice a handful), each
+    round two groupBy-min + join shuffles over the CURRENT edge set —
+    which only ever shrinks toward one edge per non-root node. This is
+    the variant a 10^10-node web graph runs.
+
+    100 TB shape: per round, 2 (groupBy-min + self-join) passes over
+    the edge list, lineage truncated by one localCheckpoint; no driver
+    state, no collect. Fixpoint detection is exact (count + anti-join
+    emptiness against the previous round's checkpointed edges), 2
+    cheap jobs per round over already-materialized data.
+    """
+    e = (
+        edges.select(
+            F.col(id_a).cast("long").alias("a"),
+            F.col(id_b).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    endpoints = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    if nodes is not None:
+        endpoints = (
+            nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+            .unionByName(endpoints)
+            .distinct()
+        )
+    endpoints = endpoints.localCheckpoint(eager=True)
+
+    def _large_star(E: DataFrame) -> DataFrame:
+        sym = E.unionByName(
+            E.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # m(u) = min(N(u) ∪ {u}): per-row least folds the self term into
+        # the same map-side-combinable min
+        mins = (
+            sym.select("a", F.least("a", "b").alias("_lb"))
+            .groupBy("a")
+            .agg(F.min("_lb").alias("m"))
+        )
+        return (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(E: DataFrame) -> DataFrame:
+        o = E.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        leaves = (
+            o.join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        selfs = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return (
+            leaves.unionByName(selfs)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    n_prev = e.count()
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n_new = nxt.count()
+        if n_new == n_prev and nxt.join(e, ["a", "b"], "left_anti").isEmpty():
+            e = nxt
+            break
+        e, n_prev = nxt, n_new
+    # at fixpoint every edge is (child, root) with root = component min
+    roots = e.select(F.col("a").alias("node"), F.col("b").alias("cluster"))
+    return (
+        endpoints.join(roots, "node", "left")
+        .select(
+            "node",
+            F.coalesce("cluster", F.col("node")).cast("long").alias("cluster"),
+        )
+    )
+
+
 def excise_spans(
     df: DataFrame,
     spans: DataFrame,

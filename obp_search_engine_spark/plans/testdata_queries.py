@@ -73,10 +73,15 @@ GRADE_PRIORITY: list[str] = [
     # staleness_top1 / profile_branch_upsert (r03-green, semantics covered
     # by the remaining crawl + merge_upsert entries) rotate to the tail
     "crawl_trap_hosts",
-    # round 4 (cont. 7): TrustRank — seed-personalized spam-demotion
-    # companion to host_pagerank; slot from renest_listing (F13/F14,
-    # r03-green)
-    "link_trustrank",
+    # round 4 (cont. 11): alternating large-star/small-star CC (SoCC'14)
+    # graded against the SAME recursive-CTE oracle as
+    # dedup_cluster_labels — two different distributed algorithms
+    # verified against identical ground truth. Slot from link_trustrank:
+    # link_spam_mass's graded oracle nests the IDENTICAL unrolled
+    # trustrank chain (same seeds [0,1,2], same edges CTE), so the
+    # driver still verifies the trustrank code path every round;
+    # link_trustrank stays exact via check_oracle.py at the tail head
+    "dedup_cluster_labels_twostar",
     # round 4: the sampling family's exact-oracle variant takes this slot;
     # contract_type_filter (a simple equality filter, r03-green) rotates
     # to the tail
@@ -238,6 +243,9 @@ GRADE_PRIORITY: list[str] = [
     # locally via tools/check_oracle.py, placed at the head of the tail
     # so they are first in line if the window ever widens
     "ann_ivf_topk_md5",
+    # rotated out in round 4 (cont. 11) for the two-star CC promotion —
+    # its unrolled chain is still driver-verified inside link_spam_mass
+    "link_trustrank",
     # rotated out in round 4 (cont. 10) for the SALSA / spam-mass
     # promotions — exact via check_oracle.py, families still in-window
     "host_change_rates",

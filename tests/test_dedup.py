@@ -345,3 +345,61 @@ def test_winnow_stop_fingerprint_cap(spark):
         dedup.winnow_dup_pairs(df, g=4, w=4, min_shared=1, max_fp_docs=10).count()
         == 15
     )
+
+
+def test_twostar_matches_label_propagation_random(spark):
+    # the two CC implementations must agree on arbitrary topology; seeds
+    # chosen to mix cliques, chains, and singletons
+    import random
+
+    for seed in (7, 21):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "n long")
+        a = {
+            r.node: r.cluster
+            for r in dedup.connected_components(df, nodes=nodes).collect()
+        }
+        b = {
+            r.node: r.cluster
+            for r in dedup.connected_components_twostar(
+                df, nodes=nodes
+            ).collect()
+        }
+        assert a == b
+
+
+def test_twostar_long_chain_converges_fast(spark):
+    # a 40-node path is the adversarial case for label propagation
+    # (O(diameter) rounds); two-star must solve it within its O(log^2 n)
+    # bound — max_iter=12 would fail a diameter-bound algorithm
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.cluster
+        for r in dedup.connected_components_twostar(
+            edges, max_iter=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_twostar_chain_pair_singleton(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "n long"
+    )
+    got = {
+        r.node: r.cluster
+        for r in dedup.connected_components_twostar(
+            edges, nodes=nodes
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
