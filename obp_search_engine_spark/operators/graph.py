@@ -1825,3 +1825,162 @@ def bowtie_oracle_sql(
         "SELECT node, component FROM fin",
     ]
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall (Boldi & Vigna 2013)
+# ---------------------------------------------------------------------------
+
+
+def hyperball(
+    edges: DataFrame,
+    iters: int = 4,
+    b: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, 'In-Core Computation of Geometric
+    Centralities with HyperBall', ICDM workshops 2013; the algorithm
+    behind the "four degrees of separation" Facebook measurement): the
+    neighborhood function N(v, t) = |ball(v, t)| for every node at
+    every radius t = 0..``iters``, estimated by one HyperLogLog counter
+    per node that absorbs its out-neighbors' counters each round —
+    ball(v, t) = {v} ∪ ⋃_{v→w} ball(w, t-1).
+
+    The crawl use: N(v, t) growth curves ARE the reachability profile a
+    frontier scheduler budgets by (how much of the web a seed opens up
+    within t hops), and summing over v gives the graph's distance
+    distribution / effective diameter — the Broder bow-tie's
+    quantitative twin.
+
+    Integer portability: counters are the md5-portable register tables
+    of :mod:`sketches` (bucket = top ``b`` bits of a 32-bit md5, rank =
+    first-set-bit position) and the merge is MAX per (node, bucket) —
+    associative, commutative, idempotent — so every level's register
+    state is bit-identical at any parallelism and in DuckDB
+    (:func:`hyperball_oracle_sql` unrolls the same merges). The
+    ``est_ball`` double derives from the integer ``z_scaled`` by one
+    fixed expression, the same bit-portable pattern
+    ``sketches.hll_estimate`` grades.
+
+    Output: (node, t, buckets_hit, z_scaled, est_ball) for every node
+    and every t in 0..iters.
+
+    100 TB shape: per round, ONE shuffled-hash join of the persisted
+    edge list against the current register table plus one
+    groupBy(node, bucket).max with map-side combine — shuffled bytes
+    ~ (E + N·m) rows of three ints per round with m = 2^b = 16, which
+    is exactly the HyperBall cost model (counters stream along edges;
+    nothing is ever O(ball size)). A mega-hub's in-edges all carry the
+    same 16 register rows and combine map-side. ``localCheckpoint``
+    per round keeps the plan O(1) in t; no driver state.
+    """
+    from .dedup import md5_32_col
+    from .sketches import hll_estimate
+
+    p = 32 - b
+    pmax = p + 1
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = F.col("_h")
+    w = h % (1 << p)
+    regs = (
+        nodes.select(
+            "node", md5_32_col(F.col("node").cast("string")).alias("_h")
+        )
+        .select(
+            "node",
+            F.expr(f"_h div {1 << p}").cast("int").alias("bucket"),
+            F.when(w == 0, F.lit(pmax))
+            .otherwise(F.lit(pmax) - F.length(F.bin(w)))
+            .cast("int")
+            .alias("max_rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _level_est(r: DataFrame, t: int) -> DataFrame:
+        return hll_estimate(r, ["node"], b=b).select(
+            "node",
+            F.lit(t).cast("int").alias("t"),
+            "buckets_hit",
+            "z_scaled",
+            F.col("est_hll").alias("est_ball"),
+        )
+
+    out = _level_est(regs, 0)
+    for t in range(1, iters + 1):
+        merged = (
+            e.join(regs, e.dst == regs.node)
+            .select(e.src.alias("node"), "bucket", "max_rank")
+            .unionByName(regs)
+            .groupBy("node", "bucket")
+            .agg(F.max("max_rank").cast("int").alias("max_rank"))
+            .localCheckpoint(eager=True)
+        )
+        regs = merged
+        out = out.unionByName(_level_est(regs, t))
+    e.unpersist()
+    return out
+
+
+def hyperball_oracle_sql(edges_cte: str, iters: int = 4, b: int = 4) -> str:
+    """DuckDB oracle for :func:`hyperball`: unrolled register merges —
+    each level one join + UNION ALL + GROUP BY MAX over the previous
+    level's MATERIALIZED register table — then the per-level estimate
+    aggregation of ``sketches.hll_oracle_sql``."""
+    from .sketches import _alpha
+
+    m = 1 << b
+    p = 32 - b
+    pmax = p + 1
+    alpha = _alpha(m)
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_cte}),",
+        "e1 AS MATERIALIZED"
+        " (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),",
+        "h0 AS (SELECT node,"
+        " ('0x' || substr(md5(node::VARCHAR), 1, 8))::BIGINT AS h"
+        " FROM nodes),",
+        f"r0 AS MATERIALIZED (SELECT node, (h // {1 << p})::INT AS bucket,"
+        f" (CASE WHEN h % {1 << p} = 0 THEN {pmax}"
+        f" ELSE {pmax} - length(bin(h % {1 << p})) END)::INT AS max_rank"
+        " FROM h0),",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT node, bucket,"
+            " MAX(max_rank)::INT AS max_rank FROM ("
+            f" SELECT e1.src AS node, r.bucket, r.max_rank"
+            f" FROM e1 JOIN r{t - 1} r ON r.node = e1.dst"
+            f" UNION ALL SELECT node, bucket, max_rank FROM r{t - 1}"
+            ") GROUP BY node, bucket),"
+        )
+    ests = []
+    for t in range(iters + 1):
+        ests.append(
+            f"SELECT node, {t}::INT AS t, COUNT(*)::INT AS buckets_hit,"
+            f" (SUM(CAST(pow(2, {pmax} - max_rank) AS BIGINT))"
+            f" + ({m} - COUNT(*))::BIGINT * {1 << pmax})::BIGINT AS z_scaled,"
+            f" {alpha * m * m * float(1 << pmax)!r}"
+            f" / ((SUM(CAST(pow(2, {pmax} - max_rank) AS BIGINT))"
+            f" + ({m} - COUNT(*))::BIGINT * {1 << pmax})::DOUBLE) AS est_ball"
+            f" FROM r{t} GROUP BY node"
+        )
+    body = "\nUNION ALL\n".join(ests)
+    parts.append(f"fin AS ({body})")
+    return "\n".join(parts) + "\nSELECT node, t, buckets_hit, z_scaled, est_ball FROM fin"

@@ -2078,6 +2078,25 @@ def q_host_distinct_hll(spark, sf_dir):
 
 
 @register(
+    "link_hyperball",
+    graph.hyperball_oracle_sql(_PAGERANK_EDGES_CTE, iters=4, b=4),
+    "HyperBall (Boldi & Vigna, ICDM-W 2013 — the 'four degrees of "
+    "separation' algorithm): neighborhood function N(v,t)=|ball(v,t)| "
+    "for every node at every radius t=0..4, one md5-portable HLL "
+    "counter per node absorbing its out-neighbors' counters each round "
+    "(merge = MAX per (node,bucket) — associative/idempotent, so every "
+    "level's register state is bit-identical at any parallelism and in "
+    "the unrolled DuckDB oracle). The reachability-growth profile a "
+    "frontier scheduler budgets by, and the quantitative twin of the "
+    "graded bow-tie decomposition; per round ONE edge-join + map-side-"
+    "combined groupBy-max, ~(E + 16N) 3-int rows — the HyperBall cost "
+    "model itself",
+)
+def q_link_hyperball(spark, sf_dir):
+    return graph.hyperball(_pagerank_edges(spark, sf_dir), iters=4, b=4)
+
+
+@register(
     "corpus_distinct_hll_merge",
     sketches.hll_oracle_sql(
         f"""SELECT source, doc_id FROM documents

@@ -148,7 +148,13 @@ GRADE_PRIORITY: list[str] = [
     # and stays in-window, token_budget_packing_dist grades the packer
     # against the same oracle)
     "snapshot_change_detection",
-    "host_distinct_hll",
+    # round 4 (cont. 11): HyperBall — per-node neighborhood function by
+    # HLL counters merged along edges; its graded output re-derives the
+    # full register + estimate math of host_distinct_hll at every level,
+    # so the HLL family stays driver-verified while the slot upgrades to
+    # the canonical web-measurement algorithm. host_distinct_hll rotates
+    # to the tail head, still exact via check_oracle.py
+    "link_hyperball",
     # round 4 (cont. 10): SALSA (degree-normalized HITS, the TKC fix)
     # and relative spam mass (the actionable PageRank-vs-TrustRank
     # per-node decision — its oracle re-verifies BOTH unrolled rank
@@ -246,6 +252,10 @@ GRADE_PRIORITY: list[str] = [
     # rotated out in round 4 (cont. 11) for the two-star CC promotion —
     # its unrolled chain is still driver-verified inside link_spam_mass
     "link_trustrank",
+    # rotated out in round 4 (cont. 11) for the HyperBall promotion —
+    # its register/estimate math is driver-verified at every hyperball
+    # level
+    "host_distinct_hll",
     # rotated out in round 4 (cont. 10) for the SALSA / spam-mass
     # promotions — exact via check_oracle.py, families still in-window
     "host_change_rates",

@@ -1,0 +1,96 @@
+"""HyperBall: per-node HLL counters absorbed along out-edges equal the
+HLL of the EXACT reachability ball at every radius — registers are
+deterministic (md5-portable), so equality is exact, not approximate."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from obp_search_engine_spark.operators.graph import hyperball
+
+
+def _h32(x: int) -> int:
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+
+
+def _regs_of(ball: set[int], b: int) -> dict[int, int]:
+    p = 32 - b
+    pmax = p + 1
+    regs: dict[int, int] = {}
+    for node in ball:
+        h = _h32(node)
+        bucket = h >> p
+        w = h % (1 << p)
+        rank = pmax if w == 0 else pmax - (w.bit_length())
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    return regs
+
+
+def _z_scaled(regs: dict[int, int], b: int) -> int:
+    m = 1 << b
+    pmax = 32 - b + 1
+    z = 0
+    for bucket in range(m):
+        z += 1 << (pmax - regs.get(bucket, 0))
+    return z
+
+
+def _balls(edges: list[tuple[int, int]], iters: int) -> dict[tuple[int, int], set[int]]:
+    adj: dict[int, set[int]] = {}
+    nodes = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        nodes.add(s)
+        nodes.add(d)
+    balls = {(v, 0): {v} for v in nodes}
+    for t in range(1, iters + 1):
+        for v in nodes:
+            ball = set(balls[(v, t - 1)])
+            for w in adj.get(v, ()):  # ball(v,t) = {v} U balls of successors
+                ball |= balls[(w, t - 1)]
+            balls[(v, t)] = ball
+    return balls
+
+
+def test_hyperball_registers_equal_exact_ball_hll(spark):
+    rng = random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(70)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node, r.t): (r.buckets_hit, r.z_scaled)
+        for r in hyperball(df, iters=3, b=4).collect()
+    }
+    balls = _balls(edges, 3)
+    for (v, t), ball in balls.items():
+        regs = _regs_of(ball, 4)
+        assert got[(v, t)] == (len(regs), _z_scaled(regs, 4)), (v, t)
+
+
+def test_hyperball_parallelism_invariant(spark):
+    rng = random.Random(5)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(50)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(
+        map(tuple, hyperball(df.repartition(1), iters=2, b=4).collect())
+    )
+    b = sorted(
+        map(tuple, hyperball(df.repartition(7), iters=2, b=4).collect())
+    )
+    assert a == b
+
+
+def test_hyperball_ball_growth_monotone(spark):
+    # z_scaled only decreases (registers only grow) as the radius grows
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = hyperball(df, iters=4, b=4).collect()
+    by_node: dict[int, list] = {}
+    for r in rows:
+        by_node.setdefault(r.node, []).append((r.t, r.z_scaled))
+    for node, seq in by_node.items():
+        seq.sort()
+        zs = [z for _, z in seq]
+        assert zs == sorted(zs, reverse=True), node
