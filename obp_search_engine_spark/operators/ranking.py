@@ -892,3 +892,187 @@ def prune_index_oracle_sql(
     WHERE idx.df_docs >= {int(min_df)}
       AND idx.df_docs <= (n.n_docs * {int(max_df_pct)}) // 100
     """
+
+
+def bm25f_topk(
+    fields: DataFrame,
+    query_terms: list[str],
+    weights: dict[str, float],
+    field_b: dict[str, float],
+    k: int = 10,
+    k1: float = 1.2,
+    doc_col: str = "doc",
+    field_col: str = "field",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25F top-k (Robertson, Zaragoza & Taylor, 'Simple BM25 extension
+    to multiple weighted fields', CIKM 2004): the fielded ranking
+    function the web engines actually run — anchor text and titles are
+    worth more than body text, but naively scoring fields separately
+    and summing breaks BM25's saturation (a term in 3 fields triple
+    dips). BM25F instead combines PER-FIELD length-normalized term
+    frequencies FIRST, then saturates once:
+
+        tfn_f(t,d) = tf_f / (1 - b_f + b_f * dl_f(d)/avgdl_f)
+        tfw(t,d)   = sum_f  w_f * tfn_f(t,d)
+        score(d)   = sum_t  idf(t) * tfw / (k1 + tfw)
+
+    with idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1) and df = docs
+    containing t in ANY field. avgdl_f averages over ALL N docs (a doc
+    missing a field contributes 0 length — the paper's convention).
+
+    Input: one row per (doc, field) — (doc_col, field_col, text_col);
+    ``weights``/``field_b`` keyed by field name. Returns (doc, score)
+    rounded to 6 decimals, ordered score DESC, doc ASC, LIMIT k.
+
+    FP portability (exact-oracle graded): the field combine folds in
+    sorted-field order and the term combine in sorted-term order, both
+    strict left folds — the same discipline as :func:`bm25_topk`, so
+    DuckDB's list_reduce(list(... ORDER BY ...)) reproduces the sum
+    bit-for-bit.
+
+    100 TB shape: tokenize/explode is pure Catalyst; the exploded
+    stream filters to the query's terms BEFORE its one (doc,field,term)
+    shuffle; per-field avgdl is a broadcast-sized aggregate (one row
+    per field); everything downstream is per-candidate-doc, O(matching
+    postings), never O(tokens).
+    """
+    terms = sorted(set(query_terms))
+    fnames = sorted(weights)
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
+    base = fields.filter(F.col(text_col).isNotNull()).select(
+        F.col(doc_col).alias("_doc"),
+        F.col(field_col).alias("_f"),
+        toks.alias("_t"),
+    )
+    n_docs = base.select("_doc").distinct().count()
+    dls = base.select("_f", F.size("_t").alias("_dl"))
+    avgdl = {
+        r["_f"]: float(r["s"]) / float(n_docs)
+        for r in dls.groupBy("_f").agg(F.sum("_dl").alias("s")).collect()
+    }
+    tf = (
+        base.select(
+            "_doc", "_f", F.size("_t").alias("_dl"), F.explode("_t").alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("_doc", "_f", "_dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # per-field constants as literal CASE chains (fields are few + fixed)
+    w_expr = F.lit(0.0)
+    b_expr = F.lit(0.0)
+    ad_expr = F.lit(1.0)
+    for fname in fnames:
+        w_expr = F.when(F.col("_f") == fname, F.lit(float(weights[fname]))).otherwise(w_expr)
+        b_expr = F.when(F.col("_f") == fname, F.lit(float(field_b[fname]))).otherwise(b_expr)
+        ad_expr = F.when(
+            F.col("_f") == fname, F.lit(float(avgdl.get(fname, 1.0)) or 1.0)
+        ).otherwise(ad_expr)
+    tfn = tf.select(
+        "_doc",
+        "_f",
+        "term",
+        (
+            w_expr
+            * F.col("tf").cast("double")
+            / (F.lit(1.0) - b_expr + b_expr * F.col("_dl").cast("double") / ad_expr)
+        ).alias("v"),
+    )
+    tfw = (
+        tfn.groupBy("_doc", "term")
+        .agg(F.collect_list(F.struct("_f", "v")).alias("_vs"))
+        .select(
+            "_doc",
+            "term",
+            F.aggregate(
+                F.array_sort("_vs"), F.lit(0.0), lambda acc, x: acc + x["v"]
+            ).alias("tfw"),
+        )
+    )
+    dfreq = tfw.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    comp = tfw.join(F.broadcast(dfreq), "term").select(
+        "_doc",
+        "term",
+        (idf * F.col("tfw") / (F.lit(float(k1)) + F.col("tfw"))).alias("c"),
+    )
+    scored = _fold_scores(comp, doc_col)
+    return scored.orderBy(F.col("score").desc(), F.col(doc_col).asc()).limit(k)
+
+
+def bm25f_oracle_sql(
+    fields_cte: str,
+    query_terms: list[str],
+    weights: dict[str, float],
+    field_b: dict[str, float],
+    avgdl_overrides: None = None,
+    k: int = 10,
+    k1: float = 1.2,
+) -> str:
+    """DuckDB oracle for :func:`bm25f_topk`. ``fields_cte`` must yield
+    (doc, field, text); per-field constants are emitted as the same CASE
+    chains, avgdl computed identically (sum of field lengths / distinct
+    docs), folds sorted by field then by term."""
+    terms = sorted(set(query_terms))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    fnames = sorted(weights)
+    w_case = " ".join(
+        f"WHEN field = '{f}' THEN {float(weights[f])!r}" for f in fnames
+    )
+    b_case = " ".join(
+        f"WHEN field = '{f}' THEN {float(field_b[f])!r}" for f in fnames
+    )
+    return rf"""
+    WITH fields0 AS ({fields_cte}),
+    corpus AS (
+      SELECT doc, field,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS t
+      FROM fields0 WHERE text IS NOT NULL
+    ),
+    ndocs AS (SELECT COUNT(DISTINCT doc)::DOUBLE AS n FROM corpus),
+    avgdl AS (
+      SELECT field, SUM(len(t))::DOUBLE / (SELECT n FROM ndocs) AS ad
+      FROM corpus GROUP BY field
+    ),
+    tf AS (
+      SELECT doc, field, len(t)::BIGINT AS dl, unnest(t) AS term FROM corpus
+    ),
+    tfa AS (
+      SELECT doc, field, dl, term, COUNT(*)::BIGINT AS tf FROM tf
+      WHERE term IN ({terms_sql})
+      GROUP BY doc, field, dl, term
+    ),
+    tfn AS (
+      SELECT a.doc, a.field, a.term,
+             (CASE {w_case} ELSE 0.0 END) * a.tf::DOUBLE
+             / (1.0 - (CASE {b_case} ELSE 0.0 END)
+                + (CASE {b_case} ELSE 0.0 END) * a.dl::DOUBLE / g.ad) AS v
+      FROM tfa a JOIN avgdl g USING (field)
+    ),
+    tfw AS (
+      SELECT doc, term,
+             list_reduce(list(v ORDER BY field), (x, y) -> x + y) AS tfw
+      FROM tfn GROUP BY doc, term
+    ),
+    dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tfw GROUP BY term),
+    comp AS (
+      SELECT w.doc, w.term,
+             ln(((SELECT n FROM ndocs) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * w.tfw / ({float(k1)!r} + w.tfw) AS c
+      FROM tfw w JOIN dfreq d USING (term)
+    ),
+    scored AS (
+      SELECT doc,
+             round(list_reduce(list(c ORDER BY term), (x, y) -> x + y), 6)
+               AS score
+      FROM comp GROUP BY doc
+    )
+    SELECT doc, score FROM scored
+    ORDER BY score DESC, doc ASC LIMIT {k}
+    """

@@ -2008,6 +2008,90 @@ def q_anchor_text_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BM25F — fielded ranking over body/title/anchor (round 4 cont. 11)
+# ---------------------------------------------------------------------------
+_BM25F_WEIGHTS = {"body": 1.0, "title": 3.0, "anchor": 4.0}
+_BM25F_B = {"body": 0.75, "title": 0.5, "anchor": 0.4}
+
+#: (doc, field, text) — body = full text, title = first 6 tokens,
+#: anchor = ALL inbound anchor strings (the _ANCHOR_LINKS_CTE slices)
+#: aggregated per destination. Join order inside the anchor field is a
+#: total order (ORDER BY anchor == array_sort) though BM25F only reads
+#: the token multiset.
+_BM25F_FIELDS_CTE = rf"""
+  SELECT doc_id AS doc, 'body' AS field, text FROM documents
+  UNION ALL
+  SELECT doc_id AS doc, 'title' AS field,
+         array_to_string(
+           list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       x -> x != '')[1:6], ' ') AS text
+  FROM documents
+  UNION ALL
+  SELECT dst AS doc, 'anchor' AS field,
+         string_agg(anchor, ' ' ORDER BY anchor) AS text
+  FROM ({_ANCHOR_LINKS_CTE}) a GROUP BY dst
+"""
+
+
+@register(
+    "search_bm25f",
+    ranking.bm25f_oracle_sql(
+        _BM25F_FIELDS_CTE, _BM25_TERMS, _BM25F_WEIGHTS, _BM25F_B, k=10
+    ),
+    "BM25F top-10 (Robertson, Zaragoza & Taylor, CIKM 2004) over three "
+    "fields — body, title (first 6 tokens), and the graded link graph's "
+    "inbound ANCHOR TEXT (weights 1/3/4): per-field length-normalized "
+    "term frequencies combine BEFORE the single saturation, the fielded "
+    "ranking function web engines actually run (a term in 3 fields must "
+    "not triple-dip BM25's tf curve). FP-portable like search_bm25_topk: "
+    "field fold sorted by field, term fold sorted by term, both strict "
+    "left folds, round(6) after",
+)
+def q_search_bm25f(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = ts.nonempty_tokens_col(F.lower(F.col("text")))
+    body = d.select(
+        F.col("doc_id").alias("doc"),
+        F.lit("body").alias("field"),
+        F.col("text"),
+    )
+    title = d.select(
+        F.col("doc_id").alias("doc"),
+        F.lit("title").alias("field"),
+        F.concat_ws(" ", F.slice(toks, 1, 6)).alias("text"),
+    )
+    e = _pagerank_edges(spark, sf_dir)
+    src_toks = d.select("doc_id", toks.alias("t"))
+    pos = (
+        dedup.md5_32_col(
+            F.concat(
+                F.col("src").cast("string"),
+                F.lit("@"),
+                F.col("dst").cast("string"),
+            )
+        )
+        % F.greatest(F.size("t") - 1, F.lit(1))
+        + 1
+    )
+    links = e.join(src_toks, e.src == src_toks.doc_id).select(
+        "dst", F.concat_ws(" ", F.slice("t", pos, 2)).alias("anchor")
+    )
+    anchor = (
+        links.groupBy(F.col("dst").alias("doc"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("anchor")), " ").alias(
+                "text"
+            )
+        )
+        .select("doc", F.lit("anchor").alias("field"), "text")
+    )
+    fields = body.unionByName(title).unionByName(anchor)
+    return ranking.bm25f_topk(
+        fields, _BM25_TERMS, weights=_BM25F_WEIGHTS, field_b=_BM25F_B, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
 # cardinality sketches + cross-snapshot change detection (round 4 cont. 6)
 # ---------------------------------------------------------------------------
 from ..operators import sketches, snapshots  # noqa: E402

@@ -106,12 +106,13 @@ GRADE_PRIORITY: list[str] = [
     # (apiserver/index.js:85-102); take the slots of point_update /
     # label_writeback (simple point writes, r03-green, now tail)
     "search_bm25_topk",
-    # round 4 (cont. 9): max-score pruned BM25 — graded against the SAME
-    # oracle as search_bm25_topk, so the driver verifies the DAAT pruning
-    # theorem (result-identity) directly; slot from event_type_pivot
-    # (rollup + percentiles keep the analytics family in-window; pivot
-    # stays exact via check_oracle.py at the tail head)
-    "search_bm25_maxscore",
+    # round 4 (cont. 11): BM25F — fielded ranking over body/title/anchor
+    # with its OWN oracle (per-field normalization folded before the
+    # single saturation); slot from search_bm25_maxscore, which grades
+    # against the identical oracle as search_bm25_topk (the pruning
+    # theorem stays pytest-asserted and tail-checked) — one window slot
+    # should not carry the same oracle twice
+    "search_bm25f",
     "inverted_index_postings",
     # round 4 (cont. 4): the rest of the search-result surface — TF-IDF
     # more-like-this (the reference's related-listings feature at web
@@ -256,6 +257,10 @@ GRADE_PRIORITY: list[str] = [
     # its register/estimate math is driver-verified at every hyperball
     # level
     "host_distinct_hll",
+    # rotated out in round 4 (cont. 11) for the BM25F promotion — grades
+    # against the identical oracle as in-window search_bm25_topk; the
+    # max-score==full-scoring theorem stays pytest-asserted
+    "search_bm25_maxscore",
     # rotated out in round 4 (cont. 10) for the SALSA / spam-mass
     # promotions — exact via check_oracle.py, families still in-window
     "host_change_rates",

@@ -203,3 +203,36 @@ def test_boolean_and_filters_before_shuffle(spark):
     # filter must exist somewhere, and the explode must not feed an
     # unfiltered exchange — assert the filter mentions the terms
     assert "data" in p and "join" in p and "spark" in p
+
+
+def test_bm25f_filters_before_shuffle_no_python(spark):
+    # the exploded token stream must filter to the query's terms BEFORE
+    # the (doc, field, term) aggregation shuffle, and the whole scoring
+    # plan stays JVM-side (no Python UDF nodes)
+    df = REGISTRY["search_bm25f"].fn(spark, SF)
+    p = plan_of(df)
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p
+    assert "term" in p
+    gen_idx = p.index("Generate explode")
+    filt = [
+        ln
+        for ln in p.splitlines()
+        if "Filter" in ln and "term" in ln and " IN " in ln
+    ]
+    assert filt, "query-term IN filter missing from the exploded stream"
+    assert p.index(filt[0]) < gen_idx, (
+        "term filter must sit above the explode (runs before the shuffle), "
+        "not after the aggregation"
+    )
+
+
+def test_hyperball_groupby_partial_agg(spark):
+    # the per-round register merge must carry map-side partial max
+    from obp_search_engine_spark.operators.graph import hyperball
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(20)], "src long, dst long"
+    )
+    p = plan_of(hyperball(edges, iters=1, b=4))
+    assert "partial_max" in p or "HashAggregate" in p
+    assert "PythonUDF" not in p
