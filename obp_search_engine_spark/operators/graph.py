@@ -1984,3 +1984,93 @@ def hyperball_oracle_sql(edges_cte: str, iters: int = 4, b: int = 4) -> str:
     body = "\nUNION ALL\n".join(ests)
     parts.append(f"fin AS ({body})")
     return "\n".join(parts) + "\nSELECT node, t, buckets_hit, z_scaled, est_ball FROM fin"
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    iters: int = 4,
+    b: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Harmonic centrality via HyperBall (Boldi & Vigna 2013 — the
+    centrality the algorithm was built to compute, and the one their
+    'Axioms for Centrality' paper argues is the RIGHT one for the web:
+    unlike closeness it handles unreachable pairs gracefully):
+
+        H(v) = sum_{t=1..T} (1/t) * (|ball(v,t)| - |ball(v,t-1)|)
+
+    i.e. every node first reached at distance t contributes 1/t,
+    estimated from the per-radius HLL ball cardinalities. Depth-capped
+    at ``iters`` (documented; pick >= diameter for the full sum).
+
+    FP portability: ball estimates are the bit-portable doubles of
+    :func:`hyperball`; the telescoping fold runs in ascending-t order
+    on both sides (strict left fold), rounded to 6 decimals — the same
+    discipline as the BM25 family.
+
+    Output: (node, centrality DOUBLE).
+
+    100 TB shape: exactly :func:`hyperball`'s cost (it IS hyperball's
+    register chain) plus one per-node fold over T+1 rows.
+    """
+    balls = hyperball(edges, iters=iters, b=b, src_col=src_col, dst_col=dst_col)
+    return (
+        balls.groupBy("node")
+        .agg(F.collect_list(F.struct("t", "est_ball")).alias("_bs"))
+        .select(
+            "node",
+            F.round(
+                F.aggregate(
+                    F.array_sort("_bs"),
+                    F.struct(
+                        F.lit(0.0).alias("acc"), F.lit(0.0).alias("prev")
+                    ),
+                    lambda s, x: F.struct(
+                        F.when(
+                            x["t"] > 0,
+                            s["acc"]
+                            + (x["est_ball"] - s["prev"])
+                            / x["t"].cast("double"),
+                        )
+                        .otherwise(s["acc"])
+                        .alias("acc"),
+                        x["est_ball"].alias("prev"),
+                    ),
+                    lambda s: s["acc"],
+                ),
+                6,
+            ).alias("centrality"),
+        )
+    )
+
+
+def harmonic_centrality_oracle_sql(
+    edges_cte: str, iters: int = 4, b: int = 4
+) -> str:
+    """DuckDB oracle for :func:`harmonic_centrality`: the full
+    :func:`hyperball_oracle_sql` register chains + per-level estimates,
+    then the same ascending-t telescoping fold (list_reduce over
+    (t, est) pairs ORDER BY t, struct accumulator mirrored as a
+    2-element list [acc, prev])."""
+    hb = hyperball_oracle_sql(edges_cte, iters=iters, b=b)
+    # reuse the hyperball oracle as a subquery — everything up to `fin`
+    return (
+        "WITH hb AS MATERIALIZED (\n"
+        + hb
+        + """
+    )
+    SELECT node,
+           round(list_reduce(
+             list_prepend([0.0, 0.0],
+                          list((CASE WHEN t > 0
+                                     THEN [t::DOUBLE, est_ball]
+                                     ELSE [0.0, est_ball] END)
+                               ORDER BY t)),
+             (s, x) -> [CASE WHEN x[1] > 0.0
+                             THEN s[1] + (x[2] - s[2]) / x[1]
+                             ELSE s[1] END,
+                        x[2]])[1], 6) AS centrality
+    FROM hb GROUP BY node
+    """
+    )

@@ -1076,3 +1076,69 @@ def bm25f_oracle_sql(
     SELECT doc, score FROM scored
     ORDER BY score DESC, doc ASC LIMIT {k}
     """
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "doc",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    RRF(d) = sum over systems s of 1/(k0 + rank_s(d)) — the standard
+    way to combine heterogeneous rankings (here: a query-DEPENDENT
+    text score with a query-INDEPENDENT link prior) without score
+    calibration; the paper's k0=60 damps the impact of any single
+    system's head. Ranks are dense row_numbers over
+    (score DESC, id ASC) within each system's candidate list.
+
+    Input: {system_name: DataFrame(id_col, score_col)} — each frame is
+    a BOUNDED candidate list (a top-N, not a corpus): the global
+    row_number window is driver-query-sized by construction, which is
+    the operator's 100 TB shape (fusion always runs per-query over the
+    k candidates each system already returned; nothing here is
+    O(corpus)).
+
+    FP portability: contributions fold in sorted-system order (strict
+    left fold, 0.0 + x == x bitwise), round(6) after — the BM25-family
+    discipline, so the DuckDB oracle matches bitwise.
+
+    Output: (id_col, rrf) ordered rrf DESC, id ASC, LIMIT k.
+    """
+    parts = []
+    for name in sorted(rankings):
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        parts.append(
+            rankings[name].select(
+                F.col(id_col).alias("_id"),
+                F.lit(name).alias("_sys"),
+                F.row_number().over(w).alias("_rnk"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.select(
+            "_id",
+            F.struct(
+                "_sys",
+                (F.lit(1.0) / (F.lit(float(k0)) + F.col("_rnk").cast("double"))).alias("v"),
+            ).alias("_c"),
+        )
+        .groupBy("_id")
+        .agg(F.collect_list("_c").alias("_cs"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(
+                F.aggregate(
+                    F.array_sort("_cs"), F.lit(0.0), lambda acc, x: acc + x["v"]
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(k)

@@ -2181,6 +2181,75 @@ def q_link_hyperball(spark, sf_dir):
 
 
 @register(
+    "link_harmonic_centrality",
+    graph.harmonic_centrality_oracle_sql(_PAGERANK_EDGES_CTE, iters=4, b=4),
+    "harmonic centrality via HyperBall (Boldi & Vigna 2013; their "
+    "'Axioms for Centrality' case that this is THE web centrality — "
+    "closeness breaks on unreachable pairs, harmonic does not): "
+    "H(v) = sum_t (1/t)(|ball(v,t)|-|ball(v,t-1)|), every node first "
+    "reached at distance t contributes 1/t. The graded oracle nests the "
+    "FULL hyperball register chains + per-level estimates and adds the "
+    "ascending-t telescoping fold (strict left fold both sides, "
+    "round(6)) — one slot re-verifies the whole sketch pipeline plus "
+    "the centrality it exists to compute",
+)
+def q_link_harmonic_centrality(spark, sf_dir):
+    return graph.harmonic_centrality(
+        _pagerank_edges(spark, sf_dir), iters=4, b=4
+    )
+
+
+@register(
+    "search_rank_fusion_rrf",
+    rf"""
+    WITH bm AS MATERIALIZED (
+      {ranking.bm25_oracle_sql(_BM25_TERMS, k=50)}
+    ),
+    pr0 AS MATERIALIZED (
+      {graph.pagerank_oracle_sql(_PAGERANK_EDGES_CTE, iters=5)}
+    ),
+    pr AS (SELECT node, rank FROM pr0 ORDER BY rank DESC, node ASC LIMIT 50),
+    bmr AS (SELECT doc_id AS doc, 'bm25' AS sys,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+            FROM bm),
+    prr AS (SELECT node AS doc, 'pagerank' AS sys,
+                   row_number() OVER (ORDER BY rank DESC, node ASC) AS rnk
+            FROM pr),
+    u AS (SELECT * FROM bmr UNION ALL SELECT * FROM prr),
+    f AS (SELECT doc,
+                 round(list_reduce(
+                   list_prepend(0.0, list(1.0 / (60.0 + rnk) ORDER BY sys)),
+                   (x, y) -> x + y), 6) AS rrf
+          FROM u GROUP BY doc)
+    SELECT doc, rrf FROM f ORDER BY rrf DESC, doc ASC LIMIT 10
+    """,
+    "reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009): "
+    "RRF(d) = sum_s 1/(60 + rank_s(d)) fusing the query-DEPENDENT BM25 "
+    "top-50 with the query-INDEPENDENT integer-PageRank top-50 — the "
+    "standard calibration-free way a web engine folds its link prior "
+    "into text retrieval. The graded oracle nests BOTH upstream oracles "
+    "(the BM25 fold chain and the 5-iteration unrolled rank chain) as "
+    "scoped CTEs, so one row re-verifies text scoring, link ranking, "
+    "and the fusion fold (sorted-system strict left fold, round(6))",
+)
+def q_search_rank_fusion_rrf(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bm = ranking.bm25_topk(d, _BM25_TERMS, k=50)
+    pr = (
+        graph.pagerank(_pagerank_edges(spark, sf_dir), iters=5)
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(50)
+        .select(F.col("node").alias("doc_id"), F.col("rank").alias("score"))
+    )
+    return ranking.rrf_fuse(
+        {"bm25": bm.select(F.col("doc_id"), F.col("score")), "pagerank": pr},
+        k0=60,
+        k=10,
+        id_col="doc_id",
+    ).select(F.col("doc_id").alias("doc"), "rrf")
+
+
+@register(
     "corpus_distinct_hll_merge",
     sketches.hll_oracle_sql(
         f"""SELECT source, doc_id FROM documents

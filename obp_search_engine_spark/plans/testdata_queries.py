@@ -155,7 +155,11 @@ GRADE_PRIORITY: list[str] = [
     # so the HLL family stays driver-verified while the slot upgrades to
     # the canonical web-measurement algorithm. host_distinct_hll rotates
     # to the tail head, still exact via check_oracle.py
-    "link_hyperball",
+    # (cont. 11, same session: upgraded to harmonic centrality — its
+    # oracle nests the FULL hyperball chain + estimates and adds the
+    # telescoping 1/t fold, so the slot verifies strictly more;
+    # link_hyperball joins the tail head, exact via check_oracle.py)
+    "link_harmonic_centrality",
     # round 4 (cont. 10): SALSA (degree-normalized HITS, the TKC fix)
     # and relative spam mass (the actionable PageRank-vs-TrustRank
     # per-node decision — its oracle re-verifies BOTH unrolled rank
@@ -261,6 +265,12 @@ GRADE_PRIORITY: list[str] = [
     # against the identical oracle as in-window search_bm25_topk; the
     # max-score==full-scoring theorem stays pytest-asserted
     "search_bm25_maxscore",
+    # cont. 11: the neighborhood-function form of the in-window harmonic
+    # centrality entry (same register chains, per-level output)
+    "link_hyperball",
+    # cont. 11: RRF fusion of BM25 and PageRank — its oracle nests both
+    # upstream oracles (both families already driver-verified in-window)
+    "search_rank_fusion_rrf",
     # rotated out in round 4 (cont. 10) for the SALSA / spam-mass
     # promotions — exact via check_oracle.py, families still in-window
     "host_change_rates",

@@ -94,3 +94,29 @@ def test_hyperball_ball_growth_monotone(spark):
         seq.sort()
         zs = [z for _, z in seq]
         assert zs == sorted(zs, reverse=True), node
+
+
+def test_harmonic_centrality_matches_python_reference(spark):
+    from obp_search_engine_spark.operators.graph import harmonic_centrality
+    from obp_search_engine_spark.operators.sketches import _alpha
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.centrality
+        for r in harmonic_centrality(df, iters=3, b=4).collect()
+    }
+    m, pmax = 16, 29
+    alpha = _alpha(m)
+    balls = _balls(edges, 3)
+    nodes = {v for v, _ in balls}
+    for v in nodes:
+        acc, prev = 0.0, 0.0
+        for t in range(0, 4):
+            z = _z_scaled(_regs_of(balls[(v, t)], 4), 4)
+            est = alpha * m * m * float(1 << pmax) / float(z)
+            if t > 0:
+                acc += (est - prev) / float(t)
+            prev = est
+        assert abs(got[v] - round(acc, 6)) < 1e-9, v

@@ -352,3 +352,37 @@ def test_anchor_profiles_random_parity_and_oracle(spark):
         ((d, t, n, r) for d, v in ref.items() for t, n, r in v), key=key
     )
     assert got == flat
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    from obp_search_engine_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 7.0), (3, 5.0)], "doc long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 100.0), (4, 90.0), (1, 80.0)], "doc long, score double"
+    )
+    got = {
+        r.doc: r.rrf
+        for r in rrf_fuse({"sysa": a, "sysb": b}, k0=60, k=10).collect()
+    }
+    # ranks: sysa 1->1, 2->2, 3->3; sysb 3->1, 4->2, 1->3
+    want = {
+        1: round(1 / 61 + 1 / 63, 6),
+        2: round(1 / 62, 6),
+        3: round(1 / 63 + 1 / 61, 6),
+        4: round(1 / 62, 6),
+    }
+    assert got == want
+
+
+def test_rrf_ties_break_by_doc_id(spark):
+    from obp_search_engine_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(5, 1.0), (2, 1.0)], "doc long, score double"
+    )
+    rows = rrf_fuse({"only": a}, k=2).collect()
+    # equal scores -> rank by doc asc: doc 2 gets rank 1
+    assert [r.doc for r in rows] == [2, 5]
