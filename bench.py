@@ -92,6 +92,12 @@ BENCH_QUERIES = [
     "par_dedup_corpus",
     "gopher_quality_flags",
     "c4_line_clean",
+    # round-4 (cont. 11) additions: fielded BM25F, HyperBall-based
+    # harmonic centrality, large-star/small-star CC (RRF / focused-crawl
+    # / canonical-doc entries compose shapes already benched above)
+    "search_bm25f",
+    "link_harmonic_centrality",
+    "dedup_cluster_labels_twostar",
 ]
 
 

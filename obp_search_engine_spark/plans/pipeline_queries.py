@@ -997,6 +997,131 @@ def q_classify_documents(spark, sf_dir):
     return out.select("doc_id", "predicted_blocked")
 
 
+@register(
+    "focused_crawl_priority",
+    f"""
+    WITH nb AS MATERIALIZED (
+      {_nb_oracle_sql()}
+    ),
+    agg AS (
+      SELECT d.source AS host, COUNT(*)::BIGINT AS n_docs,
+             SUM(CASE WHEN nb.predicted_blocked THEN 1 ELSE 0 END)::BIGINT
+               AS n_topic
+      FROM documents d JOIN nb ON nb.doc_id = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT host, n_docs, n_topic,
+           ((n_topic * 1000000) // n_docs)::BIGINT AS topic_ppm,
+           row_number() OVER (ORDER BY (n_topic * 1000000) // n_docs DESC,
+                              host ASC)::INT AS priority
+    FROM agg
+    """,
+    "focused crawling (Chakrabarti, van den Berg & Dom, WWW 1999): the "
+    "NB topic classifier's per-doc relevance rolls up to a per-host "
+    "on-topic fraction (integer ppm — exact), ranked into the frontier "
+    "priority a focused crawler dequeues by (hosts yielding on-topic "
+    "pages get fetch budget first). The graded oracle nests the FULL "
+    "first-principles NB chain (tokenize -> smoothed counts -> argmax) "
+    "as a scoped CTE plus the host rollup — classifier and scheduler "
+    "verified in one row",
+)
+def q_focused_crawl_priority(spark, sf_dir):
+    from ..operators.classifier import classify_documents
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_blocked",
+        F.when(F.col("doc_id") % 2 == 0, F.col("lang") == "en").otherwise(
+            F.lit(None).cast("boolean")
+        ),
+    )
+    out = classify_documents(spark, d)
+    agg = out.groupBy(F.col("source").alias("host")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("predicted_blocked").cast("long"))
+        .cast("long")
+        .alias("n_topic"),
+    )
+    ppm = F.expr("(n_topic * 1000000) div n_docs").cast("long")
+    from pyspark.sql import Window as W
+
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_topic",
+        ppm.alias("topic_ppm"),
+        F.row_number()
+        .over(W.orderBy(ppm.desc(), F.col("host").asc()))
+        .cast("int")
+        .alias("priority"),
+    )
+
+
+@register(
+    "dedup_canonical_docs",
+    rf"""
+    WITH cc AS MATERIALIZED (
+      {_CLUSTER_LABELS_ORACLE}
+    ),
+    dl AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x != ''))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT cc.cluster, cc.doc_id, dl.n_tokens,
+             row_number() OVER (PARTITION BY cc.cluster
+                                ORDER BY dl.n_tokens DESC, cc.doc_id ASC)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY cc.cluster)::BIGINT AS n_members
+      FROM cc JOIN dl ON dl.doc_id = cc.doc_id
+    )
+    SELECT cluster, doc_id AS kept_doc_id, n_tokens, n_members
+    FROM ranked WHERE rn = 1
+    """,
+    "near-dup RETENTION POLICY: per minhash-LSH cluster keep the "
+    "LONGEST member (ties to min doc_id) — the quality-aware election "
+    "CCNet/RefinedWeb-style pipelines apply where the reference's "
+    "PK contract keeps min-id (crawler/db/mysql.go:293). One window "
+    "over the cluster key; the graded oracle nests the full recursive-"
+    "CTE clustering plus the tokenizer-exact length, so clustering, "
+    "doclen, and the election grade in one row",
+)
+def q_dedup_canonical_docs(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.3, hash="md5").select(
+        "id_a", "id_b"
+    )
+    labels = dedup.connected_components(pairs, nodes=d.select("doc_id"))
+    dl = d.select(
+        "doc_id",
+        F.size(ts.nonempty_tokens_col(F.lower(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    ranked = labels.join(dl, labels.node == dl.doc_id).select(
+        "cluster",
+        "doc_id",
+        "n_tokens",
+        F.row_number()
+        .over(
+            W.partitionBy("cluster").orderBy(
+                F.col("n_tokens").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("cluster")).cast("long").alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster",
+        F.col("doc_id").alias("kept_doc_id"),
+        "n_tokens",
+        "n_members",
+    )
+
+
 _ANN_ORACLE = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     scored AS (

@@ -271,6 +271,11 @@ GRADE_PRIORITY: list[str] = [
     # cont. 11: RRF fusion of BM25 and PageRank — its oracle nests both
     # upstream oracles (both families already driver-verified in-window)
     "search_rank_fusion_rrf",
+    # cont. 11: focused crawling (NB relevance -> host frontier priority,
+    # oracle nests the full NB chain) and the quality-aware near-dup
+    # retention election (oracle nests the recursive-CTE clustering)
+    "focused_crawl_priority",
+    "dedup_canonical_docs",
     # rotated out in round 4 (cont. 10) for the SALSA / spam-mass
     # promotions — exact via check_oracle.py, families still in-window
     "host_change_rates",
