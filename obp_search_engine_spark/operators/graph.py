@@ -2074,3 +2074,99 @@ def harmonic_centrality_oracle_sql(
     FROM hb GROUP BY node
     """
     )
+
+
+#: fixed-point scale for portable cross-node sums of per-node ball
+#: estimates: floor(est * 2^20) per node makes the corpus-wide reduction
+#: an associative BIGINT sum (order-free at any parallelism) while
+#: keeping ~1e-6 relative precision
+_DIST_SCALE = 1 << 20
+
+
+def distance_distribution(
+    edges: DataFrame,
+    iters: int = 4,
+    b: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """The graph's distance distribution / effective diameter via
+    HyperBall (Boldi & Vigna 2013; the measurement behind Backstrom et
+    al.'s 'Four Degrees of Separation', WebSci 2012): the neighborhood
+    function N(t) = Σ_v |ball(v,t)| — the number of reachable pairs
+    within distance t — per radius, plus the cumulative fraction of
+    N(T) in ppm; the effective diameter d_eff(0.9) is the smallest t
+    whose flag is true.
+
+    Portability at scale: per-node estimates are HyperBall's
+    bit-portable doubles; summing doubles across 10^10 nodes is
+    order-dependent, so each node contributes floor(est · 2^20) — an
+    integer — and the corpus-wide reduction becomes an associative
+    BIGINT sum, bit-identical at any parallelism and in DuckDB
+    (:func:`distance_distribution_oracle_sql`). The ppm column is pure
+    integer arithmetic on those sums.
+
+    Output: (t, reach_scaled BIGINT, cum_ppm BIGINT,
+    at_or_past_p90 BOOLEAN) — one row per radius 0..iters.
+
+    100 TB shape: hyperball's chain + one map-side-combined
+    groupBy(t).sum over N·(T+1) rows; the T+1-row result joins its own
+    1-row total via a broadcast. Nothing is collected.
+    """
+    balls = hyperball(edges, iters=iters, b=b, src_col=src_col, dst_col=dst_col)
+    per_t = (
+        balls.select(
+            "t",
+            F.floor(F.col("est_ball") * F.lit(float(_DIST_SCALE)))
+            .cast("long")
+            .alias("es"),
+        )
+        .groupBy("t")
+        .agg(F.sum("es").alias("reach_scaled"))
+    )
+    total = per_t.agg(F.max("reach_scaled").alias("_tot"))
+    return (
+        per_t.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            "reach_scaled",
+            F.expr("(reach_scaled * 1000000) div greatest(_tot, 1)")
+            .cast("long")
+            .alias("cum_ppm"),
+            (
+                F.expr("(reach_scaled * 1000000) div greatest(_tot, 1)")
+                >= F.lit(900000)
+            ).alias("at_or_past_p90"),
+        )
+        .orderBy("t")
+    )
+
+
+def distance_distribution_oracle_sql(
+    edges_cte: str, iters: int = 4, b: int = 4
+) -> str:
+    """DuckDB oracle for :func:`distance_distribution`: the hyperball
+    chains, then the same floor-scaled integer sum per radius and ppm
+    arithmetic. N(t) is monotone in t (registers only grow), so
+    max(reach_scaled) == reach_scaled at t=T on both sides."""
+    hb = hyperball_oracle_sql(edges_cte, iters=iters, b=b)
+    return (
+        "WITH hb AS MATERIALIZED (\n"
+        + hb
+        + f"""
+    ),
+    per_t AS (
+      SELECT t,
+             SUM(floor(est_ball * {float(_DIST_SCALE)!r})::BIGINT)::BIGINT
+               AS reach_scaled
+      FROM hb GROUP BY t
+    ),
+    tot AS (SELECT MAX(reach_scaled) AS m FROM per_t)
+    SELECT t, reach_scaled,
+           ((reach_scaled * 1000000) // greatest(tot.m, 1))::BIGINT AS cum_ppm,
+           ((reach_scaled * 1000000) // greatest(tot.m, 1)) >= 900000
+             AS at_or_past_p90
+    FROM per_t CROSS JOIN tot
+    ORDER BY t
+    """
+    )

@@ -2325,6 +2325,24 @@ def q_link_harmonic_centrality(spark, sf_dir):
 
 
 @register(
+    "web_distance_distribution",
+    graph.distance_distribution_oracle_sql(_PAGERANK_EDGES_CTE, iters=4, b=4),
+    "distance distribution + effective diameter via HyperBall (the "
+    "'Four Degrees of Separation' measurement, Backstrom et al. WebSci "
+    "2012): N(t) = sum_v |ball(v,t)| per radius with cumulative ppm; "
+    "d_eff(0.9) = first t with at_or_past_p90. Scale-portable sum: each "
+    "node contributes floor(est*2^20) so the corpus-wide reduction is "
+    "an associative BIGINT sum — order-free at any parallelism, exact "
+    "in DuckDB — instead of an order-dependent double sum over 10^10 "
+    "nodes",
+)
+def q_web_distance_distribution(spark, sf_dir):
+    return graph.distance_distribution(
+        _pagerank_edges(spark, sf_dir), iters=4, b=4
+    )
+
+
+@register(
     "search_rank_fusion_rrf",
     rf"""
     WITH bm AS MATERIALIZED (

@@ -276,6 +276,9 @@ GRADE_PRIORITY: list[str] = [
     # retention election (oracle nests the recursive-CTE clustering)
     "focused_crawl_priority",
     "dedup_canonical_docs",
+    # cont. 11: distance distribution / effective diameter — portable
+    # integer-sum reduction over the hyperball estimates
+    "web_distance_distribution",
     # rotated out in round 4 (cont. 10) for the SALSA / spam-mass
     # promotions — exact via check_oracle.py, families still in-window
     "host_change_rates",

@@ -120,3 +120,31 @@ def test_harmonic_centrality_matches_python_reference(spark):
                 acc += (est - prev) / float(t)
             prev = est
         assert abs(got[v] - round(acc, 6)) < 1e-9, v
+
+
+def test_distance_distribution_monotone_and_p90(spark):
+    from obp_search_engine_spark.operators.graph import distance_distribution
+
+    edges = [(i, i + 1) for i in range(12)] + [(12, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = sorted(
+        distance_distribution(df, iters=4, b=4).collect(),
+        key=lambda r: r.t,
+    )
+    reach = [r.reach_scaled for r in rows]
+    assert reach == sorted(reach)  # N(t) monotone
+    assert rows[-1].cum_ppm == 1000000 and rows[-1].at_or_past_p90
+    # p90 flags are monotone: once true, stays true
+    flags = [r.at_or_past_p90 for r in rows]
+    assert flags == sorted(flags)
+
+
+def test_distance_distribution_parallelism_invariant(spark):
+    from obp_search_engine_spark.operators.graph import distance_distribution
+
+    rng = random.Random(9)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = [tuple(r) for r in distance_distribution(df.repartition(1), iters=3).collect()]
+    b = [tuple(r) for r in distance_distribution(df.repartition(9), iters=3).collect()]
+    assert a == b
