@@ -161,6 +161,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     hash: str = "xxhash64",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -174,10 +175,18 @@ def minhash_lsh_pairs(
     hash='md5' makes signature AND band buckets portable (band key =
     '-'-joined signature slice) so DuckDB reproduces the exact candidate
     set — used by the driver-graded entry; xxhash64 stays the scale/bench
-    default."""
+    default.
+
+    ``sigs``: precomputed signature frame (id_col, shingles, minhash) —
+    the incremental-maintenance hook: a recrawl recomputes signatures
+    only for changed/new docs and unions them with the prior snapshot's
+    cached rows (see plans.pipeline_queries.q_neardup_incremental);
+    when provided, ``df``/``text_col``/``n`` are ignored."""
     rows = k // bands
-    base = with_shingles(df.select(id_col, text_col), text_col, n)
-    sigs = with_minhash(base, k, hash=hash).persist()
+    if sigs is None:
+        base = with_shingles(df.select(id_col, text_col), text_col, n)
+        sigs = with_minhash(base, k, hash=hash)
+    sigs = sigs.persist()
 
     def _bucket(b):
         cols = [F.col("minhash")[b * rows + r] for r in range(rows)]

@@ -279,6 +279,9 @@ GRADE_PRIORITY: list[str] = [
     # cont. 11: distance distribution / effective diameter — portable
     # integer-sum reduction over the hyperball estimates
     "web_distance_distribution",
+    # cont. 11: incremental signature maintenance graded against the
+    # full-recompute oracle (carry-forward == recompute theorem)
+    "neardup_incremental",
     # rotated out in round 4 (cont. 10) for the SALSA / spam-mass
     # promotions — exact via check_oracle.py, families still in-window
     "host_change_rates",

@@ -403,3 +403,46 @@ def test_twostar_chain_pair_singleton(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_minhash_incremental_equals_full_recompute(spark):
+    # carry signatures for unchanged docs, recompute changed/new only —
+    # the pair set must equal a full recompute over the new corpus
+    a_rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "totally different text with other words"),
+        (4, "this document will be deleted next snapshot"),
+    ]
+    b_rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),  # unchanged
+        (2, "alpha beta gamma delta epsilon eta revised"),  # changed
+        (3, "totally different text with other words"),  # unchanged
+        (5, "alpha beta gamma delta epsilon zeta"),  # new near-dup of 1
+    ]
+    a = spark.createDataFrame(a_rows, "doc_id long, text string")
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+    sigs_a = dedup.with_minhash(dedup.with_shingles(a, "text", 3), 32, hash="md5")
+    old = a.select("doc_id", F.col("text").alias("_old"))
+    delta = (
+        b.join(old, "doc_id", "left")
+        .filter(F.col("_old").isNull() | (F.col("_old") != F.col("text")))
+        .select("doc_id", "text")
+    )
+    carried = (
+        b.join(old, "doc_id", "inner")
+        .filter(F.col("_old") == F.col("text"))
+        .select("doc_id")
+    )
+    sigs_b = sigs_a.join(carried, "doc_id", "left_semi").unionByName(
+        dedup.with_minhash(dedup.with_shingles(delta, "text", 3), 32, hash="md5")
+    )
+    inc = sorted(
+        map(tuple, dedup.minhash_lsh_pairs(b, threshold=0.3, hash="md5", sigs=sigs_b).collect())
+    )
+    full = sorted(
+        map(tuple, dedup.minhash_lsh_pairs(b, threshold=0.3, hash="md5").collect())
+    )
+    assert inc == full and len(full) > 0
+    # and the delta really was a strict subset of the corpus
+    assert delta.count() == 2 and carried.count() == 2
