@@ -1130,3 +1130,153 @@ def paragraph_dedup_oracle_sql(
     FROM (SELECT DISTINCT {id_col} AS _id FROM d) d
     LEFT JOIN agg a ON a._id = d._id
     """
+
+
+# ---------------------------------------------------------------------------
+# All-pairs similarity search with prefix filtering (Bayardo et al. 2007)
+# ---------------------------------------------------------------------------
+
+
+def allpairs_cosine(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs cosine similarity over tf-idf vectors with PREFIX
+    FILTERING (Bayardo, Ma & Srikant, 'Scaling Up All Pairs Similarity
+    Search', WWW 2007): emit every pair with cos >= threshold without
+    comparing every pair. In a fixed global term order, each doc INDEXES
+    only the head of its term list — term t is indexed iff the inclusive
+    tail Σ_{t' >= t} w_{t'} · maxw_{t'} can still reach the threshold
+    (maxw_t = the corpus-wide max normalized weight of t); the unindexed
+    suffix U(d) therefore satisfies Σ_{t in U(d)} w_t · maxw_t < th.
+    Candidates join each doc's INDEX against every doc's FULL vector:
+    for any qualifying pair, full(x) must overlap index(y) — if it did
+    not, every shared term would sit in U(y) and
+    cos = Σ x_t y_t <= Σ_{U(y)} maxw_t · y_t < th, a contradiction — so
+    one-sided index-vs-full generation has NO false negatives, and the
+    exact-cosine verify removes false positives. Output == brute force,
+    which is precisely what the DuckDB oracle grades
+    (:func:`plans.pipeline_queries` nests a literal all-pairs scan).
+    The index filter carries a 1e-9 slack so FP noise in the bound can
+    only ADD candidates (recall is never at the mercy of a rounding).
+
+    Weighting (mirrored exactly by the oracle): tf = term count,
+    idf = ln((N + 1) / (df + 1)), w normalized by the doc's L2 norm
+    computed as a sorted-term strict left fold (FP-portable); cosine =
+    sorted-term fold over the shared terms, round(6) >= threshold.
+
+    Output: (id_a, id_b, cos) with id_a < id_b.
+
+    100 TB shape: weights are one (doc, term) shuffle; maxw is a
+    term-keyed aggregate that broadcasts; the candidate join is keyed on
+    PREFIX terms only — high-df terms have tiny weights and fall out of
+    prefixes, so the join avoids exactly the posting lists that explode
+    a naive term self-join; verification touches candidate pairs only.
+    The suffix bound is a per-doc window cum-sum (no driver state).
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_doc"), toks.alias("_t")
+    )
+    n_docs = base.count()
+    tf = (
+        base.select("_doc", F.explode("_t").alias("term"))
+        .groupBy("_doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = tf.join(F.broadcast(dfreq), "term").select(
+        "_doc",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * F.log(
+                (F.lit(float(n_docs)) + F.lit(1.0))
+                / (F.col("df").cast("double") + F.lit(1.0))
+            )
+        ).alias("w"),
+    )
+    # L2 norm per doc: sorted-term strict left fold (portable)
+    norms = (
+        w.groupBy("_doc")
+        .agg(F.collect_list(F.struct("term", "w")).alias("_ws"))
+        .select(
+            "_doc",
+            F.sqrt(
+                F.aggregate(
+                    F.array_sort("_ws"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["w"] * x["w"],
+                )
+            ).alias("_norm"),
+        )
+    )
+    wn = w.join(norms, "_doc").select(
+        "_doc", "term", (F.col("w") / F.col("_norm")).alias("w")
+    ).persist()
+    maxw = wn.groupBy("term").agg(F.max("w").alias("maxw"))
+    # suffix bound in canonical term-asc order: index term t of doc d iff
+    # the strictly-after-t suffix cannot alone reach the threshold
+    win = (
+        W.partitionBy("_doc")
+        .orderBy(F.col("term").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    scored = wn.join(F.broadcast(maxw), "term").select(
+        "_doc",
+        "term",
+        "w",
+        F.coalesce(F.sum(F.col("w") * F.col("maxw")).over(win), F.lit(0.0)).alias(
+            "_suffix_bound"
+        ),
+    )
+    # index t iff the INCLUSIVE tail can still reach th (head of the
+    # ordered term list); slack errs toward indexing more
+    prefix = scored.filter(
+        F.col("_suffix_bound") + F.col("w") * F.col("maxw")
+        >= F.lit(float(threshold) - 1e-9)
+    ).select(F.col("_doc").alias("_ix_doc"), "term")
+    cand = (
+        prefix.join(
+            wn.select(F.col("_doc").alias("_full_doc"), "term"), ["term"]
+        )
+        .filter(F.col("_ix_doc") != F.col("_full_doc"))
+        .select(
+            F.least("_ix_doc", "_full_doc").alias("id_a"),
+            F.greatest("_ix_doc", "_full_doc").alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact verify: sorted-term fold over shared terms
+    pairs_w = (
+        cand.join(
+            wn.select(F.col("_doc").alias("id_a"), "term", F.col("w").alias("wa")),
+            ["id_a"],
+        )
+        .join(
+            wn.select(F.col("_doc").alias("id_b"), "term", F.col("w").alias("wb")),
+            ["id_b", "term"],
+        )
+    )
+    out = (
+        pairs_w.groupBy("id_a", "id_b")
+        .agg(F.collect_list(F.struct("term", (F.col("wa") * F.col("wb")).alias("p"))).alias("_ps"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.aggregate(
+                    F.array_sort("_ps"), F.lit(0.0), lambda acc, x: acc + x["p"]
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
+    return out

@@ -282,6 +282,9 @@ GRADE_PRIORITY: list[str] = [
     # cont. 11: incremental signature maintenance graded against the
     # full-recompute oracle (carry-forward == recompute theorem)
     "neardup_incremental",
+    # cont. 11: Bayardo prefix-filtered all-pairs cosine graded against
+    # the literal brute-force oracle (pruning exactness as a theorem)
+    "allpairs_cosine_prefix",
     # rotated out in round 4 (cont. 10) for the SALSA / spam-mass
     # promotions — exact via check_oracle.py, families still in-window
     "host_change_rates",

@@ -446,3 +446,65 @@ def test_minhash_incremental_equals_full_recompute(spark):
     assert inc == full and len(full) > 0
     # and the delta really was a strict subset of the corpus
     assert delta.count() == 2 and carried.count() == 2
+
+
+def _py_allpairs_cosine(rows, threshold):
+    import math
+
+    toks = {d: t.lower().split() for d, t in rows if t is not None}
+    n = len(toks)
+    tf = {d: {} for d in toks}
+    for d, ts_ in toks.items():
+        for t in ts_:
+            tf[d][t] = tf[d].get(t, 0) + 1
+    dfreq = {}
+    for d in tf:
+        for t in tf[d]:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    w = {
+        d: {t: c * math.log((n + 1.0) / (dfreq[t] + 1.0)) for t, c in tf[d].items()}
+        for d in tf
+    }
+    wn = {}
+    for d, ws in w.items():
+        nm = math.sqrt(sum(ws[t] * ws[t] for t in sorted(ws)))
+        wn[d] = {t: v / nm for t, v in ws.items()} if nm else {}
+    out = {}
+    docs = sorted(wn)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            shared = sorted(set(wn[a]) & set(wn[b]))
+            if not shared:
+                continue
+            c = round(sum(wn[a][t] * wn[b][t] for t in shared), 6)
+            if c >= threshold:
+                out[(a, b)] = c
+    return out
+
+
+def test_allpairs_cosine_equals_brute_force(spark):
+    import random
+
+    rng = random.Random(13)
+    vocab = ["w%d" % i for i in range(12)]
+    rows = [
+        (d, " ".join(rng.choices(vocab, k=rng.randrange(4, 15))))
+        for d in range(40)
+    ]
+    # a couple of exact/near twins so the high band is populated
+    rows += [(100, rows[0][1]), (101, rows[1][1] + " extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for th in (0.5, 0.9):
+        got = {
+            (r.id_a, r.id_b): r.cos
+            for r in dedup.allpairs_cosine(df, threshold=th).collect()
+        }
+        assert got == _py_allpairs_cosine(rows, th), th
+
+
+def test_allpairs_cosine_parallelism_invariant(spark):
+    rows = [(d, "alpha beta gamma delta w%d" % (d % 5)) for d in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.allpairs_cosine(df.repartition(1), 0.6).collect()))
+    b = sorted(map(tuple, dedup.allpairs_cosine(df.repartition(9), 0.6).collect()))
+    assert a == b and len(a) > 0
