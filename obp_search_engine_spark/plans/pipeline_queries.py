@@ -1050,18 +1050,40 @@ def q_focused_crawl_priority(spark, sf_dir):
         .cast("long")
         .alias("n_topic"),
     )
-    ppm = F.expr("(n_topic * 1000000) div n_docs").cast("long")
     from pyspark.sql import Window as W
 
-    return agg.select(
-        "host",
-        "n_docs",
-        "n_topic",
-        ppm.alias("topic_ppm"),
-        F.row_number()
-        .over(W.orderBy(ppm.desc(), F.col("host").asc()))
-        .cast("int")
-        .alias("priority"),
+    agg = agg.withColumn(
+        "topic_ppm", F.expr("(n_topic * 1000000) div n_docs").cast("long")
+    )
+    # scale-safe exact global rank WITHOUT a single-partition window over
+    # hosts: topic_ppm has <= 10^6+1 distinct values BY CONSTRUCTION, so
+    # the cross-host offset rides a bounded ppm histogram (the packer's
+    # offsets-frame pattern) and the within-ppm tie-break is a
+    # partitioned window — at 10^8 hosts nothing serializes on one task
+    hist = agg.groupBy("topic_ppm").agg(F.count("*").alias("_n"))
+    off = hist.select(
+        "topic_ppm",
+        F.coalesce(
+            F.sum("_n").over(
+                W.orderBy(F.col("topic_ppm").desc()).rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    within = F.row_number().over(
+        W.partitionBy("topic_ppm").orderBy(F.col("host").asc())
+    )
+    return (
+        agg.join(F.broadcast(off), "topic_ppm")
+        .select(
+            "host",
+            "n_docs",
+            "n_topic",
+            "topic_ppm",
+            (F.col("_off") + within).cast("int").alias("priority"),
+        )
     )
 
 
