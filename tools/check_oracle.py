@@ -49,11 +49,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf":  # space-separated form — don't eat DIR as a name
+            i += 1
+            sf_dir = argv[i]
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
 
     import __spark_entry__ as e
     from obp_search_engine_spark.session import get_spark
