@@ -1162,6 +1162,12 @@ def allpairs_cosine(
     The index filter carries a 1e-9 slack so FP noise in the bound can
     only ADD candidates (recall is never at the mercy of a rounding).
 
+    The oracle is O(n^2) BY CONSTRUCTION (that is what makes the exact
+    match a pruning theorem) and is therefore bounded to the grading SF:
+    at sf0.1 the prefix-filtered Spark side completes while the DuckDB
+    brute-force scan exhausts memory — the asymmetry this algorithm
+    exists to create (same positioning as neardup_jaccard_exact).
+
     Weighting (mirrored exactly by the oracle): tf = term count,
     idf = ln((N + 1) / (df + 1)), w normalized by the doc's L2 norm
     computed as a sorted-term strict left fold (FP-portable); cosine =
