@@ -56,7 +56,13 @@ def register(name: str, sql: str | None, doc: str):
 # pytest-asserted equality with graded in-window counterparts.
 # ---------------------------------------------------------------------------
 GRADE_PRIORITY: list[str] = [
-    # flagship + crawl family
+    # ---- round 5 window: per VERDICT.md r04 next-round #1, the window
+    # rotates over the 35 SQL-backed entries that have NEVER held a
+    # driver slot (all verified exact locally via tools/check_oracle.py
+    # in r04 and re-verified this round), plus ~15 flagship crawl /
+    # curation rows kept in-window every round. Everything rotated to
+    # the tail was driver-green in r01-r04 (see CORRECTNESS_r0*.json).
+    # ---- flagship crawl / curation (driver-green every prior round)
     "filtered_join_agg",
     "search_listings_page",
     "crawl_mock4_visits",
@@ -64,279 +70,102 @@ GRADE_PRIORITY: list[str] = [
     "crawl_round_metrics",
     "crawl_politeness_states",
     "window_dequeue",
-    # round 4 (cont. 7): leakage-safe split assignment (dedup-group-
-    # keyed md5 split) — slot from merge_upsert (S10/S11, r03-green;
-    # profile_branch_upsert at tail carries the same upsert shape)
-    "leakage_safe_split",
-    # round 4 (cont. 5): link-graph health + crawl-trap companions to
-    # host_pagerank promoted (never driver-graded before); crawl_one_node /
-    # staleness_top1 / profile_branch_upsert (r03-green, semantics covered
-    # by the remaining crawl + merge_upsert entries) rotate to the tail
     "crawl_trap_hosts",
-    # round 4 (cont. 11): alternating large-star/small-star CC (SoCC'14)
-    # graded against the SAME recursive-CTE oracle as
-    # dedup_cluster_labels — two different distributed algorithms
-    # verified against identical ground truth. Slot from link_trustrank:
-    # link_spam_mass's graded oracle nests the IDENTICAL unrolled
-    # trustrank chain (same seeds [0,1,2], same edges CTE), so the
-    # driver still verifies the trustrank code path every round;
-    # link_trustrank stays exact via check_oracle.py at the tail head
-    "dedup_cluster_labels_twostar",
-    # round 4: the sampling family's exact-oracle variant takes this slot;
-    # contract_type_filter (a simple equality filter, r03-green) rotates
-    # to the tail
-    "seeded_sample_md5",
-    # round 4 (cont. 7): URL path-template mining (trap detection
-    # before fetch) — slot from top_tags (A1/O5, r03-green)
-    "url_template_mining",
-    # round 4 (cont. 5): temporal joins promoted (as-of via union+window,
-    # bucketed range containment — exact native-DuckDB oracles, never
-    # driver-graded); anti_join_dedup (J4, r03-green, the same anti-join
-    # shape the crawl_mock4 entries exercise) rotates to the tail
-    "asof_join_events",
-    "range_join_window_counts",
-    # round 4 (cont. 4): multi-dimensional analytics — ROLLUP subtotals,
-    # pinned-value pivot, exact interpolated percentiles; take the slots
-    # of schema_migration / group_collect_join / ban_ratio (r03-green,
-    # now tail)
-    "event_rollup",
-    "doclen_percentiles",
-    # round 4 (cont. 3): search-side ranking — BM25 + the inverted-index
-    # build, the web-scale form of the reference's keyword search
-    # (apiserver/index.js:85-102); take the slots of point_update /
-    # label_writeback (simple point writes, r03-green, now tail)
-    "search_bm25_topk",
-    # round 4 (cont. 11): BM25F — fielded ranking over body/title/anchor
-    # with its OWN oracle (per-field normalization folded before the
-    # single saturation); slot from search_bm25_maxscore, which grades
-    # against the identical oracle as search_bm25_topk (the pruning
-    # theorem stays pytest-asserted and tail-checked) — one window slot
-    # should not carry the same oracle twice
-    "search_bm25f",
-    "inverted_index_postings",
-    # round 4 (cont. 4): the rest of the search-result surface — TF-IDF
-    # more-like-this (the reference's related-listings feature at web
-    # scale) and hit snippets; take the slots of json_decode_fallback /
-    # string_ops (function-surface entries, r03-green, now tail)
-    "more_like_this",
-    # round 4 (cont. 10): corpus-wide paragraph dedup (CCNet §3.2) —
-    # the cross-host banner strip, flagship webtext operator; slot from
-    # search_snippets (search family keeps bm25 x2 + more_like_this +
-    # inverted_index_postings in-window)
-    "par_dedup_corpus",
-    # streaming-shaped (event_window_counts r03-green, rotated to tail
-    # in cont. 7 — event_sessions keeps the streaming family in-window)
-    "event_sessions",
-    # round 4 (cont. 7): host-level boilerplate detection and
-    # mirror-host pairs — the webtext preprocessing/budget operators;
-    # slots from event_window_counts and neardup_simhash (both
-    # r03-green, families still covered in-window)
-    "host_boilerplate_lines",
-    "mirror_host_pairs",
-    # round 4 (cont. 5): pointer-doubling redirect resolution and the
-    # max-min fair crawl-budget allocator — new exact-oracle crawl
-    # operators; doc_token_stats (doc_quality_score covers the token/
-    # length stats family) and dedup_prefix_groups (one of seven dedup
-    # entries in the window) rotate to the tail, both r03-green
-    "redirect_resolution",
-    "crawl_budget_alloc",
-    # round 4 (cont. 6): recrawl change detection + HLL distinct sketches
-    # — the cross-snapshot diff a change-driven recrawler schedules by
-    # (Cho & Garcia-Molina) and the first sketch family with an EXACT
-    # oracle (integer register tables; merge graded as sketch-of-union).
-    # Slots from doc_quality_score + the curation components (all
-    # r03-green; curation_pipeline composes quality/decontam/mix/pack
-    # and stays in-window, token_budget_packing_dist grades the packer
-    # against the same oracle)
-    "snapshot_change_detection",
-    # round 4 (cont. 11): HyperBall — per-node neighborhood function by
-    # HLL counters merged along edges; its graded output re-derives the
-    # full register + estimate math of host_distinct_hll at every level,
-    # so the HLL family stays driver-verified while the slot upgrades to
-    # the canonical web-measurement algorithm. host_distinct_hll rotates
-    # to the tail head, still exact via check_oracle.py
-    # (cont. 11, same session: upgraded to harmonic centrality — its
-    # oracle nests the FULL hyperball chain + estimates and adds the
-    # telescoping 1/t fold, so the slot verifies strictly more;
-    # link_hyperball joins the tail head, exact via check_oracle.py)
-    "link_harmonic_centrality",
-    # round 4 (cont. 10): SALSA (degree-normalized HITS, the TKC fix)
-    # and relative spam mass (the actionable PageRank-vs-TrustRank
-    # per-node decision — its oracle re-verifies BOTH unrolled rank
-    # chains in one graded row). Slots from host_change_rates
-    # (snapshot_change_detection keeps the recrawl-diff family
-    # in-window) and corpus_distinct_hll_merge (host_distinct_hll
-    # keeps the HLL family in-window) — both never-driver-graded but
-    # exact via check_oracle.py, now at the tail head
-    "link_salsa",
-    "link_spam_mass",
-    # round 4 (cont. 6b): the CMS frequency dual of the HLL sketch and
-    # the change-aware revisit scheduler the diff feeds; slots from
-    # dedup_exact_groups (simplest of five in-window dedup entries) and
-    # doc_repetition_ratio (textstats keeps lang_id + pii in-window),
-    # both r03-green, now tail
-    "cms_term_freq",
-    "host_revisit_priority",
-    # round 4 (cont. 7): bigram-LM perplexity quality filter (CCNet)
-    # and incremental inverted-index delta merge (graded merge==rebuild
-    # theorem); slots from pii_redaction and lang_id_heuristic (both
-    # r03-green — quality/repetition/pii keep the textstats family
-    # evidenced from the tail)
-    "doc_lm_perplexity",
-    "index_delta_merge",
-    # round 4 (cont. 10): the two canonical published webtext gates —
-    # Gopher rules (Rae et al. 2021 A1.1) and C4 line cleaning (Raffel
-    # et al. 2020 §2.2) — slots from related_pages_cocitation and
-    # link_degree_hist (the graph family keeps pagerank / trustrank /
-    # salsa / spam-mass / hits / bfs / opic / trap-hosts in-window;
-    # both rotated entries stay exact via check_oracle.py)
-    "gopher_quality_flags",
-    "c4_line_clean",
-    # LLM-data-pipeline: dedup families (exact-groups entry rotated to
-    # tail in cont. 6b; the md5-fingerprint grouping it grades is also
-    # the first stage of the in-window curation_pipeline)
-    # round 4 (cont. 5): anchor-text profiles — the link-based ranking
-    # signal (Brin & Page 1998) — promoted; neardup_jaccard_exact
-    # (1-row bounded-oracle variant; the minhash entry re-verifies the
-    # same Jaccard semantics) rotates to the tail, r03-green
-    "anchor_text_topk",
-    "neardup_minhash_lsh",
-    # round 4: connected-components clustering over the minhash pairs —
-    # new family (cluster labels), exact recursive-CTE oracle; takes the
-    # slot of moderator_radio_filter (simple filter, r03-green, now tail)
-    "dedup_cluster_labels",
-    # round 4 (cont.): fixed-point integer PageRank over the md5-derived
-    # link graph — iterative operator, bit-exact at any parallelism, so
-    # exactly oracle-checkable; takes the slot of unlisted_filter (simple
-    # filter, r03-green, now tail)
-    "host_pagerank",
-    # round 4 (cont. 10): bow-tie decomposition (Broder et al. 2000) —
-    # the canonical web-structure measurement; slot from link_bfs_depths
-    # (bowtie's four reach sweeps exercise the same BFS machinery; bfs
-    # stays exact via check_oracle.py at the tail head)
-    "web_bowtie_structure",
-    # round 4 (cont. 6): the iterative dual of host_pagerank (integer
-    # HITS hubs/authorities) and link-structure related pages
-    # (co-citation top-k) — see the snapshot/sketch comment above for
-    # the slots they take
-    "link_hits",
-    "classify_documents_nb",
-    # LLM-data-pipeline: curation (components rotated to tail in round 4
-    # cont. 6 — the composed pipeline below covers them in-window)
+    "leakage_safe_split",
     "curation_pipeline",
-    # round 4 (cont. 5): the distributed two-level token packer and the
-    # substring-excise transform promoted (exact oracles, never
-    # driver-graded); doc_fingerprint (dedup_exact_groups groups by the
-    # same md5 fingerprint) and documents_incremental (r03-green store
-    # lifecycle) rotate to the tail
-    "token_budget_packing_dist",
-    "dup_substring_excise",
-    # similarity search: the round-4 md5-portable ANN variants (first
-    # exact-oracle evidence for the LSH/IVF families; each verifies
-    # exact cosine top-k inside its buckets — the brute-force baseline
-    # entry rotated to tail in cont. 6, r03-green)
-    "ann_lsh_topk_md5",
-    # round 4 (cont. 3): md5-portable near-dup PAIRS — the last ANN
-    # family member upgraded to exact oracle; takes sort_paginate's slot
-    # (pagination also covered by search_listings_page, r03-green, tail)
-    "embedding_neardup_md5",
-    # exact-substring dup spans (Lee et al. 2022) — promoted into the
-    # window in round 4 (exact oracle, never driver-graded before)
-    "dup_substring_spans",
-    # round 4 (cont. 9): OPIC — the crawl-time frontier-priority
-    # algorithm (Abiteboul et al. 2003), the operator closest to the
-    # north star's frontier ordering; slot from ann_ivf_topk_md5
-    # (ann_lsh_topk_md5 + embedding_neardup_md5 keep the md5-portable
-    # ANN pattern in-window; IVF stays exact via check_oracle.py)
-    "frontier_opic_priority",
-    # ---- grading-window boundary (50) ----
-    # round 4 (cont. 8/9) additions — exact-oracle-backed, verified
-    # locally via tools/check_oracle.py, placed at the head of the tail
-    # so they are first in line if the window ever widens
-    "ann_ivf_topk_md5",
-    # rotated out in round 4 (cont. 11) for the two-star CC promotion —
-    # its unrolled chain is still driver-verified inside link_spam_mass
+    "par_dedup_corpus",
+    "neardup_minhash_lsh",
+    # ---- the 35 never-driver-graded entries (VERDICT r04 item 1) ----
     "link_trustrank",
-    # rotated out in round 4 (cont. 11) for the HyperBall promotion —
-    # its register/estimate math is driver-verified at every hyperball
-    # level
-    "host_distinct_hll",
-    # rotated out in round 4 (cont. 11) for the BM25F promotion — grades
-    # against the identical oracle as in-window search_bm25_topk; the
-    # max-score==full-scoring theorem stays pytest-asserted
-    "search_bm25_maxscore",
-    # cont. 11: the neighborhood-function form of the in-window harmonic
-    # centrality entry (same register chains, per-level output)
     "link_hyperball",
-    # cont. 11: RRF fusion of BM25 and PageRank — its oracle nests both
-    # upstream oracles (both families already driver-verified in-window)
-    "search_rank_fusion_rrf",
-    # cont. 11: focused crawling (NB relevance -> host frontier priority,
-    # oracle nests the full NB chain) and the quality-aware near-dup
-    # retention election (oracle nests the recursive-CTE clustering)
-    "focused_crawl_priority",
-    "dedup_canonical_docs",
-    # cont. 11: distance distribution / effective diameter — portable
-    # integer-sum reduction over the hyperball estimates
-    "web_distance_distribution",
-    # cont. 11: incremental signature maintenance graded against the
-    # full-recompute oracle (carry-forward == recompute theorem)
-    "neardup_incremental",
-    # cont. 11: Bayardo prefix-filtered all-pairs cosine graded against
-    # the literal brute-force oracle (pruning exactness as a theorem)
-    "allpairs_cosine_prefix",
-    # rotated out in round 4 (cont. 10) for the SALSA / spam-mass
-    # promotions — exact via check_oracle.py, families still in-window
-    "host_change_rates",
-    "corpus_distinct_hll_merge",
     "link_bfs_depths",
-    "related_pages_cocitation",
+    "link_triangle_counts",
+    "link_kcore",
+    "link_reciprocity",
+    "link_label_propagation",
     "link_degree_hist",
+    "related_pages_cocitation",
+    "search_boolean_and",
+    "search_phrase",
     "search_snippets",
-    "event_type_pivot",
+    "search_bm25_maxscore",
+    "search_rank_fusion_rrf",
+    "allpairs_cosine_prefix",
+    "neardup_incremental",
+    "dup_containment_pairs",
     "winnow_fingerprints",
     "winnow_dup_pairs",
     "dust_mining_rules",
+    "ann_ivf_topk_md5",
+    "host_distinct_hll",
+    "corpus_distinct_hll_merge",
+    "host_change_rates",
+    "web_distance_distribution",
+    "focused_crawl_priority",
+    "dedup_canonical_docs",
+    "event_type_pivot",
     "doclen_quantile_hist",
-    "link_triangle_counts",
-    "link_label_propagation",
-    "search_boolean_and",
-    "search_phrase",
-    "dup_containment_pairs",
     "weighted_sample_k",
-    "sitemap_extract",
-    "link_kcore",
-    "link_reciprocity",
     "index_df_pruned",
     "shard_rendezvous",
-    "text_normalize",
+    "sitemap_extract",
     "host_registrable_domain",
-    # tail: first to be graded if the driver's window ever widens.
-    # SQL-backed tail entries are exact-oracle-verified locally via
-    # tools/check_oracle.py (most were driver-green in r02/r03); rows-only
-    # entries (sql=None) are pytest-asserted against in-window
-    # counterparts — the driver ignores them (err=no_oracle, r03).
-    # rotated out in round 4 (cont. 5) for the temporal-join / packer /
-    # excise / graph-health promotions — all r03-driver-green, still
-    # exact via check_oracle.py
+    "text_normalize",
+    # ---- round-5 slots: replaced by bpe_train_merges /
+    # ann_index_delta / search_phrase_indexed as they land; until then
+    # carry r04-green flagship entries so the window stays valid
+    "classify_documents_nb",
+    "frontier_opic_priority",
+    "token_budget_packing_dist",
+    # ---- grading-window boundary (50) ----
+    # tail: every entry below has held a green driver row in r01-r04
+    # (or is rows-only / pytest-asserted); all SQL-backed tail entries
+    # stay exact-verified via tools/check_oracle.py (SWEEP_r05.json).
+    "dedup_cluster_labels_twostar",
+    "seeded_sample_md5",
+    "url_template_mining",
+    "asof_join_events",
+    "range_join_window_counts",
+    "event_rollup",
+    "doclen_percentiles",
+    "search_bm25_topk",
+    "search_bm25f",
+    "inverted_index_postings",
+    "more_like_this",
+    "event_sessions",
+    "host_boilerplate_lines",
+    "mirror_host_pairs",
+    "redirect_resolution",
+    "crawl_budget_alloc",
+    "snapshot_change_detection",
+    "link_harmonic_centrality",
+    "link_salsa",
+    "link_spam_mass",
+    "cms_term_freq",
+    "host_revisit_priority",
+    "doc_lm_perplexity",
+    "index_delta_merge",
+    "gopher_quality_flags",
+    "c4_line_clean",
+    "anchor_text_topk",
+    "dedup_cluster_labels",
+    "host_pagerank",
+    "web_bowtie_structure",
+    "link_hits",
+    "dup_substring_excise",
+    "ann_lsh_topk_md5",
+    "embedding_neardup_md5",
+    "dup_substring_spans",
     "crawl_one_node",
     "doc_token_stats",
     "dedup_prefix_groups",
     "neardup_jaccard_exact",
-    # rotated out in round 4 (cont. 6) for the snapshot-diff / HLL /
-    # HITS / co-citation promotions — all r03-driver-green, still exact
-    # via check_oracle.py; the curation components remain composed (and
-    # graded) inside curation_pipeline, ann_cosine_topk's exact-cosine
-    # ranking inside ann_lsh_topk_md5 / ann_ivf_topk_md5
     "doc_quality_score",
     "stratified_topk",
     "token_budget_packing",
     "domain_mix_resample",
     "contamination_screen",
     "ann_cosine_topk",
-    # rotated out in round 4 (cont. 6b/7) for the CMS / revisit-priority
-    # / LM-perplexity promotions — all r03-driver-green, still exact via
-    # check_oracle.py
     "dedup_exact_groups",
     "doc_repetition_ratio",
     "pii_redaction",
@@ -351,19 +180,12 @@ GRADE_PRIORITY: list[str] = [
     "anti_join_dedup",
     "doc_fingerprint",
     "documents_incremental",
-    # rotated out in round 4 (cont. 3) for the ranking/BFS/neardup-md5
-    # promotions — all r03-driver-green, still exact via check_oracle.py
     "verified_moderators_endpoint",
     "point_update",
     "label_writeback",
     "sort_paginate",
-    # rotated out in round 4 (cont. 4) for the more_like_this /
-    # search_snippets promotions — both r03-driver-green, still exact
-    # via check_oracle.py
     "json_decode_fallback",
     "string_ops",
-    # rotated out in round 4 (cont. 4) for the rollup/pivot/percentile
-    # promotions — all r03-driver-green, still exact via check_oracle.py
     "schema_migration",
     "group_collect_join",
     "ban_ratio",

@@ -58,6 +58,8 @@ def main() -> int:
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
         elif a == "--sf":  # space-separated form — don't eat DIR as a name
+            if i + 1 >= len(argv):
+                sys.exit("usage: check_oracle.py [name ...] [--sf DIR]")
             i += 1
             sf_dir = argv[i]
         elif not a.startswith("--"):
