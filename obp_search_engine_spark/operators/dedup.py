@@ -823,8 +823,16 @@ def connected_components_twostar(
             e = nxt
             break
         e, n_prev = nxt, n_new
-    # at fixpoint every edge is (child, root) with root = component min
-    roots = e.select(F.col("a").alias("node"), F.col("b").alias("cluster"))
+    # at fixpoint every edge is (child, root) with root = component min.
+    # If max_iter rounds pass without reaching the star-forest fixpoint,
+    # the edge set may still hold several (a, b) rows per node — the
+    # groupBy/min keeps the output one row per node in that case too
+    # (a conservative label, never a duplicate/conflicting one).
+    roots = (
+        e.groupBy("a")
+        .agg(F.min("b").alias("b"))
+        .select(F.col("a").alias("node"), F.col("b").alias("cluster"))
+    )
     return (
         endpoints.join(roots, "node", "left")
         .select(
@@ -1060,7 +1068,11 @@ def paragraph_dedup(
         )
         .filter(F.col("par") != "")
     )
-    w = Window.partitionBy(F.md5(F.col("par"))).orderBy("_id", "pos")
+    # sha2-256 of the trimmed paragraph: compact 32-byte shuffle key that is
+    # collision-resistant even on attacker-controlled web content (md5
+    # collisions are constructible and would merge two distinct paragraphs,
+    # diverging from the partition-by-string oracle / CCNet semantics)
+    w = Window.partitionBy(F.sha2(F.col("par"), 256)).orderBy("_id", "pos")
     ranked = pars.withColumn("_rn", F.row_number().over(w))
     keep = (F.col("s._rn") == 1)
     per_doc = (

@@ -1396,7 +1396,9 @@ def salsa(
         )
     init = scale // n
     auth = nodes.select("node", F.lit(init).cast("long").alias("auth"))
-    hub = None
+    # iters=0 returns the init state (uniform auth, zero hub) instead of
+    # crashing on a None hub in the final join
+    hub = nodes.select("node", F.lit(0).cast("long").alias("hub"))
     # Sparse iteration state: hraw keys = nodes with out-edges, araw
     # keys = nodes with in-edges. A node absent from either frame holds
     # exactly 0 mass there, and 0-mass rows contribute 0 to every edge

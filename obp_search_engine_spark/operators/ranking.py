@@ -1010,14 +1010,14 @@ def bm25f_oracle_sql(
     query_terms: list[str],
     weights: dict[str, float],
     field_b: dict[str, float],
-    avgdl_overrides: None = None,
     k: int = 10,
     k1: float = 1.2,
 ) -> str:
     """DuckDB oracle for :func:`bm25f_topk`. ``fields_cte`` must yield
     (doc, field, text); per-field constants are emitted as the same CASE
     chains, avgdl computed identically (sum of field lengths / distinct
-    docs), folds sorted by field then by term."""
+    docs, with the same avgdl=0 -> 1.0 guard as the Spark side), folds
+    sorted by field then by term."""
     terms = sorted(set(query_terms))
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     fnames = sorted(weights)
@@ -1052,7 +1052,8 @@ def bm25f_oracle_sql(
       SELECT a.doc, a.field, a.term,
              (CASE {w_case} ELSE 0.0 END) * a.tf::DOUBLE
              / (1.0 - (CASE {b_case} ELSE 0.0 END)
-                + (CASE {b_case} ELSE 0.0 END) * a.dl::DOUBLE / g.ad) AS v
+                + (CASE {b_case} ELSE 0.0 END) * a.dl::DOUBLE
+                  / (CASE WHEN g.ad = 0 THEN 1.0 ELSE g.ad END)) AS v
       FROM tfa a JOIN avgdl g USING (field)
     ),
     tfw AS (

@@ -113,6 +113,15 @@ def test_salsa_self_loops_dups_and_empty(spark):
     assert salsa(empty, iters=2).count() == 0
 
 
+def test_salsa_zero_iters_returns_init_state(spark):
+    # iters=0 must return the init state (uniform auth, zero hub), not
+    # crash on an uninitialized hub frame (ADVICE r04)
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    got = {r.node: (r.auth, r.hub) for r in salsa(df, iters=0).collect()}
+    init = 10**12 // 3
+    assert got == {0: (init, 0), 1: (init, 0), 2: (init, 0)}
+
+
 def test_salsa_oracle_matches_python_reference():
     duckdb = pytest.importorskip("duckdb")
     edges = _rand_edges(random.Random(59), n_nodes=30, n_edges=70)
