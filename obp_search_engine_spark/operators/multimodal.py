@@ -6,12 +6,17 @@ record-batches instead of materializing whole partitions (the right shape
 for 100 TB of media bytes: batch size bounds memory, partition count bounds
 parallelism, and the binary column never passes through Python row-by-row).
 
-Real codecs (PIL/ffmpeg/soundfile) are NOT in this container, so the decode
-kernel is pluggable:
+The decode kernel is pluggable:
+  * decoder="real"  — stdlib-only codecs, no external deps: PNG via zlib
+    (IHDR parse, IDAT inflate, scanline unfilter for all five filter
+    types 0-4) and WAV via the ``wave`` module (sample rate / duration /
+    RMS). Real pixels and real samples. JPEG/video still raise
+    NotImplementedError with the dependency note (no libjpeg/ffmpeg in
+    this container); plug a library codec via ``decode_fn=``.
   * decoder="fake"  — deterministic pure-function decoder (hash-derived
     dimensions/features) that keeps every piece of Spark-side plumbing
-    (schema, batch iteration, UDF signature) real and testable;
-  * decoder="real"  — raises NotImplementedError with the dependency note.
+    (schema, batch iteration, UDF signature) real and testable for
+    payloads that are not decodable media.
 
 This mirrors how the reference treats media: image *hashes* only, never
 pixels (nodes carries 10 image-hash columns, crawler/db/mysql.go:40-47;
@@ -21,6 +26,10 @@ thumbnails are 5 comma-joined URL strings, crawler/db/mysql.go:407).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -68,6 +77,165 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# 8-bit-depth channel counts by PNG color type (palette needs PLTE
+# expansion — not supported; 16-bit depth not supported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, ch: int) -> np.ndarray:
+    """Invert the five PNG scanline filters (spec §9: None/Sub/Up/Average/
+    Paeth) over the inflated IDAT stream. 8-bit depth only, so bpp == ch.
+    Returns uint8 array of shape (height, width, ch)."""
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG IDAT stream is {len(raw)} bytes, expected "
+            f"{height * (stride + 1)} for {width}x{height}x{ch}@8bit"
+        )
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f} on row {y}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return out.reshape(height, width, ch)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """stdlib-only PNG decode: signature + chunk walk, IHDR parse, IDAT
+    concat + zlib inflate, scanline unfilter. Supports the 8-bit
+    non-palette, non-interlaced subset (color types 0/2/4/6) — the shapes
+    crawlers actually synthesize for avatar/thumbnail stats (reference
+    stores image hashes per node, crawler/db/mysql.go:40-47). Returns
+    uint8 (h, w, ch)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, None
+    height = depth = ctype = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + data + crc
+    if width is None:
+        raise ValueError("PNG has no IHDR chunk")
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}): stdlib codec handles 8-bit "
+            "non-palette non-interlaced only"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    return _png_unfilter(zlib.decompress(bytes(idat)), width, height, ch)
+
+
+def _ahash64(img: np.ndarray) -> int:
+    """Real 64-bit average-hash over the decoded pixels: grayscale ->
+    8x8 block means -> bit per cell (mean > global mean), row-major,
+    returned as a signed 64-bit int (matches the LongType column)."""
+    gray = img[:, :, : min(3, img.shape[2])].astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    cells = np.array(
+        [
+            gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+            for i in range(8)
+            for j in range(8)
+        ]
+    )
+    bits = (cells > cells.mean()).astype(np.uint64)
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(val.astype(np.int64))
+
+
+def _real_image_decode(payload: bytes) -> tuple[int, int, int, int, list[float]]:
+    """Real-pixel feature kernel for PNG payloads (JPEG et al. raise —
+    no libjpeg in this container; plug via decode_fn). Feature vector =
+    per-channel mean and std over the decoded pixels, zero-padded to 8."""
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError(
+            "stdlib real decoder handles PNG only; JPEG/WebP need "
+            "PIL/opencv — pass decode_fn= with a real codec"
+        )
+    img = decode_png(payload)
+    h, w, ch = img.shape
+    pix = img.astype(np.float64)
+    feat = []
+    for c in range(ch):
+        feat.append(round(float(pix[:, :, c].mean()) / 255.0, 6))
+        feat.append(round(float(pix[:, :, c].std()) / 255.0, 6))
+    feat = (feat + [0.0] * 8)[:8]
+    return w, h, ch, _ahash64(img), feat
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float, float]:
+    """stdlib-only WAV decode via the ``wave`` module: returns
+    (sample_rate, n_channels, n_samples, duration_sec, rms) with RMS
+    computed over real samples normalized to [-1, 1] (16-bit PCM; 8-bit
+    unsigned handled too)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        nch = wf.getnchannels()
+        nfr = wf.getnframes()
+        sw = wf.getsampwidth()
+        frames = wf.readframes(nfr)
+    if sw == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw} (want 1 or 2 bytes)")
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    return sr, nch, nfr, nfr / float(sr) if sr else 0.0, rms
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int, list[float]]:
     """Deterministic stand-in for a real image decode: dimensions, a 64-bit
     perceptual-hash surrogate and an 8-dim feature vector, all pure
@@ -92,10 +260,11 @@ def decode_image_features(df: DataFrame, decoder: str = "real",
     Pluggable codec contract: pass ``decode_fn`` (bytes -> (width, height,
     channels, phash, feature[8])) to plug a real library (PIL/opencv) on a
     cluster image; the callable is serialized with the task closure. With
-    no decode_fn, decoder='fake' runs the deterministic stand-in kernel and
-    decoder='real' raises NotImplementedError (this container ships no
-    codecs) — the Spark plumbing (schema, Arrow batching, partitioning) is
-    identical on all three paths."""
+    no decode_fn, decoder='real' runs the stdlib PNG codec
+    (:func:`decode_png` — real pixels, real average-hash; JPEG raises
+    with the dependency note) and decoder='fake' runs the deterministic
+    stand-in kernel — the Spark plumbing (schema, Arrow batching,
+    partitioning) is identical on all three paths."""
     if decoder not in ("real", "fake"):
         raise ValueError(decoder)
 
@@ -103,13 +272,7 @@ def decode_image_features(df: DataFrame, decoder: str = "real",
         fn = decode_fn
         for pdf in batches:
             if fn is None:
-                if decoder == "real":
-                    raise NotImplementedError(
-                        "real image decoding needs PIL/opencv, not present "
-                        "in this container — pass decode_fn= with a real "
-                        "codec, or decoder='fake' for the plumbing path"
-                    )
-                fn = _fake_decode
+                fn = _real_image_decode if decoder == "real" else _fake_decode
             rows = {
                 "media_id": [], "width": [], "height": [], "channels": [],
                 "phash": [], "feature": [],
@@ -126,6 +289,35 @@ def decode_image_features(df: DataFrame, decoder: str = "real",
 
     return df.filter(F.col("kind") == "image").mapInPandas(
         kernel, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def decode_audio_features(df: DataFrame, decode_fn=None) -> DataFrame:
+    """audio media rows -> (sample_rate, n_channels, n_samples,
+    duration_sec, rms) via mapInPandas. Default codec is the stdlib WAV
+    decoder (:func:`decode_wav` — real samples); pass ``decode_fn``
+    (bytes -> same 5-tuple) to plug soundfile/ffmpeg for other formats.
+    Same Arrow-batch memory bound as the image kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = decode_fn or decode_wav
+        for pdf in batches:
+            rows = {
+                "media_id": [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "duration_sec": [], "rms": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, nch, nfr, dur, rms = fn(bytes(payload or b""))
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(sr)
+                rows["n_channels"].append(nch)
+                rows["n_samples"].append(nfr)
+                rows["duration_sec"].append(dur)
+                rows["rms"].append(rms)
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        kernel, AUDIO_FEATURES_SCHEMA
     )
 
 
@@ -151,6 +343,86 @@ def sample_frames(df: DataFrame, n_frames: int = 4, decoder: str = "fake") -> Da
             )
 
     return df.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
+    """Minimal stdlib PNG encoder for fixtures: uint8 (h, w, ch) with ch in
+    {1, 2, 3, 4}, 8-bit, non-interlaced. ``filter_type`` 0-4 applies that
+    scanline filter to every row; 'mixed' cycles 0..4 per row, so a decode
+    round-trip exercises every unfilter branch."""
+    h, w, ch = img.shape
+    ctype = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        line = img[y].reshape(-1)
+        f = (y % 5) if filter_type == "mixed" else int(filter_type)
+        raw.append(f)
+        if f == 0:
+            raw += line.tobytes()
+        else:
+            enc = bytearray(w * ch)
+            for x in range(w * ch):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                pred = {1: a, 2: b, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[f]
+                enc[x] = (int(line[x]) - pred) & 0xFF
+            raw += bytes(enc)
+        prev = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_bytes(
+    w: int = 24, h: int = 16, channels: int = 3, seed: int = 7,
+    filter_type: int | str = "mixed",
+) -> tuple[bytes, np.ndarray]:
+    """Deterministic PNG fixture: returns (png_bytes, pixel_array) so tests
+    can assert exact pixel statistics against the ground-truth array."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    return encode_png(img, filter_type=filter_type), img
+
+
+def synth_wav_bytes(
+    sr: int = 8000, seconds: float = 0.5, freq: float = 440.0,
+    amplitude: float = 0.5, n_channels: int = 1,
+) -> tuple[bytes, np.ndarray]:
+    """Deterministic 16-bit PCM WAV fixture: returns (wav_bytes, samples)
+    with samples as the exact int16 array written."""
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    x = np.round(amplitude * 32767.0 * np.sin(2 * np.pi * freq * t)).astype("<i2")
+    if n_channels > 1:
+        x = np.repeat(x, n_channels)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue(), x
 
 
 def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
