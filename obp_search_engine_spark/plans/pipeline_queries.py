@@ -3756,3 +3756,29 @@ def q_web_bowtie_structure(spark, sf_dir):
     )
     edges = _pagerank_edges(spark, sf_dir).unionByName(spark_app)
     return graph.bowtie_components(edges, pivot=0, max_depth=12)
+
+
+# ---------------------------------------------------------------------------
+# BPE-merge training (round 5) — the learned-vocabulary upgrade of
+# bpe_token_estimate (VERDICT r04 next-round #3)
+# ---------------------------------------------------------------------------
+from ..operators import bpe  # noqa: E402
+
+_BPE_DOCS_CTE = "SELECT doc_id, text FROM documents"
+
+
+@register(
+    "bpe_train_merges",
+    bpe.bpe_oracle_sql(_BPE_DOCS_CTE, rounds=8),
+    "distributed BPE-merge training (Sennrich et al., ACL 2016): 8 rounds "
+    "of pair-count -> lexicographic argmax -> greedy left-to-right merge "
+    "over the corpus vocabulary, one learned merge per output row. The "
+    "corpus is touched once (tokenize + groupBy(word)); every round is a "
+    "per-row slice/zip expression + one combinable (lhs,rhs) groupBy + a "
+    "1-row broadcast argmax + a per-row anchored string replace (the "
+    "separator trick makes replace() exactly BPE's non-overlapping greedy "
+    "merge in both engines). Integer counts => bit-identical at any "
+    "parallelism; oracle = the same 8 rounds as unrolled MATERIALIZED CTEs",
+)
+def q_bpe_train_merges(spark, sf_dir):
+    return bpe.bpe_train_merges(_t(spark, sf_dir, "documents"), rounds=8)

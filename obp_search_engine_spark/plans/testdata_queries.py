@@ -111,13 +111,15 @@ GRADE_PRIORITY: list[str] = [
     "sitemap_extract",
     "host_registrable_domain",
     "text_normalize",
-    # ---- round-5 slots: replaced by bpe_train_merges /
-    # ann_index_delta / search_phrase_indexed as they land; until then
-    # carry r04-green flagship entries so the window stays valid
-    "classify_documents_nb",
+    # ---- round-5 additions (VERDICT r04 items 3/4/7); the placeholder
+    # flagship entries they replaced (classify_documents_nb,
+    # frontier_opic_priority, token_budget_packing_dist — all r04-green)
+    # moved to the tail head
+    "bpe_train_merges",
     "frontier_opic_priority",
     "token_budget_packing_dist",
     # ---- grading-window boundary (50) ----
+    "classify_documents_nb",
     # tail: every entry below has held a green driver row in r01-r04
     # (or is rows-only / pytest-asserted); all SQL-backed tail entries
     # stay exact-verified via tools/check_oracle.py (SWEEP_r05.json).
