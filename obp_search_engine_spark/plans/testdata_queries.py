@@ -116,10 +116,11 @@ GRADE_PRIORITY: list[str] = [
     # frontier_opic_priority, token_budget_packing_dist — all r04-green)
     # moved to the tail head
     "bpe_train_merges",
-    "frontier_opic_priority",
+    "ann_index_delta",
     "token_budget_packing_dist",
     # ---- grading-window boundary (50) ----
     "classify_documents_nb",
+    "frontier_opic_priority",
     # tail: every entry below has held a green driver row in r01-r04
     # (or is rows-only / pytest-asserted); all SQL-backed tail entries
     # stay exact-verified via tools/check_oracle.py (SWEEP_r05.json).

@@ -96,3 +96,88 @@ def test_term_vanishes_when_last_posting_deleted(spark):
     assert terms == {"alpha"}
     row = merged.filter(F.col("term") == "alpha").first()
     assert (row.df_docs, row.total_tf, row.postings) == (1, 1, "2:1")
+
+
+# ---------------------------------------------------------------------------
+# ANN (SRP) index delta maintenance — merge == rebuild theorem + the
+# persisted partition-overwrite path rewriting only touched buckets
+# ---------------------------------------------------------------------------
+from obp_search_engine_spark.operators import similarity as sim
+
+
+def _vecs(spark, ids, dim=8, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(dim)]) for i in ids]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_srp_merge_equals_batch_rebuild(spark):
+    base = _vecs(spark, range(0, 60), seed=1)
+    delta = _vecs(spark, range(60, 80), seed=2)
+    deleted = spark.createDataFrame([(i,) for i in range(0, 60, 7)], "vec_id long")
+    base_idx = sim.assign_srp_buckets(base, n_planes=4, tables=2)
+    merged = sim.merge_srp_index_delta(
+        base_idx, delta, deleted_ids=deleted, n_planes=4, tables=2
+    )
+    surviving = base.join(deleted, "vec_id", "left_anti").unionByName(delta)
+    rebuilt = sim.assign_srp_buckets(surviving, n_planes=4, tables=2)
+    key = lambda r: (r.vec_id, r.tbl, r.bucket)  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, rebuilt.collect()))
+
+
+def test_srp_partition_overwrite_rewrites_only_touched_buckets(spark, tmp_path):
+    import os
+    import time
+
+    path = str(tmp_path / "srp_index")
+    base = _vecs(spark, range(0, 120), seed=3)
+    sim.build_srp_index(base, path, n_planes=4, tables=2)
+
+    def partition_dirs():
+        out = {}
+        for tbl in os.listdir(path):
+            if not tbl.startswith("tbl="):
+                continue
+            for bkt in os.listdir(f"{path}/{tbl}"):
+                if bkt.startswith("bucket="):
+                    d = f"{path}/{tbl}/{bkt}"
+                    out[(tbl, bkt)] = max(
+                        os.path.getmtime(f"{d}/{f}") for f in os.listdir(d)
+                        if f.endswith(".parquet")
+                    )
+        return out
+
+    before = partition_dirs()
+    time.sleep(1.1)  # mtime resolution guard
+    delta = _vecs(spark, range(200, 208), seed=4)
+    deleted = spark.createDataFrame([(5,), (17,)], "vec_id long")
+    # build_srp_index uses seeded Gaussian planes (seed=42, seed+t per
+    # table) — the delta path must use the same planes
+    sim.overwrite_srp_index_partitions(
+        spark, path, delta, deleted_ids=deleted, n_planes=4, tables=2
+    )
+    after = partition_dirs()
+
+    # expected touched partitions: delta rows' buckets + deleted ids' buckets
+    touched_idx = sim.assign_srp_buckets(delta, n_planes=4, tables=2)
+    base_idx = sim.assign_srp_buckets(base, n_planes=4, tables=2)
+    del_parts = base_idx.join(deleted, "vec_id", "left_semi").select("tbl", "bucket")
+    exp_touched = {
+        (f"tbl={r.tbl}", f"bucket={r.bucket}")
+        for r in touched_idx.select("tbl", "bucket").union(del_parts).distinct().collect()
+    }
+    changed = {k for k in after if k not in before or after[k] > before[k]}
+    assert changed == {k for k in exp_touched}
+    # untouched partitions: same files, untouched mtimes
+    for k in before:
+        if k not in exp_touched:
+            assert after[k] == before[k], f"untouched partition {k} was rewritten"
+
+    # content theorem on the persisted table too
+    surviving = base.join(deleted, "vec_id", "left_anti").unionByName(delta)
+    rebuilt = sim.assign_srp_buckets(surviving, n_planes=4, tables=2)
+    got = spark.read.parquet(path).select("vec_id", "tbl", "bucket")
+    key = lambda r: (r.vec_id, r.tbl, r.bucket)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, rebuilt.collect()))
