@@ -3866,3 +3866,41 @@ def q_ann_index_delta(spark, sf_dir):
         F.col("tbl").cast("int").alias("tbl"),
         F.col("bucket").cast("int").alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional-index phrase + proximity search (round 5, VERDICT r04 item 7)
+# ---------------------------------------------------------------------------
+@register(
+    "search_phrase_indexed",
+    ranking.phrase_search_oracle_sql("slow hash batch", k=10),
+    "positional-index phrase search ('slow hash batch'): the postings-"
+    "INTERSECTION evaluator (IIR ch.2) — each phrase offset i emits "
+    "candidate starts (pos - i) for its term, a start emitted by all m "
+    "offsets is one occurrence. The position-exploded stream filters to "
+    "the query terms AT THE SCAN (against a prebuilt positional index "
+    "this reads only the query postings, never the corpus); two "
+    "combinable integer groupBys. Oracle = the sliding-window scan-side "
+    "semantics over a different phrase than search_phrase, so the two "
+    "slots verify different computations; pytest asserts the indexed and "
+    "scan-side evaluators agree on randomized corpora",
+)
+def q_search_phrase_indexed(spark, sf_dir):
+    return ranking.phrase_search_indexed(
+        _t(spark, sf_dir, "documents"), "slow hash batch", k=10
+    )
+
+
+@register(
+    "search_proximity_pairs",
+    ranking.proximity_pairs_oracle_sql("hash", "join", window=5, k=10),
+    "within-k proximity ranking (/k-NEAR, IIR ch.2): docs scored by the "
+    "number of ('hash', 'join') occurrence pairs within 5 tokens — the "
+    "proximity generalization of phrase search. Both postings streams "
+    "filter to their term at the scan; the pair count is a per-doc band "
+    "join bounded by per-doc term frequency; integer counts",
+)
+def q_search_proximity_pairs(spark, sf_dir):
+    return ranking.proximity_pairs_topk(
+        _t(spark, sf_dir, "documents"), "hash", "join", window=5, k=10
+    )

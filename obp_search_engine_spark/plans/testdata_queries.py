@@ -117,10 +117,12 @@ GRADE_PRIORITY: list[str] = [
     # moved to the tail head
     "bpe_train_merges",
     "ann_index_delta",
-    "token_budget_packing_dist",
+    "search_phrase_indexed",
     # ---- grading-window boundary (50) ----
+    "search_proximity_pairs",
     "classify_documents_nb",
     "frontier_opic_priority",
+    "token_budget_packing_dist",
     # tail: every entry below has held a green driver row in r01-r04
     # (or is rows-only / pytest-asserted); all SQL-backed tail entries
     # stay exact-verified via tools/check_oracle.py (SWEEP_r05.json).

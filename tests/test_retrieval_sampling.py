@@ -110,3 +110,70 @@ def test_weighted_sample_respects_scaled_weights(spark):
     )
     got = [r.doc_id for r in weighted_sample_k(d, "w", k=5, salt="s2").collect()]
     assert 0 in got
+
+
+# ---------------------------------------------------------------------------
+# positional-index phrase + proximity (round 5)
+# ---------------------------------------------------------------------------
+from obp_search_engine_spark.operators.ranking import (  # noqa: E402
+    phrase_search_indexed,
+    proximity_pairs_topk,
+)
+
+
+def test_phrase_indexed_equals_scan_side(spark):
+    import random
+
+    rng = random.Random(17)
+    vocab = ["hash", "join", "scan", "agg", "slow"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(60)
+    ]
+    d = _docs(spark, texts)
+    for phrase in ["hash join", "slow hash join", "agg", "a b a"]:
+        scan = [(r.doc_id, r.n_occurrences) for r in
+                __import__("obp_search_engine_spark.operators.ranking",
+                           fromlist=["phrase_search"]).phrase_search(d, phrase, k=100).collect()]
+        idx = [(r.doc_id, r.n_occurrences) for r in
+               phrase_search_indexed(d, phrase, k=100).collect()]
+        assert idx == scan, phrase
+
+
+def test_phrase_indexed_duplicate_term_phrase(spark):
+    # 'a b a': offsets {0, 2} share the term 'a' — the distinct-offset
+    # count must require BOTH positions, not term multiplicity
+    d = _docs(spark, ["a b a b a", "a b b a", "b a b"])
+    got = [(r.doc_id, r.n_occurrences)
+           for r in phrase_search_indexed(d, "a b a", k=10).collect()]
+    assert got == [(0, 2)]
+
+
+def test_phrase_indexed_overlapping_occurrences(spark):
+    d = _docs(spark, ["a a a a"])
+    got = phrase_search_indexed(d, "a a", k=5).collect()
+    assert [(r.doc_id, r.n_occurrences) for r in got] == [(0, 3)]
+
+
+def test_proximity_pairs_band_and_ordering(spark):
+    d = _docs(
+        spark,
+        [
+            "hash join",                   # |0-1|=1 -> 1 pair
+            "hash x x x x x join",         # distance 6 > 5 -> 0
+            "hash x join hash join",       # pairs: (0,2),(0,4),(3,2),(3,4) all <=5
+            "join x x hash",               # distance 3 -> 1 (order-free)
+            "nothing here",
+        ],
+    )
+    got = [(r.doc_id, r.n_pairs)
+           for r in proximity_pairs_topk(d, "hash", "join", window=5, k=10).collect()]
+    assert got == [(2, 4), (0, 1), (3, 1)]
+
+
+def test_proximity_same_term_excludes_self_pairs(spark):
+    d = _docs(spark, ["a x a"])
+    got = [(r.doc_id, r.n_pairs)
+           for r in proximity_pairs_topk(d, "a", "a", window=5, k=10).collect()]
+    # positions 0 and 2: ordered pairs (0,2) and (2,0), self-pairs excluded
+    assert got == [(0, 2)]
