@@ -98,6 +98,12 @@ BENCH_QUERIES = [
     "search_bm25f",
     "link_harmonic_centrality",
     "dedup_cluster_labels_twostar",
+    # round-5 additions: learned BPE merges, ANN index delta maintenance,
+    # positional-index phrase + proximity search
+    "bpe_train_merges",
+    "ann_index_delta",
+    "search_phrase_indexed",
+    "search_proximity_pairs",
 ]
 
 
@@ -130,6 +136,7 @@ def main() -> None:
     from obp_search_engine_spark.operators.checkpoint import run_crawl
     from obp_search_engine_spark.session import get_spark
     from obp_search_engine_spark.sources.pages import (
+        PAGES_SCHEMA_REV,
         bucketed_pages_table,
         synth_pages_df,
         url_of,
@@ -154,25 +161,37 @@ def main() -> None:
     # deployment shape: url-BUCKETED pages table (co-located fetch join, no
     # pages shuffle / driver broadcast) + sharded BLOOM seen-set dedup —
     # the configuration the 10^10 design actually ships with.
-    pages = synth_pages_df(spark, CRAWL_PAGES, CRAWL_HOSTS, seed=42)
-    pages_path = f"/tmp/bench_pages_{CRAWL_PAGES}_{CRAWL_HOSTS}"
+    # corpus cache keyed by (schema-rev, size, hosts, seed): a generator
+    # change bumps PAGES_SCHEMA_REV and invalidates stale caches instead
+    # of silently reusing them (VERDICT r04 next-round #5)
+    CRAWL_SEED = 42
+    key = f"{PAGES_SCHEMA_REV}_{CRAWL_PAGES}_{CRAWL_HOSTS}_s{CRAWL_SEED}"
+    pages_path = f"/tmp/bench_pages_{key}"
     if not os.path.exists(pages_path):
-        pages.write.mode("overwrite").parquet(pages_path)
+        synth_pages_df(spark, CRAWL_PAGES, CRAWL_HOSTS, seed=CRAWL_SEED).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
     # 128 buckets (4x cores): with buckets == cores one straggler bucket
     # sets the round wall; 2-4x gives the scheduler task smoothing
     pages = bucketed_pages_table(
         spark,
         spark.read.parquet(pages_path),
-        f"bench_pages_b128_{CRAWL_PAGES}_{CRAWL_HOSTS}",
+        f"bench_pages_b128_{key}",
         n_buckets=128,
     )
-    seeds = [url_of(i, 42, CRAWL_HOSTS) for i in range(2048)]
+    seeds = [url_of(i, CRAWL_SEED, CRAWL_HOSTS) for i in range(2048)]
 
     # telemetry window opens HERE — after session startup and corpus
     # setup — so host.steal_pct measures the graded crawl+queries only
     # (a steal burst diluted by a clean setup minute must not read clean)
     bus_before = _bus_probe_gbps()
     win_start = _host_window()
+    # true setup cost: session startup + corpus build/load, i.e. everything
+    # BEFORE the telemetry window. (Through round 4 the field named
+    # setup_sec recorded the WHOLE main() wall — r04's "251.3 s setup" was
+    # actually 15.6 s of setup plus the 235.7 s graded window; the totals
+    # now live in run_sec.)
+    setup_sec = round(win_start["t"] - t_setup, 1)
 
     t0 = time.monotonic()
     crawl = run_crawl(
@@ -256,7 +275,8 @@ def main() -> None:
         "cpus": int(CPUS),
         "host": host,
         "seen_mode": SEEN_MODE,
-        "setup_sec": round(time.monotonic() - t_setup, 1),
+        "setup_sec": setup_sec,
+        "run_sec": round(time.monotonic() - t_setup, 1),
     }
     print(json.dumps(out))
 

@@ -117,6 +117,12 @@ def synth_page(i: int, seed: int, n_pages: int, n_hosts: int) -> dict:
     return row.to_dict()
 
 
+# bump when the generator's output changes for the same (n_pages, n_hosts,
+# seed) — cache paths derived from synth corpora key on this so a stale
+# cached corpus can never masquerade as the current schema (VERDICT r04 #5)
+PAGES_SCHEMA_REV = "r4"
+
+
 def synth_pages_df(
     spark,
     n_pages: int,
