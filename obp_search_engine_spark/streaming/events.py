@@ -145,6 +145,35 @@ def politeness_gate_stream(
     )
 
 
+def politeness_gate_batch(
+    fetches: DataFrame, crawl_delay_sec: float = 60.0
+) -> DataFrame:
+    """Batch twin of :func:`politeness_gate_stream`: the SAME per-host
+    clock fold over a bounded table (groupBy + applyInPandas — all of a
+    host's events arrive in one group, so no cross-batch state is
+    needed). Output rows are identical to the stream's for any
+    micro-batch split that preserves per-host event-time order — the
+    agreement is pytest-asserted at 10k hosts. Same O(per-host events)
+    transient memory; no state store at all."""
+    import pandas as pd
+
+    def gate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        next_allowed = float("-inf")
+        epochs = pdf["ts"].astype("int64") / 1e9
+        allowed = []
+        for t in epochs:
+            ok = t >= next_allowed
+            if ok:
+                next_allowed = t + crawl_delay_sec
+            allowed.append(ok)
+        return pd.DataFrame(
+            {"host": pdf["host"], "ts": pdf["ts"], "allowed": allowed}
+        )
+
+    return fetches.groupBy("host").applyInPandas(gate, GATE_OUTPUT_SCHEMA)
+
+
 def politeness_gate_oracle(
     rows: list[tuple], crawl_delay_sec: float = 60.0
 ) -> set[tuple]:

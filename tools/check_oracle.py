@@ -4,7 +4,11 @@ Runs every queries() entry at sf0.01 next to its oracle_sql() in DuckDB,
 compares row count, column names (sorted), and values (rows sorted by all
 columns) — exact match, like the driver's value hash.
 
-Usage: python tools/check_oracle.py [name ...] [--sf DIR]
+Usage: python tools/check_oracle.py [name ...] [--sf DIR] [--json OUT]
+
+--json OUT additionally writes a machine-readable sweep artifact
+{name: {status, rows, secs, detail?}} — the committed SWEEP_r0N.json
+evidence that every registry entry (graded window AND tail) is exact.
 """
 
 from __future__ import annotations
@@ -51,6 +55,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
+    json_out: str | None = None
     args: list[str] = []
     i = 0
     while i < len(argv):
@@ -59,9 +64,16 @@ def main() -> int:
             sf_dir = a.split("=", 1)[1]
         elif a == "--sf":  # space-separated form — don't eat DIR as a name
             if i + 1 >= len(argv):
-                sys.exit("usage: check_oracle.py [name ...] [--sf DIR]")
+                sys.exit("usage: check_oracle.py [name ...] [--sf DIR] [--json OUT]")
             i += 1
             sf_dir = argv[i]
+        elif a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+        elif a == "--json":
+            if i + 1 >= len(argv):
+                sys.exit("usage: check_oracle.py [name ...] [--sf DIR] [--json OUT]")
+            i += 1
+            json_out = argv[i]
         elif not a.startswith("--"):
             args.append(a)
         i += 1
@@ -78,32 +90,40 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_pass = n_fail = n_rowsonly = 0
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.monotonic()
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
+            report[name] = {"status": "fail", "detail": f"spark: {type(ex).__name__}"}
             n_fail += 1
             continue
         dt = time.monotonic() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (rows-only) [{dt:.1f}s]")
+            report[name] = {
+                "status": "rows_only", "rows": len(sdf), "secs": round(dt, 2),
+            }
             n_rowsonly += 1
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb raised {type(ex).__name__}: {ex}")
+            report[name] = {"status": "fail", "detail": f"duckdb: {type(ex).__name__}"}
             n_fail += 1
             continue
         a, b = normalize(sdf), normalize(odf)
         if list(a.columns) != list(b.columns):
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            report[name] = {"status": "fail", "detail": "column mismatch"}
             n_fail += 1
             continue
         if len(a) != len(b):
             print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
+            report[name] = {"status": "fail", "detail": f"rows {len(a)} vs {len(b)}"}
             n_fail += 1
             continue
         try:
@@ -111,6 +131,7 @@ def main() -> int:
                 a, b, check_dtype=False, check_exact=True, check_datetimelike_compat=True
             )
             print(f"OK    {name}: {len(a)} rows [{dt:.1f}s]")
+            report[name] = {"status": "ok", "rows": len(a), "secs": round(dt, 2)}
             n_pass += 1
         except AssertionError as ex:
             print(f"FAIL  {name}: value mismatch: {str(ex).splitlines()[-1]}")
@@ -121,8 +142,23 @@ def main() -> int:
                 i = bad.idxmax()
                 print("  spark :", a.loc[i].to_dict())
                 print("  oracle:", b.loc[i].to_dict())
+            report[name] = {"status": "fail", "detail": "value mismatch"}
             n_fail += 1
     print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail")
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_entries": len(names),
+            "n_ok": n_pass,
+            "n_rows_only": n_rowsonly,
+            "n_fail": n_fail,
+            "entries": report,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=False)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
