@@ -1165,33 +1165,41 @@ def phrase_search_indexed(
 
     100 TB shape: against a prebuilt positional index this reads only
     the query terms' postings (term-keyed partition pruning), never the
-    corpus; here the index build is inlined but the stream still filters
-    to query terms at the scan. Two combinable integer groupBys —
-    (doc, start) then (doc) — and a TakeOrdered. Duplicate terms in the
-    phrase are handled by the distinct-offset count (phrase 'a b a'
-    needs offsets {0, 2} to agree, not term multiplicity).
+    corpus; here the index build is inlined — ONE corpus scan (the
+    term->offsets expansion is a literal CASE map exploded per matching
+    token, so an m-term phrase never re-scans), the stream filters to
+    query terms at the scan, then two map-side-combinable integer
+    groupBys — (doc, start) then (doc) — and a TakeOrdered. A (doc,
+    start, off) row is unique by construction (offset i at start s names
+    exactly one token position), so the per-start agreement test is a
+    plain count, no count_distinct expand. Duplicate terms in the
+    phrase are handled by the per-term offset ARRAYS (phrase 'a b a'
+    explodes an 'a' token to offsets {0, 2}).
     """
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         raise ValueError("phrase_search_indexed needs a non-empty phrase")
     m = len(terms)
+    off_by_term: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        off_by_term.setdefault(t, []).append(i)
+    offs = None
+    for t, idxs in off_by_term.items():
+        arr = F.array(*[F.lit(i) for i in idxs])
+        cond = F.col("term") == t
+        offs = F.when(cond, arr) if offs is None else offs.when(cond, arr)
     toks = nonempty_tokens_col(F.lower(F.col(text_col)))
     stream = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
-        .filter(F.col("term").isin(sorted(set(terms))))
+        .filter(F.col("term").isin(sorted(off_by_term)))
     )
-    parts = None
-    for i, t in enumerate(terms):
-        p = stream.filter(F.col("term") == t).select(
-            id_col,
-            (F.col("pos") - F.lit(i)).alias("start"),
-            F.lit(i).alias("off"),
-        )
-        parts = p if parts is None else parts.unionByName(p)
+    expanded = stream.select(
+        id_col, "pos", F.explode(offs).alias("off")
+    ).select(id_col, (F.col("pos") - F.col("off")).alias("start"))
     starts = (
-        parts.groupBy(id_col, "start")
-        .agg(F.count_distinct("off").alias("_noff"))
+        expanded.groupBy(id_col, "start")
+        .agg(F.count("*").alias("_noff"))
         .filter(F.col("_noff") == m)
     )
     hits = starts.groupBy(id_col).agg(
