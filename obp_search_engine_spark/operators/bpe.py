@@ -163,3 +163,97 @@ def bpe_segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         syms = out
     return syms
+
+
+def bpe_apply_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed inference-side dual of :func:`bpe_train_merges`: apply
+    a learned merge list to every document and return (id, n_tokens_bpe)
+    — the token counting a data pipeline runs to budget/pack a corpus
+    under a trained vocabulary.
+
+    100 TB shape: ZERO shuffle — the whole computation is one scan-side
+    Catalyst expression per row (words -> anchored char seqs -> the
+    merge list folded as literal string replaces -> token count =
+    separator count / 2, summed across the doc's words). The merge list
+    is a driver-side literal (a trained vocab is a few thousand rows at
+    most, and here 8)."""
+    sep2 = SEP + SEP
+
+    def apply_merges(s):
+        for l, r in merges:
+            s = F.replace(
+                s,
+                F.lit(f"{SEP}{l}{sep2}{r}{SEP}"),
+                F.lit(f"{SEP}{l}{r}{SEP}"),
+            )
+        return s
+
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: (t != F.lit("")) & (~t.contains(SEP)),
+    )
+    seqs = F.transform(
+        words,
+        lambda w: F.concat(
+            F.lit(SEP), F.array_join(F.split(w, ""), sep2), F.lit(SEP)
+        ),
+    )
+    ntok = lambda s: (  # noqa: E731
+        F.length(s) - F.length(F.replace(s, F.lit(SEP), F.lit("")))
+    ) / 2
+    total = F.aggregate(
+        seqs,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + ntok(apply_merges(s)).cast("long"),
+    )
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), total.alias("n_tokens_bpe")
+    )
+
+
+def bpe_apply_oracle_sql(docs_cte: str, rounds: int = 8) -> str:
+    """DuckDB oracle for train-then-apply: reuses the full training chain
+    of :func:`bpe_oracle_sql` (so the learned merges are re-derived
+    inside the oracle, never smuggled in as constants), then applies the
+    b1..bN merges to every word as nested scalar-subquery replaces and
+    counts tokens as separator-count / 2."""
+    s = _SEP_SQL
+    s2 = f"{s}||{s}"
+    train = bpe_oracle_sql(docs_cte, rounds)
+    # keep everything up to (not including) the final SELECT of the
+    # training oracle; re-terminate with the apply chain
+    head = train[: train.rindex("\nSELECT * FROM (")]
+    expr = "sq0"
+    for r in range(1, rounds + 1):
+        expr = (
+            f"replace({expr},"
+            f" (SELECT {s}||lhs||{s2}||rhs||{s} FROM b{r}),"
+            f" (SELECT {s}||lhs||rhs||{s} FROM b{r}))"
+        )
+    return f"""{head},
+    dtoks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(trim(lower(text)), '\\s+'),
+        x -> x != '' AND NOT contains(x, {s}))) AS word
+      FROM docs0 WHERE text IS NOT NULL
+    ),
+    dseqs AS (
+      SELECT doc_id,
+             {s} || array_to_string(string_split(word, ''), {s2}) || {s} AS sq0
+      FROM dtoks
+    ),
+    applied AS (SELECT doc_id, {expr} AS sq FROM dseqs),
+    cnt AS (
+      SELECT doc_id,
+             (SUM(length(sq) - length(replace(sq, {s}, ''))) / 2)::BIGINT
+               AS n_tokens_bpe
+      FROM applied GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(c.n_tokens_bpe, 0)::BIGINT AS n_tokens_bpe
+    FROM (SELECT doc_id FROM docs0 WHERE text IS NOT NULL) d
+    LEFT JOIN cnt c USING (doc_id)"""

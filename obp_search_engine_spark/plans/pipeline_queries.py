@@ -3904,3 +3904,24 @@ def q_search_proximity_pairs(spark, sf_dir):
     return ranking.proximity_pairs_topk(
         _t(spark, sf_dir, "documents"), "hash", "join", window=5, k=10
     )
+
+
+@register(
+    "bpe_apply_tokens",
+    bpe.bpe_apply_oracle_sql(_BPE_DOCS_CTE, rounds=8),
+    "train-then-apply BPE: per-doc token counts under the 8-merge vocab "
+    "learned from the same corpus — the token budgeting a pipeline runs "
+    "under a trained tokenizer. The apply side is ZERO-shuffle (one "
+    "scan-side Catalyst expression per row: words -> anchored char seqs "
+    "-> merge list folded as literal replaces -> separator-count/2); the "
+    "merge list is a bounded driver collect (8 rows) from the in-window "
+    "trainer. Oracle re-derives the merges inside the unrolled training "
+    "CTE chain (never smuggled as constants) and applies them as nested "
+    "scalar-subquery replaces",
+)
+def q_bpe_apply_tokens(spark, sf_dir):
+    trained = bpe.bpe_train_merges(
+        _t(spark, sf_dir, "documents"), rounds=8
+    ).collect()  # bounded: exactly `rounds` rows
+    merges = [(r.lhs, r.rhs) for r in trained]
+    return bpe.bpe_apply_merges(_t(spark, sf_dir, "documents"), merges)

@@ -120,6 +120,7 @@ GRADE_PRIORITY: list[str] = [
     "search_phrase_indexed",
     # ---- grading-window boundary (50) ----
     "search_proximity_pairs",
+    "bpe_apply_tokens",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",

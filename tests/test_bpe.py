@@ -125,3 +125,33 @@ def test_learned_merges_shorten_tokens_monotonically(spark):
         if prev is not None:
             assert total < prev, f"round {k} did not shorten token count"
         prev = total
+
+
+def test_bpe_apply_matches_pure_python_segmenter(spark):
+    from obp_search_engine_spark.operators.bpe import bpe_apply_merges
+
+    freqs = _word_freqs(33, n_words=80)
+    docs = _docs_from_freqs(spark, freqs)
+    merges = [
+        (r.lhs, r.rhs) for r in bpe_train_merges(docs, rounds=5).collect()
+    ]
+    got = {r.doc_id: r.n_tokens_bpe for r in bpe_apply_merges(docs, merges).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    want = {
+        d: sum(len(bpe_segment_word(w, merges)) for w in t.lower().split())
+        for d, t in texts.items()
+    }
+    assert got == want
+
+
+def test_bpe_apply_empty_and_null_docs(spark):
+    from obp_search_engine_spark.operators.bpe import bpe_apply_merges
+
+    docs = spark.createDataFrame(
+        [(0, "aa ab"), (1, ""), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_tokens_bpe
+           for r in bpe_apply_merges(docs, [("a", "a")]).collect()}
+    # null text drops; empty/whitespace docs count 0 tokens
+    assert got == {0: 1 + 2, 1: 0, 3: 0}
