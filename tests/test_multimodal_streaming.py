@@ -174,3 +174,36 @@ def test_streaming_rounds_advance_checkpoint(spark):
         finally:
             q.stop()
         assert (latest_round(ckpt) or 0) >= 2
+
+
+def test_decode_image_features_over_stream(spark, tmp_path, real_media):
+    """The decode kernels are plain mapInPandas, so the same plan must run
+    under Structured Streaming (file source -> decode -> memory sink) and
+    produce exactly the batch rows — the shape a crawl pipeline uses to
+    feature-extract media as pages land."""
+    df, truth = real_media
+    path = tmp_path / "media_stream"
+    path.mkdir()
+    images = df.filter(F.col("kind") == "image")
+    images.write.mode("append").parquet(str(path))
+    stream = spark.readStream.schema(images.schema).parquet(str(path))
+    q = (
+        mm.decode_image_features(stream, decoder="real")
+        .writeStream.format("memory")
+        .queryName("media_feats")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.media_id: (r.width, r.height, r.channels, r.phash)
+        for r in spark.table("media_feats").collect()
+    }
+    want = {
+        r.media_id: (r.width, r.height, r.channels, r.phash)
+        for r in mm.decode_image_features(images, decoder="real").collect()
+    }
+    assert got == want and len(got) == 4

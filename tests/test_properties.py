@@ -44,3 +44,57 @@ def test_robots_parser_total(s):
 def test_process_text_total(s):
     toks = process_text(s)
     assert all(" " not in t and t for t in toks)
+
+
+# ---------------------------------------------------------------------------
+# stdlib PNG/WAV codec properties (round 5): encode->decode round-trips
+# exactly for EVERY image shape, channel count, and scanline filter type
+# ---------------------------------------------------------------------------
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    ch=st.integers(1, 4),
+    filt=st.sampled_from([0, 1, 2, 3, 4, "mixed"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_exact(w, h, ch, filt, seed):
+    import numpy as np
+
+    from obp_search_engine_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    dec = decode_png(encode_png(img, filter_type=filt))
+    assert dec.shape == img.shape
+    assert np.array_equal(dec, img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    sr=st.sampled_from([8000, 16000, 44100]),
+    n=st.integers(1, 4000),
+    nch=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_exact(sr, n, nch, seed):
+    import io
+    import wave
+
+    import numpy as np
+
+    from obp_search_engine_spark.operators.multimodal import decode_wav
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=n * nch, dtype=np.int64).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+    srr, nchr, nfr, dur, rms = decode_wav(buf.getvalue())
+    assert (srr, nchr, nfr) == (sr, nch, n)
+    assert dur == n / sr
+    exp = float(np.sqrt(np.mean((x.astype(np.float64) / 32768.0) ** 2)))
+    assert abs(rms - exp) < 1e-12
