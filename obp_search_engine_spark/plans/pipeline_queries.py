@@ -3999,3 +3999,108 @@ def q_ann_ivf_index_delta(spark, sf_dir):
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cell").cast("int").alias("cell"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet composed pipeline (round 5): lang-ID -> corpus paragraph dedup ->
+# LM scoring -> head/middle/tail tercile split (Wenzek et al., LREC 2020
+# — the canonical published CommonCrawl curation pipeline, composed from
+# the already-graded stages the way curation_pipeline composes the
+# Gopher-side stages)
+# ---------------------------------------------------------------------------
+_CCNET_LANG_CASE = """CASE
+  WHEN contains(' ' || lower(text) || ' ', ' de ')
+   AND contains(' ' || lower(text) || ' ', ' shi ')
+   AND contains(' ' || lower(text) || ' ', ' le ') THEN 'zh'
+  WHEN contains(' ' || lower(text) || ' ', ' el ')
+   AND contains(' ' || lower(text) || ' ', ' que ')
+   AND contains(' ' || lower(text) || ' ', ' los ') THEN 'es'
+  WHEN contains(' ' || lower(text) || ' ', ' der ')
+   AND contains(' ' || lower(text) || ' ', ' und ')
+   AND contains(' ' || lower(text) || ' ', ' nicht ') THEN 'de'
+  ELSE 'en' END"""
+
+
+def _ccnet_oracle_sql() -> str:
+    en = f"SELECT doc_id, text FROM documents WHERE ({_CCNET_LANG_CASE}) = 'en'"
+    pd_sql = dedup.paragraph_dedup_oracle_sql(en)
+    lm_docs = f"(SELECT doc_id, kept_text AS text FROM ({pd_sql}) pd0) pdocs"
+    lm_sql = lm.lm_oracle_sql(docs_table=lm_docs)
+    return f"""
+    WITH scored AS MATERIALIZED (
+      {lm_sql}
+    ),
+    sm AS (SELECT doc_id, n_scored, avg_ll,
+                  CAST(round(avg_ll * 1000000) AS BIGINT) AS score_micro
+           FROM scored),
+    nn AS (SELECT count(*)::BIGINT AS n FROM sm),
+    hist AS (SELECT score_micro, count(*)::BIGINT AS c FROM sm
+             GROUP BY score_micro),
+    off AS (SELECT score_micro,
+                   COALESCE(SUM(c) OVER (ORDER BY score_micro DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS cb
+            FROM hist)
+    SELECT s.doc_id, s.n_scored, s.avg_ll,
+           CASE WHEN 3 * o.cb < nn.n THEN 'head'
+                WHEN 3 * o.cb < 2 * nn.n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sm s JOIN off o USING (score_micro), nn
+    """
+
+
+@register(
+    "ccnet_pipeline",
+    _ccnet_oracle_sql(),
+    "composed CCNet pipeline (Wenzek et al., LREC 2020): lang-ID gate -> "
+    "corpus-wide paragraph dedup -> self-trained bigram-LM scoring -> "
+    "head/middle/tail split. The tercile split is scale-safe: bucket is "
+    "a pure function of the SCORE (equal score => equal bucket) with "
+    "thresholds from a bounded integer micro-resolution histogram "
+    "(broadcast join), never a global row window over docs — the "
+    "focused_crawl_priority offsets pattern. Oracle nests all three "
+    "stage oracles (lang CASE, paragraph-dedup CTE, LM chain) so the "
+    "whole pipeline verifies in one graded row",
+)
+def q_ccnet_pipeline(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    en = d.filter(ts.lang_id_col(F.col("text")) == "en")
+    pd0 = dedup.paragraph_dedup(en)
+    docs2 = pd0.select("doc_id", F.col("kept_text").alias("text"))
+    scored = lm.score_perplexity(docs2)
+    sm = scored.select(
+        "doc_id",
+        "n_scored",
+        "avg_ll",
+        F.round(F.col("avg_ll") * 1000000).cast("long").alias("score_micro"),
+    )
+    nn = sm.agg(F.count("*").cast("long").alias("_n"))
+    hist = sm.groupBy("score_micro").agg(F.count("*").cast("long").alias("_c"))
+    off = hist.select(
+        "score_micro",
+        F.coalesce(
+            F.sum("_c").over(
+                W.orderBy(F.col("score_micro").desc()).rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_cb"),
+    )
+    return (
+        sm.join(F.broadcast(off), "score_micro")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "n_scored",
+            "avg_ll",
+            F.when(3 * F.col("_cb") < F.col("_n"), F.lit("head"))
+            .when(3 * F.col("_cb") < 2 * F.col("_n"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -73,7 +73,10 @@ GRADE_PRIORITY: list[str] = [
     "crawl_trap_hosts",
     "leakage_safe_split",
     "curation_pipeline",
-    "par_dedup_corpus",
+    # round 5: the composed CCNet pipeline nests the paragraph-dedup
+    # oracle (plus the lang CASE and the full LM chain), so the slot
+    # verifies strictly more; par_dedup_corpus (r04-green) is tail head
+    "ccnet_pipeline",
     "neardup_minhash_lsh",
     # ---- the 35 never-driver-graded entries (VERDICT r04 item 1) ----
     "link_trustrank",
@@ -119,6 +122,7 @@ GRADE_PRIORITY: list[str] = [
     "ann_index_delta",
     "search_phrase_indexed",
     # ---- grading-window boundary (50) ----
+    "par_dedup_corpus",
     "search_proximity_pairs",
     "bpe_apply_tokens",
     "ann_ivf_index_delta",
