@@ -236,3 +236,50 @@ def test_hyperball_groupby_partial_agg(spark):
     p = plan_of(hyperball(edges, iters=1, b=4))
     assert "partial_max" in p or "HashAggregate" in p
     assert "PythonUDF" not in p
+
+
+def test_round5_phrase_indexed_single_scan_no_python(spark):
+    """The positional phrase evaluator must read the corpus ONCE (the
+    term->offsets map explodes in the same pass, no per-offset union) and
+    stay JVM-side with exactly two aggregation exchanges."""
+    p = plan_of(REGISTRY["search_phrase_indexed"].fn(spark, SF))
+    assert p.count("Scan parquet") == 1, p
+    assert "EvalPython" not in p
+    assert "TakeOrderedAndProject" in p
+    # no count_distinct Expand node — (doc, start, off) is unique by
+    # construction so the agreement test is a plain count
+    assert "Expand" not in p
+
+
+def test_round5_ann_delta_broadcast_anti_join_no_python(spark):
+    """Index delta maintenance: deletions ride broadcast anti-joins (the
+    deleted-id set is delta-sized), bucket/cell assignment is per-row
+    codegen — no sort-merge join, no Python anywhere."""
+    for name in ("ann_index_delta", "ann_ivf_index_delta"):
+        p = plan_of(REGISTRY[name].fn(spark, SF))
+        anti_lines = [ln for ln in p.splitlines() if "LeftAnti" in ln]
+        assert anti_lines and all(
+            "BroadcastHashJoin" in ln for ln in anti_lines
+        ), (name, anti_lines)
+        assert "SortMergeJoin" not in p, name
+        assert "EvalPython" not in p, name
+
+
+def test_round5_bpe_apply_zero_shuffle(spark):
+    """BPE apply is a pure scan-side expression: no Exchange in the plan."""
+    from obp_search_engine_spark.operators.bpe import bpe_apply_merges
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(bpe_apply_merges(d, [("a", "b"), ("ab", "c")]))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_round5_ccnet_histogram_not_global_row_window(spark):
+    """The tercile split must NOT sort all docs through one window: the
+    only window runs over the bounded score histogram, and the threshold
+    frames join back via broadcast."""
+    p = plan_of(REGISTRY["ccnet_pipeline"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
