@@ -1291,3 +1291,125 @@ def proximity_pairs_oracle_sql(
     SELECT {id_col}, n_pairs FROM pairs
     ORDER BY n_pairs DESC, {id_col} ASC LIMIT {int(k)}
     """
+
+
+def ndcg_at_k(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Distributed nDCG@k (Järvelin & Kekäläinen, TOIS 2002) — the
+    standard graded ranking-quality metric every search engine ships an
+    eval harness for. ``run`` holds (query, doc, rank 1..k) result
+    lists; ``qrels`` holds graded integer relevance (query, doc, rel).
+
+    DCG@k = Σ_{i=1..k} rel_i / log2(i + 1) over the run's rank order;
+    IDCG@k = the same sum over the query's top-k relevances sorted
+    (rel DESC, doc ASC — total order so ties can't flap); nDCG = 0.0
+    for a query with IDCG = 0 (no relevant docs), matching trec_eval.
+
+    FP portability: both sums fold in the SAME order on both engines
+    (rank / ideal-rank ascending — window running sums add frame-order
+    sequentially in Spark and DuckDB alike), rounded to 6 after.
+
+    100 TB shape: the run side is per-query bounded (k rows) by
+    construction; the only qrels-sized work is one window rank
+    partitioned by query to pick each query's ideal top-k — a per-query
+    shuffle over the eval set, never over the corpus. Unjudged run docs
+    score rel 0 via the left join (trec_eval semantics).
+
+    Output: (query, dcg, idcg, ndcg) rounded to 6, one row per query in
+    the run.
+    """
+    from pyspark.sql import Window as W
+
+    r = run.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_rank"),
+    )
+    jr = r.join(
+        qrels.select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rel_col).cast("double").alias("_rel"),
+        ),
+        ["_q", "_d"],
+        "left",
+    ).select(
+        "_q",
+        "_rank",
+        F.coalesce("_rel", F.lit(0.0)).alias("_rel"),
+    )
+    dcg = jr.groupBy("_q").agg(
+        F.sum(F.col("_rel") / F.log2(F.col("_rank") + 1)).alias("_dcg")
+    )
+    iw = W.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_d").asc()
+    )
+    ideal = (
+        qrels.select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rel_col).cast("double").alias("_rel"),
+        )
+        .withColumn("_irank", F.row_number().over(iw))
+        .filter(F.col("_irank") <= k)
+        .groupBy("_q")
+        .agg(F.sum(F.col("_rel") / F.log2(F.col("_irank") + 1)).alias("_idcg"))
+    )
+    return (
+        dcg.join(ideal, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.round("_dcg", 6).alias("dcg"),
+            F.round(F.coalesce("_idcg", F.lit(0.0)), 6).alias("idcg"),
+            F.round(
+                F.when(
+                    F.coalesce("_idcg", F.lit(0.0)) > 0,
+                    F.col("_dcg") / F.col("_idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
+def ndcg_oracle_sql(
+    run_cte: str, qrels_cte: str, k: int = 10
+) -> str:
+    """DuckDB oracle for :func:`ndcg_at_k`. ``run_cte`` must yield
+    (query, doc_id, rank); ``qrels_cte`` (query, doc_id, rel)."""
+    return rf"""
+    WITH run0 AS MATERIALIZED ({run_cte}),
+    qrels0 AS MATERIALIZED ({qrels_cte}),
+    jr AS (
+      SELECT r.query, r.rank, COALESCE(q.rel, 0)::DOUBLE AS rel
+      FROM run0 r LEFT JOIN qrels0 q
+        ON q.query = r.query AND q.doc_id = r.doc_id
+      WHERE r.rank <= {int(k)}
+    ),
+    dcg AS (
+      SELECT query, SUM(rel / log2(rank + 1)) AS dcg
+      FROM jr GROUP BY query
+    ),
+    ideal0 AS (
+      SELECT query, rel::DOUBLE AS rel,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY rel DESC, doc_id ASC) AS irank
+      FROM qrels0
+    ),
+    idcg AS (
+      SELECT query, SUM(rel / log2(irank + 1)) AS idcg
+      FROM ideal0 WHERE irank <= {int(k)} GROUP BY query
+    )
+    SELECT d.query, round(d.dcg, 6) AS dcg,
+           round(COALESCE(i.idcg, 0.0), 6) AS idcg,
+           round(CASE WHEN COALESCE(i.idcg, 0.0) > 0
+                      THEN d.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
+    FROM dcg d LEFT JOIN idcg i USING (query)
+    """

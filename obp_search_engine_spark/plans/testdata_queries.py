@@ -126,6 +126,7 @@ GRADE_PRIORITY: list[str] = [
     "search_proximity_pairs",
     "bpe_apply_tokens",
     "ann_ivf_index_delta",
+    "search_eval_ndcg",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",

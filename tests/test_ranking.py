@@ -386,3 +386,66 @@ def test_rrf_ties_break_by_doc_id(spark):
     rows = rrf_fuse({"only": a}, k=2).collect()
     # equal scores -> rank by doc asc: doc 2 gets rank 1
     assert [r.doc for r in rows] == [2, 5]
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k (round 5)
+# ---------------------------------------------------------------------------
+def test_ndcg_hand_computed(spark):
+    import math
+
+    from obp_search_engine_spark.operators.ranking import ndcg_at_k
+
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 3), ("q", 3, 0), ("q", 4, 2)],
+        "query string, doc_id long, rel int",
+    )
+    r = ndcg_at_k(run, qrels, k=3).collect()[0]
+    dcg = 1 / math.log2(2) + 3 / math.log2(3) + 0 / math.log2(4)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert r.dcg == round(dcg, 6)
+    assert r.idcg == round(idcg, 6)
+    assert r.ndcg == round(dcg / idcg, 6)
+
+
+def test_ndcg_perfect_and_degenerate(spark):
+    from obp_search_engine_spark.operators.ranking import ndcg_at_k
+
+    # perfect ranking (rel descending in rank order) => ndcg == 1
+    run = spark.createDataFrame(
+        [("q", i, i) for i in range(1, 6)], "query string, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [("q", i, 6 - i) for i in range(1, 6)], "query string, doc_id long, rel int"
+    )
+    assert ndcg_at_k(run, qrels, k=5).collect()[0].ndcg == 1.0
+    # reversed ranking scores strictly less
+    rev = spark.createDataFrame(
+        [("q", i, 6 - i) for i in range(1, 6)], "query string, doc_id long, rank int"
+    )
+    assert ndcg_at_k(rev, qrels, k=5).collect()[0].ndcg < 1.0
+    # no relevant docs => ndcg 0, not NaN/null
+    none = spark.createDataFrame(
+        [("q2", 9, 1)], "query string, doc_id long, rank int"
+    )
+    empty_qrels = spark.createDataFrame([], "query string, doc_id long, rel int")
+    row = ndcg_at_k(none, empty_qrels, k=5).collect()[0]
+    assert (row.dcg, row.idcg, row.ndcg) == (0.0, 0.0, 0.0)
+
+
+def test_ndcg_unjudged_docs_score_zero(spark):
+    from obp_search_engine_spark.operators.ranking import ndcg_at_k
+
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 99, 2)], "query string, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [("q", 1, 2)], "query string, doc_id long, rel int"
+    )
+    r = ndcg_at_k(run, qrels, k=10).collect()[0]
+    # doc 99 is unjudged -> rel 0; single judged doc at rank 1 => perfect
+    assert r.ndcg == 1.0
