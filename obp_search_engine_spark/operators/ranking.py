@@ -1413,3 +1413,93 @@ def ndcg_oracle_sql(
                       THEN d.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
     FROM dcg d LEFT JOIN idcg i USING (query)
     """
+
+
+def map_at_k(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    rel_threshold: int = 1,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """MAP@k — the binary-relevance companion to :func:`ndcg_at_k`
+    (trec_eval's ``map_cut_k``): AP = (Σ over relevant retrieved ranks i
+    of P@i) / R with R = min(total relevant for the query, k); a query
+    with R = 0 scores 0. ``rel >= rel_threshold`` binarizes graded
+    judgments.
+
+    Everything is integer until the final division (P@i = hits-so-far /
+    i computed per relevant rank from an integer running count), so the
+    metric is exact at any parallelism with one round(6) at the end.
+    Same scale shape as nDCG: run side per-query bounded, one per-query
+    aggregation over qrels for R.
+    """
+    from pyspark.sql import Window as W
+
+    r = run.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_rank"),
+    )
+    binrel = qrels.filter(F.col(rel_col) >= rel_threshold).select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+    )
+    hits = r.join(binrel, ["_q", "_d"], "left_semi")
+    w = W.partitionBy("_q").orderBy("_rank")
+    ap_num = (
+        hits.withColumn("_nhit", F.row_number().over(w))
+        .groupBy("_q")
+        .agg(
+            F.sum(F.col("_nhit").cast("double") / F.col("_rank")).alias("_s"),
+        )
+    )
+    totals = binrel.groupBy("_q").agg(F.count("*").cast("long").alias("_r"))
+    qs = run.select(F.col(query_col).alias("_q")).distinct()
+    return (
+        qs.join(ap_num, "_q", "left")
+        .join(totals, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.round(
+                F.when(
+                    F.coalesce("_r", F.lit(0)) > 0,
+                    F.coalesce("_s", F.lit(0.0))
+                    / F.least(F.col("_r"), F.lit(k)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ap"),
+        )
+    )
+
+
+def map_oracle_sql(run_cte: str, qrels_cte: str, k: int = 10,
+                   rel_threshold: int = 1) -> str:
+    """DuckDB oracle for :func:`map_at_k`."""
+    return rf"""
+    WITH run0 AS MATERIALIZED ({run_cte}),
+    qrels0 AS MATERIALIZED ({qrels_cte}),
+    binrel AS (SELECT query, doc_id FROM qrels0 WHERE rel >= {int(rel_threshold)}),
+    hits AS (
+      SELECT r.query, r.rank,
+             row_number() OVER (PARTITION BY r.query ORDER BY r.rank)
+               AS nhit
+      FROM run0 r SEMI JOIN binrel b
+        ON b.query = r.query AND b.doc_id = r.doc_id
+      WHERE r.rank <= {int(k)}
+    ),
+    ap_num AS (
+      SELECT query, SUM(nhit::DOUBLE / rank) AS s FROM hits GROUP BY query
+    ),
+    totals AS (SELECT query, COUNT(*)::BIGINT AS r FROM binrel GROUP BY query)
+    SELECT q.query,
+           round(CASE WHEN COALESCE(t.r, 0) > 0
+                      THEN COALESCE(a.s, 0.0)
+                           / least(t.r, {int(k)})::DOUBLE
+                      ELSE 0.0 END, 6) AS ap
+    FROM (SELECT DISTINCT query FROM run0) q
+    LEFT JOIN ap_num a USING (query)
+    LEFT JOIN totals t USING (query)
+    """

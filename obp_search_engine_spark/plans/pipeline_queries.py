@@ -4165,6 +4165,14 @@ _NDCG_RUN_CTE, _NDCG_QRELS_CTE = _ndcg_parts_sql()
     "over qrels",
 )
 def q_search_eval_ndcg(spark, sf_dir):
+    runs, rels = _ndcg_run_and_qrels(spark, sf_dir)
+    return ranking.ndcg_at_k(runs, rels, k=10, doc_col="doc_id")
+
+
+def _ndcg_run_and_qrels(spark, sf_dir):
+    """Shared fixture construction for the eval-metric entries: tf-ranked
+    top-10 runs + label-derived graded qrels (orthogonal to the run
+    ranking so the metrics discriminate)."""
     from pyspark.sql import Window as W
 
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -4208,4 +4216,20 @@ def q_search_eval_ndcg(spark, sf_dir):
         rel_q = m.select(F.lit(q).alias("query"), "doc_id", "rel")
         runs = run_q if runs is None else runs.unionByName(run_q)
         rels = rel_q if rels is None else rels.unionByName(rel_q)
-    return ranking.ndcg_at_k(runs, rels, k=10, doc_col="doc_id")
+    return runs, rels
+
+
+@register(
+    "search_eval_map",
+    ranking.map_oracle_sql(
+        _NDCG_RUN_CTE, _NDCG_QRELS_CTE, k=10, rel_threshold=2
+    ),
+    "MAP@10 over the same three runs/qrels as search_eval_ndcg with "
+    "rel >= 2 binarization (trec_eval map_cut_10: AP = sum of P@i over "
+    "relevant retrieved ranks / min(R, 10); R = 0 queries score 0). "
+    "Integer hit counts until one final division + round(6) — exact at "
+    "any parallelism; run side per-query bounded",
+)
+def q_search_eval_map(spark, sf_dir):
+    runs, rels = _ndcg_run_and_qrels(spark, sf_dir)
+    return ranking.map_at_k(runs, rels, k=10, rel_threshold=2)

@@ -127,6 +127,7 @@ GRADE_PRIORITY: list[str] = [
     "bpe_apply_tokens",
     "ann_ivf_index_delta",
     "search_eval_ndcg",
+    "search_eval_map",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",

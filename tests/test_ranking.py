@@ -449,3 +449,35 @@ def test_ndcg_unjudged_docs_score_zero(spark):
     r = ndcg_at_k(run, qrels, k=10).collect()[0]
     # doc 99 is unjudged -> rel 0; single judged doc at rank 1 => perfect
     assert r.ndcg == 1.0
+
+
+def test_map_hand_computed_and_edges(spark):
+    from obp_search_engine_spark.operators.ranking import map_at_k
+
+    # run: relevant at ranks 1 and 3 (doc 1, doc 3); doc 2 irrelevant;
+    # R = 3 relevant total but only 2 retrieved
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 1, 1), ("q", 3, 2), ("q", 9, 1)],
+        "query string, doc_id long, rel int",
+    )
+    r = map_at_k(run, qrels, k=10, rel_threshold=1).collect()[0]
+    assert r.ap == round((1 / 1 + 2 / 3) / 3, 6)
+    # rel_threshold binarization: only doc 3 (rel 2) counts
+    r2 = map_at_k(run, qrels, k=10, rel_threshold=2).collect()[0]
+    assert r2.ap == round((1 / 3) / 1, 6)
+    # no relevant docs at all -> 0.0 (not null)
+    none = spark.createDataFrame([("q2", 5, 1)], "query string, doc_id long, rank int")
+    empty = spark.createDataFrame([], "query string, doc_id long, rel int")
+    assert map_at_k(none, empty, k=10).collect()[0].ap == 0.0
+    # perfect run: all k retrieved relevant, R <= k -> ap == 1
+    prun = spark.createDataFrame(
+        [("q3", i, i) for i in range(1, 4)], "query string, doc_id long, rank int"
+    )
+    pq = spark.createDataFrame(
+        [("q3", i, 1) for i in range(1, 4)], "query string, doc_id long, rel int"
+    )
+    assert map_at_k(prun, pq, k=10).collect()[0].ap == 1.0
