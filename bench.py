@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "ann_index_delta",
     "search_phrase_indexed",
     "search_proximity_pairs",
+    "ccnet_pipeline",
+    "search_eval_ndcg",
 ]
 
 
