@@ -1475,6 +1475,159 @@ def map_at_k(
     )
 
 
+def mrr_at_k(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    rel_threshold: int = 1,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """MRR@k (trec_eval ``recip_rank`` with a rank cutoff): per query,
+    1 / rank of the first relevant retrieved result, 0.0 if no relevant
+    doc appears in the top k. ``rel >= rel_threshold`` binarizes graded
+    judgments, matching :func:`map_at_k`.
+
+    Exact at any parallelism: the only reduction is an integer MIN over
+    ranks; the single division + round(6) happens per query at the end.
+    Scale shape: run side per-query bounded (k rows); qrels touched once
+    by a semi join on (query, doc) — never corpus-sized work.
+
+    Output: (query, rr) one row per query in the run.
+    """
+    r = run.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_rank"),
+    )
+    binrel = qrels.filter(F.col(rel_col) >= rel_threshold).select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+    )
+    firsts = (
+        r.join(binrel, ["_q", "_d"], "left_semi")
+        .groupBy("_q")
+        .agg(F.min("_rank").cast("long").alias("_first"))
+    )
+    qs = run.select(F.col(query_col).alias("_q")).distinct()
+    return qs.join(firsts, "_q", "left").select(
+        F.col("_q").alias(query_col),
+        F.round(
+            F.when(
+                F.col("_first").isNotNull(),
+                F.lit(1.0) / F.col("_first"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rr"),
+    )
+
+
+def mrr_oracle_sql(run_cte: str, qrels_cte: str, k: int = 10,
+                   rel_threshold: int = 1) -> str:
+    """DuckDB oracle for :func:`mrr_at_k`."""
+    return rf"""
+    WITH run0 AS MATERIALIZED ({run_cte}),
+    qrels0 AS MATERIALIZED ({qrels_cte}),
+    binrel AS (SELECT query, doc_id FROM qrels0 WHERE rel >= {int(rel_threshold)}),
+    firsts AS (
+      SELECT r.query, MIN(r.rank)::BIGINT AS first_rank
+      FROM run0 r SEMI JOIN binrel b
+        ON b.query = r.query AND b.doc_id = r.doc_id
+      WHERE r.rank <= {int(k)}
+      GROUP BY r.query
+    )
+    SELECT q.query,
+           round(CASE WHEN f.first_rank IS NOT NULL
+                      THEN 1.0 / f.first_rank ELSE 0.0 END, 6) AS rr
+    FROM (SELECT DISTINCT query FROM run0) q
+    LEFT JOIN firsts f USING (query)
+    """
+
+
+def precision_recall_at_k(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    rel_threshold: int = 1,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """P@k and R@k (trec_eval ``P_k`` / ``recall_k``): per query,
+    hits = |relevant ∩ top-k retrieved|; precision = hits / k (fixed
+    denominator, trec_eval convention even when fewer than k retrieved);
+    recall = hits / R with R = total relevant for the query, 0.0 when
+    R = 0. ``rel >= rel_threshold`` binarizes graded judgments.
+
+    Integer counts until the two final divisions + round(6) — exact at
+    any parallelism. Same scale shape as :func:`map_at_k`: the run side
+    is per-query bounded and qrels is touched by one semi join plus one
+    per-query count.
+
+    Output: (query, hits, precision, recall) one row per run query.
+    """
+    r = run.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+    )
+    binrel = qrels.filter(F.col(rel_col) >= rel_threshold).select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+    )
+    hits = (
+        r.join(binrel, ["_q", "_d"], "left_semi")
+        .groupBy("_q")
+        .agg(F.count("*").cast("long").alias("_h"))
+    )
+    totals = binrel.groupBy("_q").agg(F.count("*").cast("long").alias("_r"))
+    qs = run.select(F.col(query_col).alias("_q")).distinct()
+    h = F.coalesce("_h", F.lit(0)).cast("long")
+    return (
+        qs.join(hits, "_q", "left")
+        .join(totals, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            h.alias("hits"),
+            F.round(h.cast("double") / F.lit(float(k)), 6).alias("precision"),
+            F.round(
+                F.when(
+                    F.coalesce("_r", F.lit(0)) > 0,
+                    h.cast("double") / F.col("_r"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def pr_oracle_sql(run_cte: str, qrels_cte: str, k: int = 10,
+                  rel_threshold: int = 1) -> str:
+    """DuckDB oracle for :func:`precision_recall_at_k`."""
+    return rf"""
+    WITH run0 AS MATERIALIZED ({run_cte}),
+    qrels0 AS MATERIALIZED ({qrels_cte}),
+    binrel AS (SELECT query, doc_id FROM qrels0 WHERE rel >= {int(rel_threshold)}),
+    hits AS (
+      SELECT r.query, COUNT(*)::BIGINT AS h
+      FROM run0 r SEMI JOIN binrel b
+        ON b.query = r.query AND b.doc_id = r.doc_id
+      WHERE r.rank <= {int(k)}
+      GROUP BY r.query
+    ),
+    totals AS (SELECT query, COUNT(*)::BIGINT AS r FROM binrel GROUP BY query)
+    SELECT q.query,
+           COALESCE(h.h, 0)::BIGINT AS hits,
+           round(COALESCE(h.h, 0)::DOUBLE / {int(k)}, 6) AS precision,
+           round(CASE WHEN COALESCE(t.r, 0) > 0
+                      THEN COALESCE(h.h, 0)::DOUBLE / t.r
+                      ELSE 0.0 END, 6) AS recall
+    FROM (SELECT DISTINCT query FROM run0) q
+    LEFT JOIN hits h USING (query)
+    LEFT JOIN totals t USING (query)
+    """
+
+
 def map_oracle_sql(run_cte: str, qrels_cte: str, k: int = 10,
                    rel_threshold: int = 1) -> str:
     """DuckDB oracle for :func:`map_at_k`."""

@@ -4233,3 +4233,35 @@ def _ndcg_run_and_qrels(spark, sf_dir):
 def q_search_eval_map(spark, sf_dir):
     runs, rels = _ndcg_run_and_qrels(spark, sf_dir)
     return ranking.map_at_k(runs, rels, k=10, rel_threshold=2)
+
+
+@register(
+    "search_eval_mrr",
+    ranking.mrr_oracle_sql(
+        _NDCG_RUN_CTE, _NDCG_QRELS_CTE, k=10, rel_threshold=2
+    ),
+    "MRR@10 over the same three runs/qrels as search_eval_ndcg with "
+    "rel >= 2 binarization (trec_eval recip_rank cut at 10: 1/rank of "
+    "the first relevant retrieved doc, 0 when none in the top 10). The "
+    "only reduction is an integer MIN over ranks, one division + "
+    "round(6) at the end — exact at any parallelism",
+)
+def q_search_eval_mrr(spark, sf_dir):
+    runs, rels = _ndcg_run_and_qrels(spark, sf_dir)
+    return ranking.mrr_at_k(runs, rels, k=10, rel_threshold=2)
+
+
+@register(
+    "search_eval_pr",
+    ranking.pr_oracle_sql(
+        _NDCG_RUN_CTE, _NDCG_QRELS_CTE, k=10, rel_threshold=2
+    ),
+    "P@10 / R@10 over the same three runs/qrels (trec_eval P_10 with "
+    "the fixed-k denominator + recall_10 with R = total relevant, 0 "
+    "when R = 0). Integer hit counts until the two final divisions + "
+    "round(6) — exact at any parallelism; completes the eval family "
+    "(nDCG, MAP, MRR, P/R) every search engine's harness reports",
+)
+def q_search_eval_pr(spark, sf_dir):
+    runs, rels = _ndcg_run_and_qrels(spark, sf_dir)
+    return ranking.precision_recall_at_k(runs, rels, k=10, rel_threshold=2)

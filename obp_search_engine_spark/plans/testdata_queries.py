@@ -128,6 +128,8 @@ GRADE_PRIORITY: list[str] = [
     "ann_ivf_index_delta",
     "search_eval_ndcg",
     "search_eval_map",
+    "search_eval_mrr",
+    "search_eval_pr",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",

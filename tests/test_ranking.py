@@ -481,3 +481,52 @@ def test_map_hand_computed_and_edges(spark):
         [("q3", i, 1) for i in range(1, 4)], "query string, doc_id long, rel int"
     )
     assert map_at_k(prun, pq, k=10).collect()[0].ap == 1.0
+
+
+def test_mrr_hand_computed_and_edges(spark):
+    from obp_search_engine_spark.operators.ranking import mrr_at_k
+
+    # first relevant (rel >= 1) at rank 2 -> rr = 0.5
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 2, 1), ("q", 3, 2)], "query string, doc_id long, rel int"
+    )
+    assert mrr_at_k(run, qrels, k=10).collect()[0].rr == 0.5
+    # threshold binarization: rel >= 2 keeps only doc 3 (rank 3)
+    assert mrr_at_k(run, qrels, k=10, rel_threshold=2).collect()[0].rr == round(
+        1 / 3, 6
+    )
+    # cutoff: the only relevant doc sits past k -> 0.0
+    assert mrr_at_k(run, qrels, k=2, rel_threshold=2).collect()[0].rr == 0.0
+    # no relevant docs at all -> 0.0 (not null)
+    none = spark.createDataFrame([("q2", 5, 1)], "query string, doc_id long, rank int")
+    empty = spark.createDataFrame([], "query string, doc_id long, rel int")
+    assert mrr_at_k(none, empty, k=10).collect()[0].rr == 0.0
+
+
+def test_precision_recall_hand_computed_and_edges(spark):
+    from obp_search_engine_spark.operators.ranking import precision_recall_at_k
+
+    # 2 of 3 retrieved are relevant; R = 3 total relevant
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 1, 1), ("q", 3, 2), ("q", 9, 1)],
+        "query string, doc_id long, rel int",
+    )
+    r = precision_recall_at_k(run, qrels, k=10).collect()[0]
+    # trec_eval convention: precision divides by k even when < k retrieved
+    assert (r.hits, r.precision, r.recall) == (2, 0.2, round(2 / 3, 6))
+    # k=2 cutoff drops the rank-3 hit
+    r2 = precision_recall_at_k(run, qrels, k=2).collect()[0]
+    assert (r2.hits, r2.precision, r2.recall) == (1, 0.5, round(1 / 3, 6))
+    # R = 0 -> recall 0.0 (not null/NaN), hits 0
+    none = spark.createDataFrame([("q2", 5, 1)], "query string, doc_id long, rank int")
+    empty = spark.createDataFrame([], "query string, doc_id long, rel int")
+    r3 = precision_recall_at_k(none, empty, k=10).collect()[0]
+    assert (r3.hits, r3.precision, r3.recall) == (0, 0.0, 0.0)
