@@ -106,6 +106,12 @@ BENCH_QUERIES = [
     "search_proximity_pairs",
     "ccnet_pipeline",
     "search_eval_ndcg",
+    # round-5 (cont.) additions: query-assist family — SymSpell
+    # deletion-neighborhood spell suggest, prefix autocomplete index,
+    # document-PMI related terms
+    "search_spell_suggest",
+    "search_autocomplete",
+    "search_related_pmi",
 ]
 
 

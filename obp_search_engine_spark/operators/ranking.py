@@ -36,7 +36,7 @@ FP portability (both operators are exact-oracle graded):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.textstats import nonempty_tokens_col
 
@@ -1625,6 +1625,474 @@ def pr_oracle_sql(run_cte: str, qrels_cte: str, k: int = 10,
     FROM (SELECT DISTINCT query FROM run0) q
     LEFT JOIN hits h USING (query)
     LEFT JOIN totals t USING (query)
+    """
+
+
+def _delete_keys(col) -> "F.Column":
+    """SymSpell depth-1 deletion neighborhood of a term: the term itself
+    plus every string obtained by deleting one character. For any pair
+    with Levenshtein distance <= 1 the neighborhoods intersect (equal:
+    trivially; substitution at i: both i-deletes coincide; one-char
+    insertion/deletion: the shorter string is in the longer one's delete
+    set), so an equi-join on these keys is a COMPLETE candidate
+    generator for distance-1 correction — no cross join, no per-row
+    scan of the dictionary (Garbe's SymSpell construction)."""
+    return F.array_distinct(
+        F.concat(
+            F.array(col),
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    F.substr(col, F.lit(1), i - F.lit(1)),
+                    F.substr(col, i + F.lit(1), F.length(col)),
+                ),
+            ),
+        )
+    )
+
+
+def spell_suggest_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-driven "did you mean" (SymSpell-style, Garbe 2012): build
+    the dictionary as corpus term -> collection frequency, generate
+    correction candidates for each query term via a depth-1
+    deletion-neighborhood equi-join (see :func:`_delete_keys`), verify
+    candidates with exact ``levenshtein() <= 1``, and rank suggestions
+    per query term by (distance ASC, frequency DESC, term ASC). A query
+    term present in the dictionary suggests itself at distance 0 first.
+    The reference's search has no corrective layer — its keyword LIKE
+    match (apiserver/index.js:85-102) silently returns nothing on a
+    typo; this is the standard engine feature that fixes that.
+
+    100 TB shape: the dictionary is a bounded vocabulary (groupBy(term)
+    with map-side combine over the token stream); the ~(len+1) delete
+    keys per vocab term shuffle once on the key, and the query side
+    (|q|·(len+1) keys) is broadcast — candidate generation is an
+    equi-join, NEVER a vocab × query cross join, and the exact
+    levenshtein verify runs only on the joined candidates.
+
+    Output: (qterm, rank, suggestion, dist, tf) for candidates within
+    distance 1, rank <= k per query term — integer-only values, exact
+    at any parallelism.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    spark = docs.sparkSession
+    vocab = (
+        _term_freqs(docs.filter(F.col(text_col).isNotNull()), text_col, id_col)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    vkeys = vocab.select(
+        "term", "tf", F.explode(_delete_keys(F.col("term"))).alias("_key")
+    )
+    q = spark.createDataFrame([(t,) for t in terms], "qterm string")
+    qkeys = q.select(
+        "qterm", F.explode(_delete_keys(F.col("qterm"))).alias("_key")
+    )
+    cand = (
+        vkeys.join(F.broadcast(qkeys), "_key")
+        .select("qterm", "term", "tf")
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein(F.col("qterm"), F.col("term")).cast("int")
+        )
+        .filter(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.col("dist").asc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qterm", "rank", F.col("term").alias("suggestion"), "dist", "tf")
+    )
+
+
+def spell_suggest_oracle_sql(
+    query_terms: list[str],
+    k: int = 3,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`spell_suggest_topk` — the same
+    tokenization, deletion-neighborhood join, and levenshtein verify."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    return rf"""
+    WITH corpus AS (
+      SELECT list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    vocab AS (
+      SELECT term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT unnest(t) AS term FROM corpus) GROUP BY term
+    ),
+    vkeys AS (
+      SELECT term, tf,
+             unnest(list_distinct(list_prepend(term,
+               list_transform(range(1, length(term) + 1),
+                 i -> substr(term, 1, i - 1) || substr(term, i + 1)))))
+               AS key
+      FROM vocab
+    ),
+    q(qterm) AS (VALUES {terms_sql}),
+    qkeys AS (
+      SELECT qterm,
+             unnest(list_distinct(list_prepend(qterm,
+               list_transform(range(1, length(qterm) + 1),
+                 i -> substr(qterm, 1, i - 1) || substr(qterm, i + 1)))))
+               AS key
+      FROM q
+    ),
+    cand AS (
+      SELECT DISTINCT qk.qterm, v.term, v.tf
+      FROM vkeys v JOIN qkeys qk USING (key)
+    ),
+    scored AS (
+      SELECT qterm, term, tf,
+             levenshtein(qterm, term)::INT AS dist
+      FROM cand WHERE levenshtein(qterm, term) <= 1
+    ),
+    ranked AS (
+      SELECT qterm, term, tf, dist,
+             row_number() OVER (PARTITION BY qterm
+               ORDER BY dist ASC, tf DESC, term ASC)::INT AS rank
+      FROM scored
+    )
+    SELECT qterm, rank, term AS suggestion, dist, tf
+    FROM ranked WHERE rank <= {int(k)}
+    """
+
+
+def autocomplete_topk(
+    docs: DataFrame,
+    k: int = 5,
+    min_len: int = 2,
+    max_len: int = 5,
+    min_tf: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Prefix-autocomplete index (Bast & Weber, SIGIR 2006 family): for
+    every term prefix of length ``min_len..max_len``, the top-k
+    completions from the corpus vocabulary ranked by collection
+    frequency (tf DESC, term ASC). ``min_tf`` prunes hapax noise before
+    the prefix explosion. This is the materialized type-ahead index a
+    search box probes per keystroke — a point lookup on the prefix key.
+
+    100 TB shape: built from the bounded vocabulary, not the corpus —
+    one map-side-combined groupBy(term), then <= (max_len - min_len + 1)
+    prefix rows per vocab term shuffling once on the prefix for a
+    window top-k. Output is bounded by (#distinct prefixes) x k.
+
+    Output: (prefix, rank, term, tf) with rank <= k per prefix.
+    """
+    vocab = (
+        _term_freqs(docs.filter(F.col(text_col).isNotNull()), text_col, id_col)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+        .filter(F.length("term") >= min_len)
+    )
+    pref = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(min_len), F.least(F.lit(max_len), F.length("term"))
+                ),
+                lambda i: F.substr(F.col("term"), F.lit(1), i),
+            )
+        ).alias("prefix"),
+        "term",
+        "tf",
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        pref.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("prefix", "rank", "term", "tf")
+    )
+
+
+def autocomplete_oracle_sql(
+    k: int = 5,
+    min_len: int = 2,
+    max_len: int = 5,
+    min_tf: int = 2,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`autocomplete_topk`."""
+    return rf"""
+    WITH corpus AS (
+      SELECT list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    vocab AS (
+      SELECT term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT unnest(t) AS term FROM corpus) GROUP BY term
+      HAVING COUNT(*) >= {int(min_tf)}
+    ),
+    pref AS (
+      SELECT unnest(list_transform(
+               range({int(min_len)},
+                     least({int(max_len)}, length(term)) + 1),
+               i -> substr(term, 1, i))) AS prefix,
+             term, tf
+      FROM vocab WHERE length(term) >= {int(min_len)}
+    ),
+    ranked AS (
+      SELECT prefix, term, tf,
+             row_number() OVER (PARTITION BY prefix
+               ORDER BY tf DESC, term ASC)::INT AS rank
+      FROM pref
+    )
+    SELECT prefix, rank, term, tf FROM ranked WHERE rank <= {int(k)}
+    """
+
+
+def related_terms_pmi(
+    docs: DataFrame,
+    anchor_terms: list[str],
+    k: int = 10,
+    min_cooc: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Related-searches via document-level PMI (Church & Hanks 1990):
+    for each anchor term, rank co-occurring vocabulary terms by
+    pointwise mutual information over document co-occurrence —
+    PMI(a,t) = ln(n_at · N / (n_a · n_t)) with n_* document frequencies
+    and N the corpus size. ``min_cooc`` floors n_at so rare accidental
+    pairs don't dominate (the classic PMI low-count pathology).
+
+    100 TB shape: everything runs on DISTINCT (doc, term) postings —
+    never positional pairs, so no O(doc_len²) explosion. The anchor
+    postings are filtered first and the co-occurrence join is a doc-key
+    equi-join of that small side against the postings (anchor side
+    broadcast when small); df and N are map-side-combined counts. The
+    only FP is the final ln + round(6) from exact integer counts.
+
+    Output: (anchor, rank, term, n_cooc, pmi) with rank <= k per
+    anchor, ordered PMI DESC then term ASC.
+    """
+    anchors = sorted(set(t.lower() for t in anchor_terms))
+    postings = (
+        _term_freqs(docs.filter(F.col(text_col).isNotNull()), text_col, id_col)
+        .select("_doc", "term")
+    )
+    n_docs = docs.filter(F.col(text_col).isNotNull()).select(id_col).distinct().count()
+    df_counts = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("_df")
+    )
+    apost = postings.filter(F.col("term").isin(anchors)).select(
+        F.col("term").alias("anchor"), "_doc"
+    )
+    cooc = (
+        apost.join(postings, "_doc")
+        .filter(F.col("term") != F.col("anchor"))
+        .groupBy("anchor", "term")
+        .agg(F.count("*").cast("long").alias("n_cooc"))
+        .filter(F.col("n_cooc") >= min_cooc)
+    )
+    scored = (
+        cooc.join(
+            F.broadcast(
+                df_counts.filter(F.col("term").isin(anchors)).select(
+                    F.col("term").alias("anchor"), F.col("_df").alias("_dfa")
+                )
+            ),
+            "anchor",
+        )
+        .join(df_counts, "term")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_cooc").cast("double")
+                    * F.lit(float(n_docs))
+                    / (F.col("_dfa").cast("double") * F.col("_df").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("pmi").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("anchor", "rank", "term", "n_cooc", "pmi")
+    )
+
+
+def related_terms_pmi_oracle_sql(
+    anchor_terms: list[str],
+    k: int = 10,
+    min_cooc: int = 5,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`related_terms_pmi` — identical distinct
+    (doc, term) postings, integer counts, and ln + round(6)."""
+    anchors = sorted(set(t.lower() for t in anchor_terms))
+    anchors_sql = ", ".join(f"'{t}'" for t in anchors)
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    postings AS (
+      SELECT DISTINCT doc, unnest(t) AS term FROM corpus
+    ),
+    n AS (SELECT COUNT(DISTINCT doc)::BIGINT AS n_docs FROM corpus),
+    dfc AS (SELECT term, COUNT(*)::BIGINT AS df FROM postings GROUP BY term),
+    apost AS (
+      SELECT term AS anchor, doc FROM postings WHERE term IN ({anchors_sql})
+    ),
+    cooc AS (
+      SELECT a.anchor, p.term, COUNT(*)::BIGINT AS n_cooc
+      FROM apost a JOIN postings p USING (doc)
+      WHERE p.term != a.anchor
+      GROUP BY a.anchor, p.term
+      HAVING COUNT(*) >= {int(min_cooc)}
+    ),
+    scored AS (
+      SELECT c.anchor, c.term, c.n_cooc,
+             round(ln(c.n_cooc::DOUBLE * n.n_docs
+                      / (da.df::DOUBLE * dt.df::DOUBLE)), 6) AS pmi
+      FROM cooc c
+      JOIN dfc da ON da.term = c.anchor
+      JOIN dfc dt ON dt.term = c.term
+      CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT anchor, term, n_cooc, pmi,
+             row_number() OVER (PARTITION BY anchor
+               ORDER BY pmi DESC, term ASC)::INT AS rank
+      FROM scored
+    )
+    SELECT anchor, rank, term, n_cooc, pmi FROM ranked WHERE rank <= {int(k)}
+    """
+
+
+def err_at_k(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    max_grade: int = 3,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """ERR@k — Expected Reciprocal Rank (Chapelle, Metlzer, Zhang &
+    Grinspan, CIKM 2009), the cascade-model graded metric: the user
+    scans ranks top-down and stops at rank ``i`` with probability
+    R_i = (2^rel_i - 1) / 2^max_grade; ERR = Σ_i (1/i)·R_i·Π_{j<i}(1-R_j).
+    Unjudged run docs get rel 0 (R = 0: never a stopping point, factor
+    1 in the product), matching the left-join convention of
+    :func:`ndcg_at_k`.
+
+    FP portability: the fold is SEQUENTIAL in rank order via
+    ``aggregate`` over the per-query rank-sorted array — and because
+    every R_i is a dyadic rational (small integer / 2^max_grade), the
+    running products are EXACT doubles for any k·max_grade within the
+    53-bit mantissa, so Spark and the oracle compute bit-identical
+    products; the final Σ and /i round to 6.
+
+    100 TB shape: the run side is per-query bounded (k rows) by
+    construction, so the collect_list per query holds ≤ k structs —
+    never corpus-sized state; qrels is touched by one equi join.
+
+    Output: (query, err) rounded to 6, one row per query in the run.
+    """
+    r = run.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_rank"),
+    )
+    denom = float(2 ** max_grade)
+    jr = r.join(
+        qrels.select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rel_col).cast("int").alias("_rel"),
+        ),
+        ["_q", "_d"],
+        "left",
+    ).select(
+        "_q",
+        "_rank",
+        (
+            (F.pow(F.lit(2.0), F.coalesce("_rel", F.lit(0))) - F.lit(1.0))
+            / F.lit(denom)
+        ).alias("_stop"),
+    )
+    folded = jr.groupBy("_q").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_rank", "_stop"))),
+            F.struct(
+                F.lit(0.0).alias("err"), F.lit(1.0).alias("p")
+            ),
+            lambda acc, x: F.struct(
+                (
+                    acc["err"]
+                    + acc["p"] * x["_stop"] / x["_rank"].cast("double")
+                ).alias("err"),
+                (acc["p"] * (F.lit(1.0) - x["_stop"])).alias("p"),
+            ),
+        ).alias("_acc")
+    )
+    return folded.select(
+        F.col("_q").alias(query_col),
+        F.round(F.col("_acc")["err"], 6).alias("err"),
+    )
+
+
+def err_oracle_sql(run_cte: str, qrels_cte: str, k: int = 10,
+                   max_grade: int = 3) -> str:
+    """DuckDB oracle for :func:`err_at_k`. The before-rank running
+    product rides DuckDB's windowed ``product()`` with an
+    UNBOUNDED-PRECEDING-to-1-PRECEDING frame — sequential in rank order,
+    and exact regardless of combination order because every stop
+    probability is a dyadic rational (see :func:`err_at_k`)."""
+    return rf"""
+    WITH run0 AS MATERIALIZED ({run_cte}),
+    qrels0 AS MATERIALIZED ({qrels_cte}),
+    jr AS (
+      SELECT r.query, r.rank,
+             (pow(2, COALESCE(q.rel, 0)) - 1) / {float(2 ** max_grade)}
+               AS stop_p
+      FROM run0 r LEFT JOIN qrels0 q
+        ON q.query = r.query AND q.doc_id = r.doc_id
+      WHERE r.rank <= {int(k)}
+    ),
+    terms AS (
+      SELECT query, rank, stop_p,
+             COALESCE(product(1.0 - stop_p) OVER (
+               PARTITION BY query ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0)
+               AS p_before
+      FROM jr
+    )
+    SELECT query, round(SUM(p_before * stop_p / rank), 6) AS err
+    FROM terms GROUP BY query
     """
 
 

@@ -4265,3 +4265,78 @@ def q_search_eval_mrr(spark, sf_dir):
 def q_search_eval_pr(spark, sf_dir):
     runs, rels = _ndcg_run_and_qrels(spark, sf_dir)
     return ranking.precision_recall_at_k(runs, rels, k=10, rel_threshold=2)
+
+
+@register(
+    "search_eval_err",
+    ranking.err_oracle_sql(
+        _NDCG_RUN_CTE, _NDCG_QRELS_CTE, k=10, max_grade=3
+    ),
+    "ERR@10 (Chapelle et al. 2009 cascade model) over the same three "
+    "runs/graded qrels: stop probability (2^rel - 1)/2^3 per rank, "
+    "ERR = sum (1/i) * R_i * prod_{j<i}(1 - R_j). The fold is "
+    "sequential in rank order on both engines (array fold in Spark, "
+    "windowed product() in DuckDB) and every stop probability is a "
+    "dyadic rational, so the running products are bit-identical "
+    "doubles; run side per-query bounded, qrels touched by one join",
+)
+def q_search_eval_err(spark, sf_dir):
+    runs, rels = _ndcg_run_and_qrels(spark, sf_dir)
+    return ranking.err_at_k(runs, rels, k=10, max_grade=3)
+
+
+_SPELL_QUERY_TERMS = ["join", "hsh", "sparc", "filtr", "colum", "zzzzz"]
+
+
+@register(
+    "search_spell_suggest",
+    ranking.spell_suggest_oracle_sql(_SPELL_QUERY_TERMS, k=3),
+    "SymSpell-style 'did you mean' over the corpus vocabulary: "
+    "candidates via a depth-1 deletion-neighborhood equi-join (complete "
+    "for Levenshtein <= 1, never a vocab x query cross join), exact "
+    "levenshtein verify, top-3 per query term by (distance, collection "
+    "frequency DESC, term). Mix of exact ('join' suggests itself at "
+    "distance 0), typo'd ('hsh', 'sparc', 'filtr', 'colum'), and "
+    "unmatched ('zzzzz' yields no row) probes. Integer-only output — "
+    "exact at any parallelism; the query side broadcasts",
+)
+def q_search_spell_suggest(spark, sf_dir):
+    return ranking.spell_suggest_topk(
+        _t(spark, sf_dir, "documents"), _SPELL_QUERY_TERMS, k=3
+    )
+
+
+@register(
+    "search_autocomplete",
+    ranking.autocomplete_oracle_sql(k=5, min_len=2, max_len=5, min_tf=2),
+    "Prefix-autocomplete index: top-5 completions by collection "
+    "frequency (tf DESC, term ASC) for every vocabulary prefix of "
+    "length 2..5, hapax terms pruned (tf >= 2). Built from the bounded "
+    "vocabulary, not the corpus — one map-side-combined groupBy(term) "
+    "then <= 4 prefix rows per term into a window top-k; output bounded "
+    "by #prefixes x k. The type-ahead point-lookup table a search box "
+    "probes per keystroke",
+)
+def q_search_autocomplete(spark, sf_dir):
+    return ranking.autocomplete_topk(
+        _t(spark, sf_dir, "documents"), k=5, min_len=2, max_len=5, min_tf=2
+    )
+
+
+@register(
+    "search_related_pmi",
+    ranking.related_terms_pmi_oracle_sql(
+        ["hash", "spark"], k=10, min_cooc=25
+    ),
+    "Related-searches via document-level PMI (Church & Hanks 1990): "
+    "top-10 co-occurring terms per anchor ('hash', 'spark') by "
+    "ln(n_at*N/(n_a*n_t)) over DISTINCT (doc, term) postings with a "
+    "min-co-occurrence floor of 25 — never positional pairs, so no "
+    "O(doc_len^2) explosion; anchor postings filter first and broadcast "
+    "into the doc-key equi-join. Integer counts until the final ln + "
+    "round(6)",
+)
+def q_search_related_pmi(spark, sf_dir):
+    return ranking.related_terms_pmi(
+        _t(spark, sf_dir, "documents"), ["hash", "spark"], k=10, min_cooc=25
+    )

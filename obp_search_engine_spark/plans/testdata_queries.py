@@ -130,6 +130,10 @@ GRADE_PRIORITY: list[str] = [
     "search_eval_map",
     "search_eval_mrr",
     "search_eval_pr",
+    "search_eval_err",
+    "search_spell_suggest",
+    "search_autocomplete",
+    "search_related_pmi",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",

@@ -530,3 +530,109 @@ def test_precision_recall_hand_computed_and_edges(spark):
     empty = spark.createDataFrame([], "query string, doc_id long, rel int")
     r3 = precision_recall_at_k(none, empty, k=10).collect()[0]
     assert (r3.hits, r3.precision, r3.recall) == (0, 0.0, 0.0)
+
+
+def test_err_hand_computed_and_edges(spark):
+    from obp_search_engine_spark.operators.ranking import err_at_k
+
+    # grades 0..3, max_grade=3: R = (2^g - 1)/8 in {0, 1/8, 3/8, 7/8}
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 1, 3), ("q", 3, 1)], "query string, doc_id long, rel int"
+    )
+    # rank 1: R=7/8 -> 7/8; rank 2 unjudged: R=0; rank 3: R=1/8,
+    # p_before = 1/8 -> (1/8)*(1/8)/3
+    expect = 7 / 8 + (1 / 8) * (1 / 8) / 3
+    assert err_at_k(run, qrels, k=10).collect()[0].err == round(expect, 6)
+    # cutoff drops the rank-3 term
+    assert err_at_k(run, qrels, k=2).collect()[0].err == round(7 / 8, 6)
+    # all-unjudged run -> ERR 0.0 (not null)
+    none = spark.createDataFrame([("q2", 5, 1)], "query string, doc_id long, rank int")
+    empty = spark.createDataFrame([], "query string, doc_id long, rel int")
+    assert err_at_k(none, empty, k=10).collect()[0].err == 0.0
+    # perfect ranking of a single max-grade doc -> 7/8
+    prun = spark.createDataFrame(
+        [("q3", 1, 1)], "query string, doc_id long, rank int"
+    )
+    pq = spark.createDataFrame(
+        [("q3", 1, 3)], "query string, doc_id long, rel int"
+    )
+    assert err_at_k(prun, pq, k=10).collect()[0].err == 0.875
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_spell_suggest_semantics(spark):
+    from obp_search_engine_spark.operators.ranking import spell_suggest_topk
+
+    # vocab tfs: cat=3, car=2, cart=1, dog=1
+    docs = _docs(spark, ["cat cat car", "cat car cart", "dog"])
+    out = spell_suggest_topk(docs, ["cat", "cae", "cartt", "zzz"], k=3)
+    rows = {(r.qterm, r.rank): (r.suggestion, r.dist, r.tf) for r in out.collect()}
+    # exact term suggests itself first (dist 0), then dist-1 by tf desc
+    assert rows[("cat", 1)] == ("cat", 0, 3)
+    assert rows[("cat", 2)] == ("car", 1, 2)  # substitution
+    assert rows[("cat", 3)] == ("cart", 1, 1)  # insertion
+    assert ("cat", 4) not in rows  # dog is dist 3: excluded (and k=3)
+    # unseen term with dist-1 neighbors: cae -> cat (sub), car (sub)
+    assert rows[("cae", 1)] == ("cat", 1, 3)
+    assert rows[("cae", 2)] == ("car", 1, 2)
+    # insertion: cartt -> cart
+    assert rows[("cartt", 1)] == ("cart", 1, 1)
+    # no candidate within distance 1 -> no row at all
+    assert not any(q == "zzz" for q, _ in rows)
+    # one-char terms meet through the empty-string delete key
+    one = _docs(spark, ["a a b"])
+    r1 = {(r.qterm, r.rank): r.suggestion
+          for r in spell_suggest_topk(one, ["b"], k=3).collect()}
+    assert r1[("b", 1)] == "b" and r1[("b", 2)] == "a"
+
+
+def test_autocomplete_semantics(spark):
+    from obp_search_engine_spark.operators.ranking import autocomplete_topk
+
+    # tfs: spark=3, spare=2, spam=2, ham=1 (pruned by min_tf=2)
+    docs = _docs(spark, ["spark spark spare", "spark spare spam spam ham"])
+    out = autocomplete_topk(docs, k=2, min_len=2, max_len=4, min_tf=2)
+    rows = {(r.prefix, r.rank): (r.term, r.tf) for r in out.collect()}
+    # shared prefix ranks by tf desc then term asc
+    assert rows[("sp", 1)] == ("spark", 3)
+    assert rows[("spa", 1)] == ("spark", 3)
+    assert rows[("spa", 2)] == ("spam", 2)  # tf tie space: spam < spare
+    # k=2 cuts spare at the 'spa' prefix
+    assert ("spa", 3) not in rows
+    # max_len=4 caps prefixes: full 5-char term never appears as prefix
+    assert not any(len(p) > 4 or len(p) < 2 for p, _ in rows)
+    # min_tf prunes hapax 'ham' entirely
+    assert not any(t == "ham" for t, _ in rows.values())
+    # distinct 4-prefixes split spark/spare vs spam
+    assert rows[("spar", 1)] == ("spark", 3)
+    assert rows[("spam", 1)] == ("spam", 2)
+
+
+def test_related_terms_pmi_hand_computed(spark):
+    import math
+    from obp_search_engine_spark.operators.ranking import related_terms_pmi
+
+    # N=4 docs; df: a=3, b=2, c=2; cooc(a,b)=2, cooc(a,c)=1
+    docs = _docs(spark, ["a b", "a b", "a c", "c"])
+    out = related_terms_pmi(docs, ["a"], k=10, min_cooc=1)
+    rows = {(r.anchor, r.rank): (r.term, r.n_cooc, r.pmi) for r in out.collect()}
+    assert rows[("a", 1)] == ("b", 2, round(math.log(2 * 4 / (3 * 2)), 6))
+    assert rows[("a", 2)] == ("c", 1, round(math.log(1 * 4 / (3 * 2)), 6))
+    # min_cooc floor prunes the single-doc pair
+    pruned = related_terms_pmi(docs, ["a"], k=10, min_cooc=2).collect()
+    assert [(r.term,) for r in pruned] == [("b",)]
+    # anchor never suggests itself
+    assert not any(t == "a" for t, _, _ in rows.values())
+    # repeated term within one doc counts once (distinct postings)
+    dup = _docs(spark, ["a b b b", "a"])
+    r = related_terms_pmi(dup, ["a"], k=10, min_cooc=1).collect()[0]
+    assert (r.term, r.n_cooc, r.pmi) == ("b", 1, round(math.log(1 * 2 / (2 * 1)), 6))
