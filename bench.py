@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "search_spell_suggest",
     "search_autocomplete",
     "search_related_pmi",
+    "search_serve_pipeline",
+    "autocomplete_index_delta",
+    "webgraph_gap_encoding",
 ]
 
 

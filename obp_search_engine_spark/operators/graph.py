@@ -2172,3 +2172,104 @@ def distance_distribution_oracle_sql(
     ORDER BY t
     """
     )
+
+
+def webgraph_gap_encode(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-source gap encoding of adjacency lists with varint size
+    accounting — the storage layout every serious web-graph store uses
+    (Boldi & Vigna, WWW 2004: successor lists sorted and delta-encoded
+    compress the web's locality to ~3 bits/link; this is the gap+varint
+    core of that design, without the bit-level zeta codes). For each
+    source: successors sorted ascending, each stored as its gap from the
+    previous one (first gap = the successor itself), and the byte cost
+    accounted as LEB128-style varints against 8-byte raw ids.
+
+    Exactness: the byte classes are integer CASE thresholds (2^7, 2^14,
+    2^21, 2^28) — no log2, whose FP behavior at power-of-two boundaries
+    is libm-specific — so everything is integer until the final
+    round(6) ratio. The gap sequence rides a lag window partitioned by
+    source (per-source bounded state), and the serialized string
+    aggregates in dst order on both engines.
+
+    100 TB shape: one shuffle on src (the window + the groupBy share
+    it), per-source work linear in out-degree, no corpus-sized state.
+    Reference analogue: the crawler stores raw neighbor lists per node
+    (crawler/db/mysql.go:339-358); this is what those become at
+    10^10-URL scale.
+
+    Output: (src, degree, gaps, raw_bytes, varint_bytes, ratio) — gaps
+    is the comma-joined gap sequence, ratio = varint_bytes/raw_bytes.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    g = e.withColumn(
+        "gap", (F.col("dst") - F.lag("dst", 1, 0).over(w)).cast("long")
+    )
+    vb = (
+        F.when(F.col("gap") < (1 << 7), 1)
+        .when(F.col("gap") < (1 << 14), 2)
+        .when(F.col("gap") < (1 << 21), 3)
+        .when(F.col("gap") < (1 << 28), 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    agg = g.groupBy("src").agg(
+        F.count("*").cast("long").alias("degree"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dst", "gap"))),
+                lambda x: x["gap"].cast("string"),
+            ),
+            ",",
+        ).alias("gaps"),
+        F.sum(vb).cast("long").alias("varint_bytes"),
+    )
+    return agg.select(
+        "src",
+        "degree",
+        "gaps",
+        (F.col("degree") * F.lit(8)).cast("long").alias("raw_bytes"),
+        "varint_bytes",
+        F.round(
+            F.col("varint_bytes").cast("double")
+            / (F.col("degree") * F.lit(8.0)),
+            6,
+        ).alias("ratio"),
+    )
+
+
+def webgraph_gap_encode_oracle_sql(edges_cte: str) -> str:
+    """DuckDB oracle for :func:`webgraph_gap_encode` — the same lag
+    window over distinct sorted successors, the same integer varint
+    CASE, and string_agg in dst order."""
+    return rf"""
+    WITH edges0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM ({edges_cte})
+    ),
+    gaps AS (
+      SELECT src, dst,
+             (dst - lag(dst, 1, 0) OVER (PARTITION BY src ORDER BY dst))
+               ::BIGINT AS gap
+      FROM edges0
+    ),
+    agg AS (
+      SELECT src,
+             COUNT(*)::BIGINT AS degree,
+             string_agg(gap::VARCHAR, ',' ORDER BY dst) AS gaps,
+             SUM(CASE WHEN gap < 128 THEN 1
+                      WHEN gap < 16384 THEN 2
+                      WHEN gap < 2097152 THEN 3
+                      WHEN gap < 268435456 THEN 4
+                      ELSE 5 END)::BIGINT AS varint_bytes
+      FROM gaps GROUP BY src
+    )
+    SELECT src, degree, gaps,
+           (degree * 8)::BIGINT AS raw_bytes,
+           varint_bytes,
+           round(varint_bytes::DOUBLE / (degree * 8.0), 6) AS ratio
+    FROM agg
+    """

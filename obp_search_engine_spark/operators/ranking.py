@@ -1771,6 +1771,120 @@ def spell_suggest_oracle_sql(
     """
 
 
+def autocomplete_vocab(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Raw (term, tf) collection-frequency counts — the stored state the
+    autocomplete index derives from. Kept UNFILTERED (no min_tf) so
+    incremental merges can re-apply the threshold after summing: a term
+    below min_tf in the base may cross it once a delta lands."""
+    return (
+        _term_freqs(docs.filter(F.col(text_col).isNotNull()), text_col, id_col)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+
+
+def _autocomplete_from_vocab(
+    vocab: DataFrame, k: int, min_len: int, max_len: int, min_tf: int
+) -> DataFrame:
+    """(prefix, rank, term, tf) top-k index rows from a (term, tf)
+    vocabulary — the shared builder of :func:`autocomplete_topk` (full
+    build) and :func:`merge_autocomplete_delta` (touched-prefix
+    recompute)."""
+    pruned = vocab.filter(F.col("tf") >= min_tf).filter(
+        F.length("term") >= min_len
+    )
+    pref = pruned.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(min_len), F.least(F.lit(max_len), F.length("term"))
+                ),
+                lambda i: F.substr(F.col("term"), F.lit(1), i),
+            )
+        ).alias("prefix"),
+        "term",
+        "tf",
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        pref.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("prefix", "rank", "term", "tf")
+    )
+
+
+def merge_autocomplete_delta(
+    base_vocab: DataFrame,
+    base_index: DataFrame,
+    delta_docs: DataFrame,
+    k: int = 5,
+    min_len: int = 2,
+    max_len: int = 5,
+    min_tf: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """O(delta) maintenance of the autocomplete index — the S13-style
+    re-crawl path (delete+reinsert per host, crawler/db/mysql.go:359-445)
+    applied to type-ahead, mirroring ``merge_index_delta`` /
+    ``ann_index_delta``: fold a batch of new documents into a stored
+    (``base_vocab``, ``base_index``) pair without rebuilding.
+
+    Correctness theorem (what the oracle grades): a prefix's top-k
+    depends only on the tf of terms UNDER that prefix, so rows for
+    prefixes no delta term touches pass through VERBATIM (broadcast
+    anti-join, no recompute) and only touched prefixes re-rank — over
+    the merged vocabulary, so old terms sharing a touched prefix compete
+    correctly. The result is row-identical to the full rebuild over
+    base + delta, which is exactly what the oracle computes. min_tf
+    re-applies after the merge (a base term can cross the threshold via
+    the delta; the builder re-filters from raw counts).
+
+    100 TB shape: delta vocabulary and its <= 4-per-term prefix set are
+    delta-bounded (broadcast); the recompute explodes only terms whose
+    prefix is touched (semi join before the window); everything else is
+    a pass-through anti-join on the stored index.
+    """
+    delta_vocab = autocomplete_vocab(delta_docs, text_col, id_col)
+    merged = (
+        base_vocab.unionByName(delta_vocab)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    touched = (
+        delta_vocab.filter(F.length("term") >= min_len)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(min_len),
+                        F.least(F.lit(max_len), F.length("term")),
+                    ),
+                    lambda i: F.substr(F.col("term"), F.lit(1), i),
+                )
+            ).alias("prefix")
+        )
+        .distinct()
+    )
+    untouched_rows = base_index.join(
+        F.broadcast(touched), "prefix", "left_anti"
+    )
+    touched_terms = merged.join(
+        F.broadcast(touched),
+        F.substr(F.col("term"), F.lit(1), F.length("prefix"))
+        == F.col("prefix"),
+        "left_semi",
+    )
+    recomputed = _autocomplete_from_vocab(
+        touched_terms, k, min_len, max_len, min_tf
+    ).join(F.broadcast(touched), "prefix", "left_semi")
+    return untouched_rows.unionByName(recomputed)
+
+
 def autocomplete_topk(
     docs: DataFrame,
     k: int = 5,
@@ -1794,32 +1908,8 @@ def autocomplete_topk(
 
     Output: (prefix, rank, term, tf) with rank <= k per prefix.
     """
-    vocab = (
-        _term_freqs(docs.filter(F.col(text_col).isNotNull()), text_col, id_col)
-        .groupBy("term")
-        .agg(F.sum("tf").cast("long").alias("tf"))
-        .filter(F.col("tf") >= min_tf)
-        .filter(F.length("term") >= min_len)
-    )
-    pref = vocab.select(
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(min_len), F.least(F.lit(max_len), F.length("term"))
-                ),
-                lambda i: F.substr(F.col("term"), F.lit(1), i),
-            )
-        ).alias("prefix"),
-        "term",
-        "tf",
-    )
-    w = Window.partitionBy("prefix").orderBy(
-        F.col("tf").desc(), F.col("term").asc()
-    )
-    return (
-        pref.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("prefix", "rank", "term", "tf")
+    return _autocomplete_from_vocab(
+        autocomplete_vocab(docs, text_col, id_col), k, min_len, max_len, min_tf
     )
 
 
@@ -1859,6 +1949,223 @@ def autocomplete_oracle_sql(
       FROM pref
     )
     SELECT prefix, rank, term, tf FROM ranked WHERE rank <= {int(k)}
+    """
+
+
+def serve_search_pipeline(
+    docs: DataFrame,
+    raw_terms: list[str],
+    k: int = 10,
+    window: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed serve-a-search-request pipeline — what actually runs
+    when a user submits a (possibly typo'd) query: (1) each raw term is
+    spell-corrected to its top-1 SymSpell suggestion
+    (:func:`spell_suggest_topk`; terms with no candidate within
+    Levenshtein 1 drop out of the query, exactly like a search box that
+    finds no correction), (2) BM25 top-k runs over the CORRECTED term
+    set, and (3) each hit gets a ±``window``-token snippet around its
+    earliest corrected-term occurrence (:func:`search_snippets`
+    semantics). The reference serves /search/listings from a raw LIKE
+    scan with no corrective or snippet layer (apiserver/index.js:85-102);
+    this is that endpoint built the way a web-scale engine builds it.
+
+    Unlike :func:`bm25_topk`, the query terms here are DATA (the output
+    of stage 1), so the BM25 tf filter is a broadcast semi join against
+    the corrected-terms frame rather than a literal IN — the fully
+    relational form with no driver round-trip between stages. The
+    FP-portable sorted-term fold and round(6) are unchanged, so the
+    composed result still grades exactly.
+
+    100 TB shape: corrected terms <= |raw query| rows (broadcast);
+    vocabulary and df stats are map-side-combined aggregates; snippets
+    are computed ONLY for the k result docs (semi join first, then a
+    k x |terms| broadcast position probe) — never a corpus-wide
+    positional explode.
+
+    Output: (doc_id, score, pos, snippet) ordered score DESC, doc_id
+    ASC — one row per result-page hit.
+    """
+    corrected = (
+        spell_suggest_topk(docs, raw_terms, k=1, text_col=text_col, id_col=id_col)
+        .filter(F.col("rank") == 1)
+        .select("suggestion")
+        .distinct()
+        .select(F.col("suggestion").alias("term"))
+    )
+    corpus = docs.filter(F.col(text_col).isNotNull())
+    stats = corpus.select(
+        F.size(nonempty_tokens_col(F.lower(F.col(text_col)))).alias("_dl")
+    ).agg(F.count("*").alias("n"), F.avg("_dl").alias("avgdl")).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+
+    tf = _term_freqs(corpus, text_col, id_col).join(
+        F.broadcast(corrected), "term", "left_semi"
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    comp = tf.join(F.broadcast(dfreq), "term").select(
+        "_doc",
+        "term",
+        (
+            idf
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
+                )
+            )
+        ).alias("c"),
+    )
+    topk = (
+        _fold_scores(comp, id_col)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
+    hit_toks = corpus.select(F.col(id_col), toks.alias("_t")).join(
+        topk, id_col, "left_semi"
+    )
+    pos = (
+        hit_toks.crossJoin(F.broadcast(corrected))
+        .select(
+            id_col,
+            F.expr("array_position(_t, term)").alias("_p"),
+        )
+        .filter(F.col("_p") > 0)
+        .groupBy(id_col)
+        .agg(F.min("_p").cast("long").alias("pos"))
+    )
+    start = F.greatest(F.lit(1), F.col("pos") - F.lit(int(window)))
+    length = F.col("pos") + F.lit(int(window)) - start + F.lit(1)
+    return (
+        topk.join(pos, id_col)
+        .join(hit_toks, id_col)
+        .select(
+            id_col,
+            "score",
+            "pos",
+            F.array_join(
+                F.slice("_t", start.cast("int"), length.cast("int")), " "
+            ).alias("snippet"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )
+
+
+def serve_search_oracle_sql(
+    raw_terms: list[str],
+    k: int = 10,
+    window: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`serve_search_pipeline` — nests the spell
+    stage (deletion-neighborhood join + levenshtein verify, rank 1), the
+    BM25 stage with terms drawn from the corrected relation, and the
+    clamped snippet-window stage, all over one shared corpus CTE."""
+    terms = sorted(set(t.lower() for t in raw_terms))
+    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    w = int(window)
+    return rf"""
+    WITH corpus AS MATERIALIZED (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    vocab AS (
+      SELECT term, COUNT(*)::BIGINT AS vtf
+      FROM (SELECT unnest(t) AS term FROM corpus) GROUP BY term
+    ),
+    vkeys AS (
+      SELECT term, vtf,
+             unnest(list_distinct(list_prepend(term,
+               list_transform(range(1, length(term) + 1),
+                 i -> substr(term, 1, i - 1) || substr(term, i + 1)))))
+               AS key
+      FROM vocab
+    ),
+    q(qterm) AS (VALUES {terms_sql}),
+    qkeys AS (
+      SELECT qterm,
+             unnest(list_distinct(list_prepend(qterm,
+               list_transform(range(1, length(qterm) + 1),
+                 i -> substr(qterm, 1, i - 1) || substr(qterm, i + 1)))))
+               AS key
+      FROM q
+    ),
+    cand AS (
+      SELECT DISTINCT qk.qterm, v.term, v.vtf
+      FROM vkeys v JOIN qkeys qk USING (key)
+    ),
+    spell_ranked AS (
+      SELECT qterm, term,
+             row_number() OVER (PARTITION BY qterm
+               ORDER BY levenshtein(qterm, term) ASC, vtf DESC, term ASC)
+               AS rank
+      FROM cand WHERE levenshtein(qterm, term) <= 1
+    ),
+    corrected AS (
+      SELECT DISTINCT term FROM spell_ranked WHERE rank = 1
+    ),
+    stats AS (
+      SELECT COUNT(*)::DOUBLE AS n, AVG(len(t))::DOUBLE AS avgdl FROM corpus
+    ),
+    tf AS (
+      SELECT doc, len(t)::BIGINT AS dl, unnest(t) AS term FROM corpus
+    ),
+    tfa AS (
+      SELECT doc, dl, term, COUNT(*)::BIGINT AS tf FROM tf
+      WHERE term IN (SELECT term FROM corrected)
+      GROUP BY doc, dl, term
+    ),
+    dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tfa GROUP BY term),
+    comp AS (
+      SELECT a.doc, a.term,
+             ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (a.tf * {k1 + 1.0!r})
+               / (a.tf + {k1!r} * ({1.0 - b!r} + {b!r} * a.dl::DOUBLE / s.avgdl))
+               AS c
+      FROM tfa a JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc,
+             round(list_reduce(list(c ORDER BY term), (x, y) -> x + y), 6)
+               AS score
+      FROM comp GROUP BY doc
+    ),
+    topk AS (
+      SELECT doc, score FROM scored ORDER BY score DESC, doc ASC LIMIT {int(k)}
+    ),
+    hits AS (
+      SELECT tk.doc, tk.score, c.t FROM topk tk JOIN corpus c USING (doc)
+    ),
+    pos AS (
+      SELECT h.doc, MIN(list_position(h.t, ct.term))::BIGINT AS pos
+      FROM hits h CROSS JOIN corrected ct
+      WHERE list_position(h.t, ct.term) > 0
+      GROUP BY h.doc
+    )
+    SELECT h.doc AS {id_col}, h.score, p.pos,
+           array_to_string(
+             h.t[greatest(1, p.pos - {w}):(p.pos + {w})], ' ') AS snippet
+    FROM hits h JOIN pos p USING (doc)
     """
 
 

@@ -4340,3 +4340,73 @@ def q_search_related_pmi(spark, sf_dir):
     return ranking.related_terms_pmi(
         _t(spark, sf_dir, "documents"), ["hash", "spark"], k=10, min_cooc=25
     )
+
+
+_SERVE_RAW_TERMS = ["hsh", "sparc", "jion"]
+
+
+@register(
+    "search_serve_pipeline",
+    ranking.serve_search_oracle_sql(_SERVE_RAW_TERMS, k=10, window=5),
+    "The composed serve-a-search-request pipeline over a typo'd query "
+    "('hsh', 'sparc', 'jion'): SymSpell top-1 correction per term "
+    "(terms with no Levenshtein-1 candidate drop out, like 'jion'), "
+    "BM25 top-10 over the CORRECTED term set with the tf filter as a "
+    "broadcast semi join against the corrected-terms relation (terms "
+    "are data, not literals — no driver round-trip between stages), "
+    "then clamped +-5-token snippets computed only for the 10 result "
+    "docs. The oracle nests all three stage oracles over one shared "
+    "corpus CTE; the FP-portable sorted-term fold keeps the composed "
+    "result exact",
+)
+def q_search_serve_pipeline(spark, sf_dir):
+    return ranking.serve_search_pipeline(
+        _t(spark, sf_dir, "documents"), _SERVE_RAW_TERMS, k=10, window=5
+    )
+
+
+@register(
+    "autocomplete_index_delta",
+    ranking.autocomplete_oracle_sql(k=5, min_len=2, max_len=5, min_tf=2),
+    "O(delta) autocomplete-index maintenance, completing the delta "
+    "family (index_delta_merge / ann_index_delta / neardup_incremental): "
+    "fold a ~25% document batch into a stored (vocab, index) pair — "
+    "rows for prefixes no delta term touches pass through VERBATIM via "
+    "a broadcast anti-join, only touched prefixes re-rank over the "
+    "merged vocabulary (min_tf re-applied post-merge so base terms can "
+    "cross the threshold). Graded as a theorem: the merged index is "
+    "row-identical to the full rebuild over base + delta, which is what "
+    "the oracle computes",
+)
+def q_autocomplete_index_delta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    in_delta = dedup.md5_32_col(F.col("doc_id").cast("string")) % 4 == 0
+    base_docs, delta_docs = d.filter(~in_delta), d.filter(in_delta)
+    # in production vocab + index are stored tables read by the merge;
+    # materialize the synthetic base pair so the graded plan has the
+    # stored-state shape instead of re-deriving the base per consumer
+    base_vocab = ranking.autocomplete_vocab(base_docs).localCheckpoint(
+        eager=False
+    )
+    base_index = ranking._autocomplete_from_vocab(
+        base_vocab, k=5, min_len=2, max_len=5, min_tf=2
+    ).localCheckpoint(eager=False)
+    return ranking.merge_autocomplete_delta(
+        base_vocab, base_index, delta_docs, k=5, min_len=2, max_len=5, min_tf=2
+    )
+
+
+@register(
+    "webgraph_gap_encoding",
+    graph.webgraph_gap_encode_oracle_sql(_PAGERANK_EDGES_CTE),
+    "Boldi-Vigna-style adjacency storage over the md5-derived link "
+    "graph: per source, successors sorted and delta-encoded (lag window "
+    "partitioned by src), byte cost accounted as LEB128 varints vs "
+    "8-byte raw ids via integer CASE thresholds (no log2 — libm-safe). "
+    "One shuffle on src shared by the window and the groupBy; integer "
+    "everything until the final round(6) compression ratio — the "
+    "10^10-URL answer to the reference's raw neighbor-list storage "
+    "(crawler/db/mysql.go:339-358)",
+)
+def q_webgraph_gap_encoding(spark, sf_dir):
+    return graph.webgraph_gap_encode(_pagerank_edges(spark, sf_dir))

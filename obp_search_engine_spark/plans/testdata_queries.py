@@ -134,6 +134,9 @@ GRADE_PRIORITY: list[str] = [
     "search_spell_suggest",
     "search_autocomplete",
     "search_related_pmi",
+    "search_serve_pipeline",
+    "autocomplete_index_delta",
+    "webgraph_gap_encoding",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",

@@ -434,3 +434,28 @@ def test_opic_mass_conservation_bound(spark):
     # truncating div leaks at most (deg+1) units per node per round plus
     # the virtual remainder; total cash stays within scale and positive
     assert 0 < total_cash <= DEFAULT_SCALE
+
+
+def test_webgraph_gap_encode_hand_computed(spark):
+    from obp_search_engine_spark.operators.graph import webgraph_gap_encode
+
+    # src 1: sorted dsts [5, 7, 130] -> gaps [5, 2, 123], all 1-byte
+    # varints; duplicate edge (1, 7) must collapse first
+    edges = spark.createDataFrame(
+        [(1, 130), (1, 5), (1, 7), (1, 7), (2, 20000), (2, 3)],
+        "src long, dst long",
+    )
+    rows = {r.src: r for r in webgraph_gap_encode(edges).collect()}
+    r1 = rows[1]
+    assert (r1.degree, r1.gaps, r1.raw_bytes, r1.varint_bytes, r1.ratio) == (
+        3, "5,2,123", 24, 3, 0.125
+    )
+    # src 2: gaps [3, 19997]; 19997 needs a 2^14..2^21 (3-byte) varint
+    r2 = rows[2]
+    assert (r2.degree, r2.gaps, r2.varint_bytes, r2.ratio) == (
+        2, "3,19997", 4, 0.25
+    )
+    # partitioning invariance: the per-src window makes layout irrelevant
+    a = sorted(map(tuple, webgraph_gap_encode(edges.repartition(1)).collect()))
+    b = sorted(map(tuple, webgraph_gap_encode(edges.repartition(7)).collect()))
+    assert a == b

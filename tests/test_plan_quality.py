@@ -283,3 +283,46 @@ def test_round5_ccnet_histogram_not_global_row_window(spark):
     p = plan_of(REGISTRY["ccnet_pipeline"].fn(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "EvalPython" not in p
+
+
+def test_round5_spell_suggest_broadcast_candidates_no_python(spark):
+    """SymSpell candidate generation must be a broadcast equi-join on the
+    delete key (the query side is tiny) — never a cartesian against the
+    vocabulary — and stay JVM-side; the top-k rides a rank-pushdown
+    WindowGroupLimit, not a global sort."""
+    p = plan_of(REGISTRY["search_spell_suggest"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_round5_serve_pipeline_no_cartesian_no_python(spark):
+    """The composed serve path: corrected terms are data (semi join), the
+    only nested-loop is the bounded k x |terms| snippet probe, and no
+    stage falls back to Python."""
+    p = plan_of(REGISTRY["search_serve_pipeline"].fn(spark, SF))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the BM25 tf filter arrives as a broadcast (semi) join on term
+    assert "BroadcastHashJoin" in p
+
+
+def test_round5_autocomplete_delta_passthrough_is_broadcast_anti(spark):
+    """Untouched index rows must pass through a broadcast anti-join on
+    the (delta-bounded) touched-prefix set; no sort-merge join."""
+    p = plan_of(REGISTRY["autocomplete_index_delta"].fn(spark, SF))
+    anti = [ln for ln in p.splitlines() if "LeftAnti" in ln]
+    assert anti and all("BroadcastHashJoin" in ln for ln in anti), anti
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_round5_gap_encoding_single_shuffle_family(spark):
+    """Gap encoding: the lag window and the per-src groupBy share the
+    src-hash shuffle; everything stays JVM-side integer expressions."""
+    p = plan_of(REGISTRY["webgraph_gap_encoding"].fn(spark, SF))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # window partitioned by src — never the WindowExec-on-one-partition trap
+    assert "Window" in p

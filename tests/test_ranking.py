@@ -636,3 +636,79 @@ def test_related_terms_pmi_hand_computed(spark):
     dup = _docs(spark, ["a b b b", "a"])
     r = related_terms_pmi(dup, ["a"], k=10, min_cooc=1).collect()[0]
     assert (r.term, r.n_cooc, r.pmi) == ("b", 1, round(math.log(1 * 2 / (2 * 1)), 6))
+
+
+def test_serve_search_pipeline_composition(spark):
+    from obp_search_engine_spark.operators.ranking import (
+        bm25_topk,
+        serve_search_pipeline,
+    )
+
+    docs = _docs(
+        spark,
+        ["hash join hash", "join scan", "sort merge sort merge", "scan scan"],
+    )
+    # 'hsh' -> hash, 'scann' -> scan; 'jion' is Levenshtein 2 from join
+    # (transposition) so it drops out of the corrected query entirely
+    out = serve_search_pipeline(
+        docs, ["hsh", "scann", "jion"], k=10, window=1
+    ).collect()
+    got = {r.doc_id: (r.score, r.pos, r.snippet) for r in out}
+    # scores must equal BM25 over the corrected literal terms
+    expected = {
+        r.doc_id: r.score for r in bm25_topk(docs, ["hash", "scan"], k=10).collect()
+    }
+    assert {d: s for d, (s, _, _) in got.items()} == expected
+    # snippets: earliest corrected-term hit, +-1 token, clamped at edges
+    assert got[0][1:] == (1, "hash join")       # pos 1 clamps left
+    assert got[1][1:] == (2, "join scan")       # scan at pos 2, end clamp
+    assert got[3][1:] == (1, "scan scan")
+    assert 2 not in got                          # no corrected term
+    # result-page order: score DESC, doc_id ASC
+    assert [r.doc_id for r in out] == sorted(
+        got, key=lambda d: (-got[d][0], d)
+    )
+    # all raw terms uncorrectable -> empty result page
+    assert serve_search_pipeline(docs, ["zzzzzz"], k=10).count() == 0
+
+
+def test_autocomplete_delta_merge_equals_rebuild(spark):
+    import random
+    from obp_search_engine_spark.operators.ranking import (
+        autocomplete_topk,
+        autocomplete_vocab,
+        merge_autocomplete_delta,
+        _autocomplete_from_vocab,
+    )
+
+    rng = random.Random(17)
+    rows = _rand_docs(rng, n=60)
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    drows = _rand_docs(random.Random(91), n=20)
+    delta = spark.createDataFrame(
+        [(1000 + i, t) for i, t in drows], "doc_id long, text string"
+    )
+    kw = dict(k=3, min_len=2, max_len=4, min_tf=2)
+    base_vocab = autocomplete_vocab(base)
+    base_index = _autocomplete_from_vocab(base_vocab, **kw)
+    merged = merge_autocomplete_delta(base_vocab, base_index, delta, **kw)
+    rebuilt = autocomplete_topk(base.unionByName(delta), **kw)
+    key = lambda r: (r.prefix, r.rank)
+    assert sorted(map(tuple, merged.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, rebuilt.collect()), key=lambda t: t[:2]
+    )
+    # threshold crossing: a base hapax term crosses min_tf via the delta
+    b2 = _docs(spark, ["zebra"])          # tf 1 -> pruned from base index
+    d2 = _docs(spark, ["zebra zebra"])    # merged tf 3 -> must appear
+    v2 = autocomplete_vocab(b2)
+    i2 = _autocomplete_from_vocab(v2, **kw)
+    assert i2.count() == 0
+    m2 = merge_autocomplete_delta(v2, i2, d2, **kw)
+    got = {(r.prefix, r.term, r.tf) for r in m2.collect()}
+    assert got == {("ze", "zebra", 3), ("zeb", "zebra", 3), ("zebr", "zebra", 3)}
+    # untouched prefixes pass through verbatim (no delta vocabulary at all)
+    empty_delta = spark.createDataFrame([], "doc_id long, text string")
+    passthru = merge_autocomplete_delta(base_vocab, base_index, empty_delta, **kw)
+    assert sorted(map(tuple, passthru.collect())) == sorted(
+        map(tuple, base_index.collect())
+    )
