@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "search_serve_pipeline",
     "autocomplete_index_delta",
     "webgraph_gap_encoding",
+    "shard_selection_cori",
 ]
 
 

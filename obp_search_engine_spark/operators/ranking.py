@@ -1952,6 +1952,152 @@ def autocomplete_oracle_sql(
     """
 
 
+def shard_selection_cori(
+    docs: DataFrame,
+    query_terms: list[str],
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CORI collection selection (Callan, Lu & Croft, SIGIR 1995) — the
+    query-routing layer of a sharded search deployment: rank index
+    shards by how likely they are to hold relevant documents, so a
+    query fans out to the top few shards instead of all of them. Per
+    shard s and query term t:
+
+        T = df_{s,t} / (df_{s,t} + 50 + 150 · cw_s / avg_cw)
+        I = ln((|S| + 0.5) / cf_t) / ln(|S| + 1)
+        belief(t, s) = 0.4 + 0.6 · T · I
+
+    with df the shard document frequency, cw_s the shard token count,
+    cf_t the number of shards containing t; score(s) = mean belief over
+    the query terms present anywhere (cf_t = 0 terms drop — I is
+    undefined for them on both engines). Shard membership is the
+    md5_32(doc_id) % n_shards portable bucketing, so the oracle grades
+    exactly; the belief mean folds in sorted-term order (same
+    FP-portability rule as BM25).
+
+    100 TB shape: everything reduces to per-shard integers (token sums,
+    distinct-doc term counts) with map-side combine; the final
+    |S| x |q| belief frame is tiny. This is precisely the statistics
+    table a broker holds — the corpus is touched once to build it.
+
+    Output: (shard, n_terms, score) ordered score DESC, shard ASC.
+    """
+    from .dedup import md5_32_col
+
+    terms = sorted(set(t.lower() for t in query_terms))
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        (md5_32_col(F.col(id_col).cast("string")) % n_shards)
+        .cast("int")
+        .alias("shard"),
+        toks.alias("_t"),
+    )
+    cw = base.groupBy("shard").agg(
+        F.sum(F.size("_t")).cast("long").alias("cw")
+    )
+    stats = cw.agg(
+        F.avg("cw").alias("avg_cw"), F.count("*").cast("long").alias("n_s")
+    )
+    dfreq = (
+        base.select("shard", F.explode(F.array_distinct("_t")).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("shard", "term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    cf = dfreq.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    qt = cf  # only terms with cf > 0 participate, identically on both sides
+    grid = cw.crossJoin(F.broadcast(qt)).join(
+        dfreq, ["shard", "term"], "left"
+    )
+    belief = grid.crossJoin(F.broadcast(stats)).select(
+        "shard",
+        "term",
+        (
+            F.lit(0.4)
+            + F.lit(0.6)
+            * (
+                F.coalesce("df", F.lit(0)).cast("double")
+                / (
+                    F.coalesce("df", F.lit(0)).cast("double")
+                    + F.lit(50.0)
+                    + F.lit(150.0) * F.col("cw").cast("double") / F.col("avg_cw")
+                )
+            )
+            * (
+                F.log((F.col("n_s").cast("double") + F.lit(0.5)) / F.col("cf"))
+                / F.log(F.col("n_s").cast("double") + F.lit(1.0))
+            )
+        ).alias("b"),
+    )
+    folded = belief.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "b"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["b"],
+        ).alias("_sum"),
+    )
+    return folded.select(
+        "shard",
+        "n_terms",
+        F.round(F.col("_sum") / F.col("n_terms"), 6).alias("score"),
+    ).orderBy(F.col("score").desc(), F.col("shard").asc())
+
+
+def cori_oracle_sql(
+    query_terms: list[str],
+    n_shards: int = 8,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`shard_selection_cori` — identical md5
+    bucketing, integer statistics, and sorted-term belief fold."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+    WITH corpus AS (
+      SELECT (('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::BIGINT
+                % {int(n_shards)})::INT AS shard,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    cw AS (SELECT shard, SUM(len(t))::BIGINT AS cw FROM corpus GROUP BY shard),
+    stats AS (
+      SELECT AVG(cw)::DOUBLE AS avg_cw, COUNT(*)::BIGINT AS n_s FROM cw
+    ),
+    dfreq AS (
+      SELECT shard, term, COUNT(*)::BIGINT AS df
+      FROM (SELECT shard, unnest(list_distinct(t)) AS term FROM corpus)
+      WHERE term IN ({terms_sql})
+      GROUP BY shard, term
+    ),
+    cf AS (SELECT term, COUNT(*)::BIGINT AS cf FROM dfreq GROUP BY term),
+    grid AS (
+      SELECT c.shard, c.cw, q.term, q.cf, COALESCE(d.df, 0)::BIGINT AS df
+      FROM cw c CROSS JOIN cf q
+      LEFT JOIN dfreq d ON d.shard = c.shard AND d.term = q.term
+    ),
+    belief AS (
+      SELECT g.shard, g.term,
+             0.4 + 0.6
+               * (g.df::DOUBLE
+                  / (g.df::DOUBLE + 50.0 + 150.0 * g.cw::DOUBLE / s.avg_cw))
+               * (ln((s.n_s::DOUBLE + 0.5) / g.cf) / ln(s.n_s::DOUBLE + 1.0))
+               AS b
+      FROM grid g CROSS JOIN stats s
+    )
+    SELECT shard, COUNT(*)::BIGINT AS n_terms,
+           round(list_reduce(list(b ORDER BY term), (x, y) -> x + y)
+                 / COUNT(*), 6) AS score
+    FROM belief GROUP BY shard
+    ORDER BY score DESC, shard ASC
+    """
+
+
 def serve_search_pipeline(
     docs: DataFrame,
     raw_terms: list[str],

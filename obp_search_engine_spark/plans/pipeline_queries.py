@@ -4410,3 +4410,21 @@ def q_autocomplete_index_delta(spark, sf_dir):
 )
 def q_webgraph_gap_encoding(spark, sf_dir):
     return graph.webgraph_gap_encode(_pagerank_edges(spark, sf_dir))
+
+
+@register(
+    "shard_selection_cori",
+    ranking.cori_oracle_sql(_BM25_TERMS, n_shards=8),
+    "CORI collection selection (Callan et al. SIGIR 1995): rank the 8 "
+    "md5-bucketed index shards for the query ('hash','join','spark') by "
+    "mean belief 0.4 + 0.6*T*I over the query terms — the broker-side "
+    "routing table that lets a sharded deployment fan a query to the "
+    "top shards instead of all of them. Shard stats are map-side "
+    "combined integers (token sums, distinct-doc term counts); the "
+    "belief mean folds in sorted-term order like BM25, so the FP result "
+    "grades exactly",
+)
+def q_shard_selection_cori(spark, sf_dir):
+    return ranking.shard_selection_cori(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, n_shards=8
+    )

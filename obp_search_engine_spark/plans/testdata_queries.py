@@ -137,6 +137,7 @@ GRADE_PRIORITY: list[str] = [
     "search_serve_pipeline",
     "autocomplete_index_delta",
     "webgraph_gap_encoding",
+    "shard_selection_cori",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",

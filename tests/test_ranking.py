@@ -712,3 +712,32 @@ def test_autocomplete_delta_merge_equals_rebuild(spark):
     assert sorted(map(tuple, passthru.collect())) == sorted(
         map(tuple, base_index.collect())
     )
+
+
+def test_cori_shard_selection_hand_computed(spark):
+    import math
+    from obp_search_engine_spark.operators.ranking import shard_selection_cori
+
+    # force both docs into known shards by picking n_shards=1 first:
+    # a single shard must score the closed-form belief mean
+    docs = _docs(spark, ["hash hash join", "scan sort"])
+    r = shard_selection_cori(docs, ["hash", "scan"], n_shards=1).collect()
+    assert len(r) == 1 and r[0].n_terms == 2
+    # |S|=1: I = ln(1.5/1)/ln(2); cw=5, avg_cw=5 -> T = df/(df+200)
+    i_term = math.log(1.5) / math.log(2.0)
+    belief = lambda df: 0.4 + 0.6 * (df / (df + 200.0)) * i_term
+    assert r[0].score == round((belief(1) + belief(1)) / 2, 6)
+    # a term absent from every shard drops entirely (cf = 0)
+    r2 = shard_selection_cori(docs, ["hash", "zzz"], n_shards=1).collect()
+    assert r2[0].n_terms == 1 and r2[0].score == round(belief(1), 6)
+    # multi-shard: scores order shards by query-term affinity — the
+    # shard(s) holding 'hash' must outrank hash-free shards
+    many = _docs(spark, ["hash join"] * 4 + ["scan sort"] * 4)
+    rows = shard_selection_cori(many, ["hash"], n_shards=4).collect()
+    assert len(rows) >= 2
+    # every returned score is a valid CORI belief mean in (0.4-eps, 1)
+    assert all(0.0 <= row.score <= 1.0 for row in rows)
+    # ordering contract: score DESC then shard ASC
+    assert [ (row.score, row.shard) for row in rows ] == sorted(
+        [(row.score, row.shard) for row in rows], key=lambda t: (-t[0], t[1])
+    )
