@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "autocomplete_index_delta",
     "webgraph_gap_encoding",
     "shard_selection_cori",
+    "search_query_likelihood",
+    "search_rm3_expansion",
 ]
 
 

@@ -2577,3 +2577,275 @@ def map_oracle_sql(run_cte: str, qrels_cte: str, k: int = 10,
     LEFT JOIN ap_num a USING (query)
     LEFT JOIN totals t USING (query)
     """
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty, SIGIR
+    2001) — the language-modeling counterpart to :func:`bm25_topk`,
+    completing the two classic probabilistic ranking families:
+
+        score(d) = Σ_t ln( (tf_{t,d} + μ·cf_t/|C|) / (dl_d + μ) )
+
+    over the deduplicated query terms, where cf_t is the term's
+    collection frequency and |C| the collection token count. Candidates
+    are docs containing at least one query term (smoothing gives every
+    doc a finite score, but no zero-overlap doc can outrank a candidate
+    on the shared smoothed mass alone when scores are restricted this
+    way — the standard DAAT candidate rule, mirrored by the oracle).
+    Query terms absent from the whole collection (cf = 0) drop on both
+    engines: their ln(0) is −∞ for every doc equally.
+
+    100 TB shape: identical to BM25 — the exploded token stream filters
+    to the query's terms BEFORE its one (doc, term) shuffle, cf is a
+    handful of broadcast rows, and the smoothed grid is |candidates| ×
+    |terms|. FP portability: per-(doc,term) components fold in
+    sorted-term order exactly like BM25 (module docstring).
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    corpus = docs.filter(F.col(text_col).isNotNull())
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
+    c_total = corpus.select(F.sum(F.size(toks)).alias("s")).first()["s"]
+    if not c_total:
+        raise ValueError("query_likelihood_topk: empty collection")
+    c_total = float(c_total)
+
+    tf = _term_freqs(corpus, text_col, id_col).filter(F.col("term").isin(terms))
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    cand = tf.select("_doc", "_dl").distinct()
+    grid = cand.crossJoin(F.broadcast(cf)).join(
+        tf.select("_doc", "term", "tf"), ["_doc", "term"], "left"
+    )
+    comp = grid.select(
+        "_doc",
+        "term",
+        F.log(
+            (
+                F.coalesce("tf", F.lit(0)).cast("double")
+                + F.lit(mu) * F.col("cf") / F.lit(c_total)
+            )
+            / (F.col("_dl").cast("double") + F.lit(mu))
+        ).alias("c"),
+    )
+    scored = _fold_scores(comp, id_col)
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def query_likelihood_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`query_likelihood_topk` — same candidate
+    rule, same (μ·cf/|C|) operation order, same sorted-term fold."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    ctotal AS (SELECT SUM(len(t))::DOUBLE AS c FROM corpus),
+    tf AS (
+      SELECT doc, len(t)::BIGINT AS dl, unnest(t) AS term FROM corpus
+    ),
+    tfa AS (
+      SELECT doc, dl, term, COUNT(*)::BIGINT AS tf FROM tf
+      WHERE term IN ({terms_sql})
+      GROUP BY doc, dl, term
+    ),
+    cf AS (SELECT term, SUM(tf)::DOUBLE AS cf FROM tfa GROUP BY term),
+    cand AS (SELECT DISTINCT doc, dl FROM tfa),
+    grid AS (
+      SELECT c.doc, c.dl, f.term, f.cf, COALESCE(a.tf, 0)::BIGINT AS tf
+      FROM cand c CROSS JOIN cf f
+      LEFT JOIN tfa a ON a.doc = c.doc AND a.term = f.term
+    ),
+    comp AS (
+      SELECT g.doc, g.term,
+             ln((g.tf::DOUBLE + {mu!r} * g.cf / s.c)
+                / (g.dl::DOUBLE + {mu!r})) AS c
+      FROM grid g CROSS JOIN ctotal s
+    ),
+    scored AS (
+      SELECT doc AS {id_col},
+             round(list_reduce(list(c ORDER BY term), (x, y) -> x + y), 6)
+               AS score
+      FROM comp GROUP BY doc
+    )
+    SELECT {id_col}, score FROM scored
+    ORDER BY score DESC, {id_col} ASC LIMIT {int(k)}
+    """
+
+
+def rm3_expansion_terms(
+    docs: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    alpha: float = 0.6,
+    mu: float = 2000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft,
+    SIGIR 2001; the RM3 interpolation of Abdul-Jaleel et al., TREC 2004)
+    with uniform feedback-document weights — the deterministic RM variant
+    (doc weights 1/|F| instead of the query-likelihood softmax, which
+    would put platform-dependent exp() in the grading path):
+
+    1. feedback set F = :func:`query_likelihood_topk` top ``fb_docs``;
+    2. relevance model  P(w|R) = (1/|F|) Σ_{d∈F} tf_{w,d} / dl_d;
+    3. interpolation    P'(w) = (1−α)·P(w|q) + α·P(w|R)
+       with P(w|q) = qtf_w / |q| over the raw query list;
+    4. output the top ``fb_terms`` of P' — (term, weight) ordered
+       weight DESC, term ASC.
+
+    100 TB shape: stage 1 is the QL ranking (bounded above); stage 2
+    touches only |F| documents' token streams (a semi-join on the
+    broadcast feedback ids); the vocabulary frame is |F| docs' distinct
+    terms — thousands of rows, not the corpus. The |F|-row collect is
+    bounded by fb_docs by construction. FP portability: the per-term
+    Σ tf/dl folds in sorted-doc order; the final interpolation is one
+    fixed-shape expression; both round(6).
+    """
+    raw = [t.lower() for t in query_terms]
+    fb = query_likelihood_topk(
+        docs, raw, k=fb_docs, mu=mu, text_col=text_col, id_col=id_col
+    )
+    fb_ids = [r[0] for r in fb.select(id_col).collect()]
+    spark = docs.sparkSession
+    if not fb_ids:
+        return spark.createDataFrame([], "term string, weight double")
+    n_f = float(len(fb_ids))
+
+    corpus = docs.filter(F.col(text_col).isNotNull())
+    ftf = _term_freqs(corpus, text_col, id_col).filter(
+        F.col("_doc").isin(fb_ids)
+    )
+    rm = (
+        ftf.select(
+            "term",
+            "_doc",
+            (F.col("tf").cast("double") / F.col("_dl").cast("double")).alias("w"),
+        )
+        .groupBy("term")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_doc", "w"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["w"],
+            ).alias("_s")
+        )
+        .select("term", (F.col("_s") / F.lit(n_f)).alias("p_rm"))
+    )
+    ql = len(raw)
+    qp = spark.createDataFrame(
+        [(t, raw.count(t) / ql) for t in sorted(set(raw))],
+        "term string, p_q double",
+    )
+    merged = rm.join(qp, "term", "full_outer").select(
+        "term",
+        F.round(
+            F.lit(1.0 - alpha) * F.coalesce("p_q", F.lit(0.0))
+            + F.lit(alpha) * F.coalesce("p_rm", F.lit(0.0)),
+            6,
+        ).alias("weight"),
+    )
+    return merged.orderBy(F.col("weight").desc(), F.col("term").asc()).limit(
+        fb_terms
+    )
+
+
+def rm3_oracle_sql(
+    query_terms: list[str],
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    alpha: float = 0.6,
+    mu: float = 2000.0,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`rm3_expansion_terms` — nests the full
+    query-likelihood oracle for the feedback set, then reproduces the
+    uniform-weight relevance model and the RM3 interpolation with the
+    identical fold orders and Python-computed double literals."""
+    raw = [t.lower() for t in query_terms]
+    terms = sorted(set(raw))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    ql = len(raw)
+    qp_rows = ", ".join(
+        f"('{t}', {raw.count(t) / ql!r})" for t in sorted(set(raw))
+    )
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    ctotal AS (SELECT SUM(len(t))::DOUBLE AS c FROM corpus),
+    tf AS (
+      SELECT doc, len(t)::BIGINT AS dl, unnest(t) AS term FROM corpus
+    ),
+    tfa AS (
+      SELECT doc, dl, term, COUNT(*)::BIGINT AS tf FROM tf
+      WHERE term IN ({terms_sql})
+      GROUP BY doc, dl, term
+    ),
+    cf AS (SELECT term, SUM(tf)::DOUBLE AS cf FROM tfa GROUP BY term),
+    cand AS (SELECT DISTINCT doc, dl FROM tfa),
+    grid AS (
+      SELECT c.doc, c.dl, f.term, f.cf, COALESCE(a.tf, 0)::BIGINT AS tf
+      FROM cand c CROSS JOIN cf f
+      LEFT JOIN tfa a ON a.doc = c.doc AND a.term = f.term
+    ),
+    comp AS (
+      SELECT g.doc, g.term,
+             ln((g.tf::DOUBLE + {mu!r} * g.cf / s.c)
+                / (g.dl::DOUBLE + {mu!r})) AS c
+      FROM grid g CROSS JOIN ctotal s
+    ),
+    scored AS (
+      SELECT doc,
+             round(list_reduce(list(c ORDER BY term), (x, y) -> x + y), 6)
+               AS score
+      FROM comp GROUP BY doc
+    ),
+    fb AS (
+      SELECT doc FROM scored ORDER BY score DESC, doc ASC LIMIT {int(fb_docs)}
+    ),
+    nf AS (SELECT COUNT(*)::DOUBLE AS n FROM fb),
+    ftfa AS (
+      SELECT doc, dl, term, COUNT(*)::BIGINT AS tf FROM tf
+      WHERE doc IN (SELECT doc FROM fb)
+      GROUP BY doc, dl, term
+    ),
+    rm AS (
+      SELECT term,
+             list_reduce(list(tf::DOUBLE / dl::DOUBLE ORDER BY doc),
+                         (x, y) -> x + y) / (SELECT n FROM nf) AS p_rm
+      FROM ftfa GROUP BY term
+    ),
+    qp AS (SELECT * FROM (VALUES {qp_rows}) AS v(term, p_q)),
+    merged AS (
+      SELECT COALESCE(r.term, q.term) AS term,
+             round({1.0 - alpha!r} * COALESCE(q.p_q, 0.0)
+                   + {alpha!r} * COALESCE(r.p_rm, 0.0), 6) AS weight
+      FROM rm r FULL OUTER JOIN qp q ON r.term = q.term
+    )
+    SELECT term, weight FROM merged
+    ORDER BY weight DESC, term ASC LIMIT {int(fb_terms)}
+    """

@@ -4428,3 +4428,34 @@ def q_shard_selection_cori(spark, sf_dir):
     return ranking.shard_selection_cori(
         _t(spark, sf_dir, "documents"), _BM25_TERMS, n_shards=8
     )
+
+
+@register(
+    "search_query_likelihood",
+    ranking.query_likelihood_oracle_sql(_BM25_TERMS, k=10, mu=2000.0),
+    "Dirichlet-smoothed query-likelihood top-10 (Zhai & Lafferty SIGIR "
+    "2001) for ('hash','join','spark') with mu=2000 — the language-"
+    "modeling counterpart to search_bm25_topk, same candidate rule and "
+    "sorted-term FP fold; cf rides a broadcast handful of rows and the "
+    "exploded stream filters to the query terms before its one shuffle",
+)
+def q_search_query_likelihood(spark, sf_dir):
+    return ranking.query_likelihood_topk(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k=10, mu=2000.0
+    )
+
+
+@register(
+    "search_rm3_expansion",
+    ranking.rm3_oracle_sql(_BM25_TERMS, fb_docs=5, fb_terms=10, alpha=0.6),
+    "RM3 pseudo-relevance-feedback expansion (Lavrenko & Croft SIGIR "
+    "2001; Abdul-Jaleel et al. TREC 2004) with uniform feedback weights: "
+    "QL top-5 feedback docs -> relevance model P(w|R) -> (1-a)q + a*RM "
+    "interpolation, top-10 expansion terms. The oracle nests the full QL "
+    "oracle; only |F| docs' token streams are touched after stage 1",
+)
+def q_search_rm3_expansion(spark, sf_dir):
+    return ranking.rm3_expansion_terms(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, fb_docs=5, fb_terms=10,
+        alpha=0.6,
+    )

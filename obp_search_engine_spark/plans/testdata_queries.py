@@ -138,6 +138,8 @@ GRADE_PRIORITY: list[str] = [
     "autocomplete_index_delta",
     "webgraph_gap_encoding",
     "shard_selection_cori",
+    "search_query_likelihood",
+    "search_rm3_expansion",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",

@@ -741,3 +741,58 @@ def test_cori_shard_selection_hand_computed(spark):
     assert [ (row.score, row.shard) for row in rows ] == sorted(
         [(row.score, row.shard) for row in rows], key=lambda t: (-t[0], t[1])
     )
+
+
+def test_query_likelihood_hand_computed(spark):
+    import math
+    from obp_search_engine_spark.operators.ranking import query_likelihood_topk
+
+    # corpus: d0 = "a a b", d1 = "b c"; |C| = 5, cf(a)=2, cf(b)=2, cf(c)=1
+    docs = _docs(spark, ["a a b", "b c"])
+    mu = 10.0
+    r = {row.doc_id: row.score
+         for row in query_likelihood_topk(docs, ["a", "b"], mu=mu).collect()}
+    s = lambda tf, cf, dl: math.log((tf + mu * cf / 5.0) / (dl + mu))
+    assert r[0] == round(s(2, 2.0, 3) + s(1, 2.0, 3), 6)
+    assert r[1] == round(s(0, 2.0, 2) + s(1, 2.0, 2), 6)
+    # d0 has both terms, so it must outrank d1
+    assert r[0] > r[1]
+    # a term absent from the collection drops (cf=0): score unchanged
+    r2 = {row.doc_id: row.score
+          for row in query_likelihood_topk(docs, ["a", "b", "zzz"], mu=mu).collect()}
+    assert r2 == r
+    # candidate rule: a doc with no query term never appears
+    docs3 = _docs(spark, ["a a b", "b c", "zz zz"])
+    r3 = query_likelihood_topk(docs3, ["a"], mu=mu).collect()
+    assert {row.doc_id for row in r3} == {0}
+
+
+def test_rm3_expansion_hand_computed(spark):
+    from obp_search_engine_spark.operators.ranking import rm3_expansion_terms
+
+    # fb_docs=1 makes the feedback set exactly the QL winner; the RM is
+    # then just that doc's MLE term distribution
+    docs = _docs(spark, ["a a b", "b c"])
+    out = {row.term: row.weight
+           for row in rm3_expansion_terms(
+               docs, ["a"], fb_docs=1, fb_terms=10, alpha=0.5, mu=10.0
+           ).collect()}
+    # winner is d0 ("a a b"): P(a|R)=2/3, P(b|R)=1/3; P(a|q)=1
+    assert out["a"] == round(0.5 * 1.0 + 0.5 * (2.0 / 3.0), 6)
+    assert out["b"] == round(0.5 * 0.0 + 0.5 * (1.0 / 3.0), 6)
+    assert "c" not in out
+    # alpha=0 degenerates to the original query distribution
+    out0 = {row.term: row.weight
+            for row in rm3_expansion_terms(
+                docs, ["a", "a", "b"], fb_docs=1, fb_terms=10, alpha=0.0,
+                mu=10.0,
+            ).collect()}
+    assert out0["a"] == round(2.0 / 3.0, 6) and out0["b"] == round(1.0 / 3.0, 6)
+    # expansion brings in feedback-doc terms absent from the query
+    out1 = {row.term: row.weight
+            for row in rm3_expansion_terms(
+                docs, ["c"], fb_docs=1, fb_terms=10, alpha=0.5, mu=10.0
+            ).collect()}
+    assert "b" in out1  # d1 = "b c" is the only candidate; b expands in
+    # no query term anywhere -> empty frame, not a crash
+    assert rm3_expansion_terms(docs, ["zzz"], fb_docs=2).count() == 0
