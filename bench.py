@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "shard_selection_cori",
     "search_query_likelihood",
     "search_rm3_expansion",
+    "search_sdm",
 ]
 
 

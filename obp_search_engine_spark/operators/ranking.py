@@ -2849,3 +2849,237 @@ def rm3_oracle_sql(
     SELECT term, weight FROM merged
     ORDER BY weight DESC, term ASC LIMIT {int(fb_terms)}
     """
+
+
+def sdm_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    lambda_t: float = 0.85,
+    lambda_o: float = 0.1,
+    lambda_u: float = 0.05,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequential Dependence Model top-k (Metzler & Croft, SIGIR 2005) —
+    the proximity-aware upgrade of :func:`query_likelihood_topk`:
+
+        score(d) = λ_T Σ_t  log P(t|d)
+                 + λ_O Σ_b  log P_o(b|d)      (adjacent query bigrams,
+                                               exact-order occurrences)
+                 + λ_U Σ_b  log P_u(b|d)      (co-occurrence position
+                                               pairs within ``window``)
+
+    each Dirichlet-smoothed against its own collection statistic:
+    P_x = (tf_x + μ·cf_x/denom_C) / (den_d + μ), with den_d = dl for
+    unigrams and dl−1 (the bigram-slot count) for both proximity
+    features, and denom_C = Σ_d dl (unigrams) / Σ_d max(dl−1, 0)
+    (proximity). The unordered count is the number of position pairs
+    (i, j), i ≠ j, |i − j| < window — counted identically by the oracle.
+    Features whose collection frequency is 0 drop on both engines
+    (ln 0 = −∞ uniformly); candidates are docs containing ≥1 unigram.
+
+    100 TB shape: collection statistics are ONE aggregate pass producing
+    a handful of scalars; candidate scoring is a pure scan-side codegen
+    expression over the token array (positions via ``filter(sequence)``
+    like search_phrase — no explode, no shuffle, no Python), and the
+    top-k is TakeOrdered. FP portability: the score is a single
+    fixed-shape expression (component order = sorted unigrams, then
+    query-order bigrams), so there is no data-dependent fold at all;
+    the oracle writes the same expression tree.
+    """
+    raw = [t.lower() for t in query_terms]
+    unis = sorted(set(raw))
+    bigs: list[tuple[str, str]] = []
+    for a, b in zip(raw, raw[1:]):
+        if (a, b) not in bigs:
+            bigs.append((a, b))
+
+    corpus = docs.filter(F.col(text_col).isNotNull())
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
+    base = corpus.select(F.col(id_col).alias("_doc"), toks.alias("T"))
+    base = base.select("_doc", "T", F.size("T").alias("dl"))
+
+    T = F.col("T")
+    dl = F.col("dl")
+
+    def uni_tf(t: str):
+        return F.size(F.filter(T, lambda x: x == F.lit(t)))
+
+    def ord_tf(a: str, b: str):
+        return F.when(
+            dl >= 2,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), dl - 1),
+                    lambda i: (F.element_at(T, i) == F.lit(a))
+                    & (F.element_at(T, i + 1) == F.lit(b)),
+                )
+            ),
+        ).otherwise(F.lit(0))
+
+    def unw_tf(a: str, b: str):
+        pa = F.filter(F.sequence(F.lit(1), dl), lambda i: F.element_at(T, i) == F.lit(a))
+        pb = F.filter(F.sequence(F.lit(1), dl), lambda i: F.element_at(T, i) == F.lit(b))
+        return F.when(
+            dl >= 1,
+            F.size(
+                F.flatten(
+                    F.transform(
+                        pa,
+                        lambda x: F.filter(
+                            pb,
+                            lambda y: (y != x) & (F.abs(y - x) < F.lit(window)),
+                        ),
+                    )
+                )
+            ),
+        ).otherwise(F.lit(0))
+
+    stat_cols = [F.sum(dl).alias("_c"), F.sum(F.greatest(dl - 1, F.lit(0))).alias("_b")]
+    for t in unis:
+        stat_cols.append(F.sum(uni_tf(t)).alias(f"_u_{t}"))
+    for a, b in bigs:
+        stat_cols.append(F.sum(ord_tf(a, b)).alias(f"_o_{a}_{b}"))
+        stat_cols.append(F.sum(unw_tf(a, b)).alias(f"_w_{a}_{b}"))
+    st = base.agg(*stat_cols).first()
+    c_total, b_total = float(st["_c"] or 0), float(st["_b"] or 0)
+    if not c_total:
+        raise ValueError("sdm_topk: empty collection")
+
+    parts = []
+    for t in unis:
+        cf = int(st[f"_u_{t}"] or 0)
+        if cf > 0:
+            sm = mu * float(cf) / c_total
+            parts.append(
+                F.lit(lambda_t)
+                * F.log(
+                    (uni_tf(t).cast("double") + F.lit(sm))
+                    / (dl.cast("double") + F.lit(mu))
+                )
+            )
+    for a, b in bigs:
+        cf = int(st[f"_o_{a}_{b}"] or 0)
+        if cf > 0 and b_total:
+            sm = mu * float(cf) / b_total
+            parts.append(
+                F.lit(lambda_o)
+                * F.log(
+                    (ord_tf(a, b).cast("double") + F.lit(sm))
+                    / ((dl - 1).cast("double") + F.lit(mu))
+                )
+            )
+    for a, b in bigs:
+        cf = int(st[f"_w_{a}_{b}"] or 0)
+        if cf > 0 and b_total:
+            sm = mu * float(cf) / b_total
+            parts.append(
+                F.lit(lambda_u)
+                * F.log(
+                    (unw_tf(a, b).cast("double") + F.lit(sm))
+                    / ((dl - 1).cast("double") + F.lit(mu))
+                )
+            )
+    if not parts:
+        return docs.sparkSession.createDataFrame([], f"{id_col} long, score double")
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+
+    cand = base.filter(
+        F.arrays_overlap(T, F.array(*[F.lit(t) for t in unis]))
+    )
+    return (
+        cand.select(F.col("_doc").alias(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def sdm_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    lambda_t: float = 0.85,
+    lambda_o: float = 0.1,
+    lambda_u: float = 0.05,
+    window: int = 8,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`sdm_topk` — the same single fixed-shape
+    score expression (sorted unigrams, then query-order bigrams), the
+    same collection-statistics pass, the same cf>0 drop rule."""
+    raw = [t.lower() for t in query_terms]
+    unis = sorted(set(raw))
+    bigs: list[tuple[str, str]] = []
+    for a, b in zip(raw, raw[1:]):
+        if (a, b) not in bigs:
+            bigs.append((a, b))
+    unis_sql = ", ".join(f"'{t}'" for t in unis)
+
+    def u_tf(t):
+        return f"len(list_filter(t, x -> x = '{t}'))"
+
+    def o_tf(a, b):
+        return (
+            f"(CASE WHEN dl >= 2 THEN len(list_filter(generate_series(1, dl - 1), "
+            f"i -> t[i] = '{a}' AND t[i + 1] = '{b}')) ELSE 0 END)"
+        )
+
+    def w_tf(a, b):
+        return (
+            f"(CASE WHEN dl >= 1 THEN len(flatten(list_transform("
+            f"list_filter(generate_series(1, dl), i -> t[i] = '{a}'), "
+            f"x -> list_filter("
+            f"list_filter(generate_series(1, dl), i -> t[i] = '{b}'), "
+            f"y -> y != x AND abs(y - x) < {int(window)})))) ELSE 0 END)"
+        )
+
+    stat_sel = ["SUM(dl)::DOUBLE AS c", "SUM(greatest(dl - 1, 0))::DOUBLE AS b"]
+    for i, t in enumerate(unis):
+        stat_sel.append(f"SUM({u_tf(t)})::BIGINT AS u{i}")
+    for i, (a, b) in enumerate(bigs):
+        stat_sel.append(f"SUM({o_tf(a, b)})::BIGINT AS o{i}")
+        stat_sel.append(f"SUM({w_tf(a, b)})::BIGINT AS w{i}")
+
+    parts = []
+    for i, t in enumerate(unis):
+        parts.append(
+            f"(CASE WHEN s.u{i} > 0 THEN {lambda_t!r} * ln(({u_tf(t)}::DOUBLE"
+            f" + {mu!r} * s.u{i}::DOUBLE / s.c) / (dl::DOUBLE + {mu!r}))"
+            f" ELSE 0.0 END)"
+        )
+    for i, (a, b) in enumerate(bigs):
+        parts.append(
+            f"(CASE WHEN s.o{i} > 0 AND s.b > 0 THEN {lambda_o!r} *"
+            f" ln(({o_tf(a, b)}::DOUBLE + {mu!r} * s.o{i}::DOUBLE / s.b)"
+            f" / ((dl - 1)::DOUBLE + {mu!r})) ELSE 0.0 END)"
+        )
+    for i, (a, b) in enumerate(bigs):
+        parts.append(
+            f"(CASE WHEN s.w{i} > 0 AND s.b > 0 THEN {lambda_u!r} *"
+            f" ln(({w_tf(a, b)}::DOUBLE + {mu!r} * s.w{i}::DOUBLE / s.b)"
+            f" / ((dl - 1)::DOUBLE + {mu!r})) ELSE 0.0 END)"
+        )
+    score_sql = " + ".join(parts)
+
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    base AS (SELECT doc, t, len(t)::BIGINT AS dl FROM corpus),
+    stats AS (SELECT {", ".join(stat_sel)} FROM base)
+    SELECT doc AS {id_col},
+           round({score_sql}, 6) AS score
+    FROM base CROSS JOIN stats s
+    WHERE list_has_any(t, [{unis_sql}])
+    ORDER BY score DESC, {id_col} ASC LIMIT {int(k)}
+    """

@@ -4459,3 +4459,19 @@ def q_search_rm3_expansion(spark, sf_dir):
         _t(spark, sf_dir, "documents"), _BM25_TERMS, fb_docs=5, fb_terms=10,
         alpha=0.6,
     )
+
+
+@register(
+    "search_sdm",
+    ranking.sdm_oracle_sql(_BM25_TERMS, k=10),
+    "Sequential Dependence Model top-10 (Metzler & Croft SIGIR 2005) "
+    "for ('hash','join','spark'): 0.85*unigram-QL + 0.1*ordered-bigram "
+    "+ 0.05*unordered-window-8 features, each Dirichlet-smoothed. "
+    "Collection stats are ONE aggregate pass to a handful of scalars; "
+    "candidate scoring is a single scan-side codegen expression over "
+    "the token array (positions via filter(sequence), no explode, no "
+    "shuffle, no Python) and the top-k is TakeOrdered — the score has "
+    "no data-dependent fold at all, so FP portability is structural",
+)
+def q_search_sdm(spark, sf_dir):
+    return ranking.sdm_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)

@@ -140,6 +140,7 @@ GRADE_PRIORITY: list[str] = [
     "shard_selection_cori",
     "search_query_likelihood",
     "search_rm3_expansion",
+    "search_sdm",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",

@@ -796,3 +796,35 @@ def test_rm3_expansion_hand_computed(spark):
     assert "b" in out1  # d1 = "b c" is the only candidate; b expands in
     # no query term anywhere -> empty frame, not a crash
     assert rm3_expansion_terms(docs, ["zzz"], fb_docs=2).count() == 0
+
+
+def test_sdm_hand_computed(spark):
+    import math
+    from obp_search_engine_spark.operators.ranking import sdm_topk
+
+    # corpus: d0 = "a b a b", d1 = "b a"; |C|=6, bigram slots b_total=4
+    # cf(a)=3, cf(b)=3, cf_o(a,b)=2, cf_u8(a,b)=4+1=5
+    docs = _docs(spark, ["a b a b", "b a"])
+    mu, lt, lo, lu = 10.0, 0.85, 0.1, 0.05
+    r = {row.doc_id: row.score
+         for row in sdm_topk(docs, ["a", "b"], mu=mu, lambda_t=lt,
+                             lambda_o=lo, lambda_u=lu).collect()}
+    c, b = 6.0, 4.0
+    sm = lambda cf, den: mu * float(cf) / den
+    d0 = (lt * math.log((2 + sm(3, c)) / (4 + mu))
+          + lt * math.log((2 + sm(3, c)) / (4 + mu))
+          + lo * math.log((2 + sm(2, b)) / (3 + mu))
+          + lu * math.log((4 + sm(5, b)) / (3 + mu)))
+    d1 = (lt * math.log((1 + sm(3, c)) / (2 + mu))
+          + lt * math.log((1 + sm(3, c)) / (2 + mu))
+          + lo * math.log((0 + sm(2, b)) / (1 + mu))
+          + lu * math.log((1 + sm(5, b)) / (1 + mu)))
+    assert r[0] == round(d0, 6) and r[1] == round(d1, 6)
+    # proximity separates docs with identical unigram statistics: the
+    # adjacent "a b" doc must outrank the distant one (ordered feature)
+    docs2 = _docs(spark, ["a b c c", "a c c b"])
+    rows = sdm_topk(docs2, ["a", "b"], mu=mu).collect()
+    assert [row.doc_id for row in rows] == [0, 1]
+    # a doc with no query term is never a candidate
+    docs3 = _docs(spark, ["a b", "zz zz"])
+    assert {row.doc_id for row in sdm_topk(docs3, ["a", "b"]).collect()} == {0}
