@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "search_query_likelihood",
     "search_rm3_expansion",
     "search_sdm",
+    "index_quantized_impacts",
+    "search_quantized_topk",
 ]
 
 

@@ -4475,3 +4475,34 @@ def q_search_rm3_expansion(spark, sf_dir):
 )
 def q_search_sdm(spark, sf_dir):
     return ranking.sdm_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@register(
+    "index_quantized_impacts",
+    ranking.quantized_impacts_oracle_sql(_BM25_TERMS, b_bits=8),
+    "Impact-quantized postings (Anh, de Kretser & Moffat SIGIR 2001) "
+    "for the terms ('hash','join','spark'): each posting's query-"
+    "independent BM25 weight quantizes per-term to an 8-bit integer in "
+    "[1,255] — the compressed, impact-ordered, early-termination index "
+    "representation. Output is pure string/integer; the only doubles "
+    "(the BM25 component and the one-shape quantization arithmetic) are "
+    "bit-identical on both engines so floor() cannot straddle a boundary",
+)
+def q_index_quantized_impacts(spark, sf_dir):
+    return ranking.quantized_impacts(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, b_bits=8
+    )
+
+
+@register(
+    "search_quantized_topk",
+    ranking.quantized_impacts_oracle_sql(_BM25_TERMS, b_bits=8, topk=10),
+    "Query-time half of the impact-quantized index: top-10 docs by "
+    "summed 8-bit impacts over ('hash','join','spark') — scoring is a "
+    "pure INTEGER map-side-combined sum, no corpus statistics and no FP "
+    "at query time at all (the Anh & Moffat early-termination payoff)",
+)
+def q_search_quantized_topk(spark, sf_dir):
+    return ranking.quantized_impact_topk(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k=10, b_bits=8
+    )

@@ -141,6 +141,8 @@ GRADE_PRIORITY: list[str] = [
     "search_query_likelihood",
     "search_rm3_expansion",
     "search_sdm",
+    "index_quantized_impacts",
+    "search_quantized_topk",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",

@@ -828,3 +828,30 @@ def test_sdm_hand_computed(spark):
     # a doc with no query term is never a candidate
     docs3 = _docs(spark, ["a b", "zz zz"])
     assert {row.doc_id for row in sdm_topk(docs3, ["a", "b"]).collect()} == {0}
+
+
+def test_quantized_impacts_hand_computed(spark):
+    from obp_search_engine_spark.operators.ranking import (
+        quantized_impact_topk,
+        quantized_impacts,
+    )
+
+    # corpus d0="x x y", d1="y z"; b_bits=2 -> impacts in [1,3]
+    # term x: one posting -> degenerate range -> max impact 3
+    # term y: c(y,d0) < c(y,d1) (longer doc) -> impacts 1 and 3
+    docs = _docs(spark, ["x x y", "y z"])
+    idx = {(r.term, r.doc_id): r.impact
+           for r in quantized_impacts(docs, ["x", "y"], b_bits=2).collect()}
+    assert idx == {("x", 0): 3, ("y", 0): 1, ("y", 1): 3}
+    # integer query-time sum: d0 = 3+1 = 4, d1 = 3
+    top = [(r.doc_id, r.impact_score)
+           for r in quantized_impact_topk(docs, ["x", "y"], k=2, b_bits=2).collect()]
+    assert top == [(0, 4), (1, 3)]
+    # full-vocabulary build (query_terms=None) covers every term
+    full = quantized_impacts(docs, None, b_bits=2).collect()
+    assert {(r.term, r.doc_id) for r in full} == {
+        ("x", 0), ("y", 0), ("y", 1), ("z", 1)
+    }
+    # quantization is monotone in c within a term: equal c -> equal
+    # impact, and impacts stay within [1, 2^b - 1]
+    assert all(1 <= r.impact <= 3 for r in full)
