@@ -2007,6 +2007,45 @@ def q_embedding_neardup_md5(spark, sf_dir):
     )
 
 
+from ..operators import semdedup as _semdedup  # noqa: E402
+
+
+@register(
+    "semdedup_keep",
+    _semdedup.semdedup_oracle_sql(threshold=0.35, n_cells=8),
+    "SemDeDup semantic dedup (Abbas et al. 2023): md5-seeded coarse "
+    "quantizer -> within-cell cosine pruning keeping the member farthest "
+    "from its centroid (d2c DESC, id ASC total order) — the embedding-"
+    "space counterpart of the MinHash family; one cell shuffle, pairwise "
+    "only inside bounded cells, strict-left-fold FP so both engines "
+    "agree bitwise; per-row verdict (vec_id, cell, d2c, kept)",
+)
+def q_semdedup_keep(spark, sf_dir):
+    return _semdedup.semdedup_keep(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_cells=8
+    )
+
+
+from ..operators import dsir as _dsir  # noqa: E402
+
+
+@register(
+    "dsir_resample_topk",
+    _dsir.dsir_oracle_sql(target_pred="lang = 'en'", k=50, n_buckets=64),
+    "DSIR importance resampling (Xie et al. NeurIPS 2023): hashed "
+    "unigram+bigram multinomials over target (lang='en') vs raw corpus, "
+    "per-doc log-importance via bucket-ordered strict fold, md5-Gumbel "
+    "top-50 without replacement — distributional-match curation "
+    "complementing the absolute-quality Gopher/CCNet filters; ratio "
+    "table B-bounded broadcast, totals on a 1-row crossJoin, TakeOrdered "
+    "top-k, zero Python",
+)
+def q_dsir_resample_topk(spark, sf_dir):
+    return _dsir.dsir_resample_topk(
+        _t(spark, sf_dir, "documents"), target_pred="lang = 'en'", k=50, n_buckets=64
+    )
+
+
 @register(
     "more_like_this",
     ranking.more_like_this_oracle_sql(query_doc_id=0, k=10),

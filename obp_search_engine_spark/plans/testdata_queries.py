@@ -143,6 +143,8 @@ GRADE_PRIORITY: list[str] = [
     "search_sdm",
     "index_quantized_impacts",
     "search_quantized_topk",
+    "semdedup_keep",
+    "dsir_resample_topk",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",
