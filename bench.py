@@ -121,6 +121,11 @@ BENCH_QUERIES = [
     "search_sdm",
     "index_quantized_impacts",
     "search_quantized_topk",
+    # round-5 (cont.) additions: embedding-space semantic dedup and
+    # DSIR importance resampling — the two curation operators closing
+    # the distributional-match gap next to the absolute-quality filters
+    "semdedup_keep",
+    "dsir_resample_topk",
 ]
 
 
