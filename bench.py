@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     # the distributional-match gap next to the absolute-quality filters
     "semdedup_keep",
     "dsir_resample_topk",
+    "doc_stupid_backoff",
 ]
 
 

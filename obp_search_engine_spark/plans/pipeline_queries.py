@@ -2874,6 +2874,25 @@ def q_doc_lm_perplexity(spark, sf_dir):
     return lm.score_perplexity(d)
 
 
+@register(
+    "doc_stupid_backoff",
+    lm.stupid_backoff_oracle_sql(),
+    "Stupid Backoff trigram LM self-score per document (Brants, Popat, "
+    "Xu, Och & Dean, EMNLP 2007 — the distributed MapReduce n-gram LM "
+    "the web-scale deployments actually ran): relative-frequency scores "
+    "with fixed 0.4 backoff through trigram -> bigram -> unigram, no "
+    "normalization (what makes it embarrassingly distributable); one "
+    "map-side-combined trigram groupBy, bigram/unigram/total counts "
+    "re-aggregated from the materialized trigram table, broadcast-join "
+    "scoring, position-ordered ln fold, 6-decimal round -> exact oracle. "
+    "Complements doc_lm_perplexity: higher-order fluency signal for the "
+    "head/middle/tail corpus split",
+)
+def q_doc_stupid_backoff(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm.stupid_backoff_scores(d)
+
+
 from ..operators import boilerplate, mirrors  # noqa: E402
 
 # The synthetic corpus has no newlines and no cross-host duplication, so

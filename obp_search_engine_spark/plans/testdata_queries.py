@@ -145,6 +145,7 @@ GRADE_PRIORITY: list[str] = [
     "search_quantized_topk",
     "semdedup_keep",
     "dsir_resample_topk",
+    "doc_stupid_backoff",
     "classify_documents_nb",
     "frontier_opic_priority",
     "token_budget_packing_dist",
