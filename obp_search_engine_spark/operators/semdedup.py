@@ -109,30 +109,57 @@ def semdedup_keep(
     if centroids is None:
         centroids = md5_ivf_centroids(df, n_cells, vec_col, id_col)
     asg = semdedup_assign(df, centroids, vec_col, id_col)
-    a = asg.select(
+    # Cast and take each vector's norm ONCE per row, not once per pair —
+    # the fold values are bit-identical to computing them inside the
+    # pair (same expression over the same array), so the oracle is
+    # untouched, but the within-cell quadratic pass now pays only the
+    # dot product per pair instead of dot + two norms + two casts.
+    vd = _as_double(F.col("vec"))
+    prep = asg.withColumn("_vd", vd).withColumn(
+        "_nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("_vd"), lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        ),
+    )
+    a = prep.select(
         F.col("id").alias("id_a"),
-        F.col("vec").alias("v_a"),
+        F.col("_vd").alias("v_a"),
         "cell",
         F.col("d2c").alias("d_a"),
+        F.col("_nrm").alias("n_a"),
     )
-    b = asg.select(
+    b = prep.select(
         F.col("id").alias("id_b"),
-        F.col("vec").alias("v_b"),
+        F.col("_vd").alias("v_b"),
         F.col("cell").alias("cell_b"),
         F.col("d2c").alias("d_b"),
+        F.col("_nrm").alias("n_b"),
     )
-    dropped = (
-        a.join(b, (a.cell == b.cell_b) & (a.id_a != b.id_b))
-        .filter(
-            (_pair_cos(F.col("v_a"), F.col("v_b")) >= F.lit(float(threshold)))
-            & (
-                (F.col("d_b") > F.col("d_a"))
-                | ((F.col("d_b") == F.col("d_a")) & (F.col("id_b") < F.col("id_a")))
-            )
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cos = F.round(dot / (F.col("n_a") * F.col("n_b")), 5)
+    # LEFT SEMI: a row is dropped iff SOME outranking neighbour passes
+    # the threshold — the semi join stops probing a row's cell-mates at
+    # its first such witness (no pair materialization, no distinct()),
+    # which matters precisely where semantic duplication is dense.
+    dropped = a.join(
+        b,
+        (a.cell == b.cell_b)
+        & (F.col("id_a") != F.col("id_b"))
+        & (
+            (F.col("d_b") > F.col("d_a"))
+            | ((F.col("d_b") == F.col("d_a")) & (F.col("id_b") < F.col("id_a")))
         )
-        .select(F.col("id_a").alias("_drop_id"))
-        .distinct()
-    )
+        & (cos >= F.lit(float(threshold))),
+        "left_semi",
+    ).select(F.col("id_a").alias("_drop_id"))
     return (
         asg.join(dropped, asg.id == dropped._drop_id, "left")
         .select(
