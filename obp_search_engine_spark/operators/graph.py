@@ -800,7 +800,16 @@ def triangle_counts(
     closure check is one more shuffled-hash join on (b, c) — three
     shuffles total, no broadcast of anything O(nodes), output O(nodes).
     """
-    und = _undirected(edges, src_col, dst_col)
+    return _deg_triangles(_undirected(edges, src_col, dst_col)).select(
+        "node", "triangles"
+    )
+
+
+def _deg_triangles(und: DataFrame) -> DataFrame:
+    """(node, deg, triangles) over a canonical undirected edge set —
+    the shared single-scan core of :func:`triangle_counts` and
+    :func:`clustering_coefficients` (degree fold and wedge join run
+    once; both outputs are projections of this frame)."""
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -840,15 +849,82 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("t"))
     )
-    out = (
-        deg.select("node")
-        .join(per_node, "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
-        )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
     )
-    return out
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998)
+    over the undirected simple link graph, in integer micro-units:
+    ``lcc_micro = (2 * scale * triangles) div (deg * (deg - 1))`` for
+    ``deg >= 2``, else 0. The near-clique density signal that separates
+    a link farm (neighbors all inter-linked, lcc → 1) from a legitimate
+    hub (neighbors mostly unlinked, lcc → 0) — the per-node refinement
+    of :func:`triangle_counts`' raw counts, cf. the reference's crawl
+    treating densely self-linked peer clusters as one community
+    (crawler/crawling.go's peer-graph walk).
+
+    Exact by construction: triangles and degrees are exact integers and
+    the coefficient is integer division of BIGINT products, so the
+    result is bit-identical at any parallelism and engine (float
+    division would not hash-match across Spark/DuckDB). Output
+    (node, deg, triangles, lcc_micro), one row per node of the
+    undirected graph.
+
+    100 TB shape: one extra projection over :func:`_deg_triangles` —
+    the degree fold and the O(m^1.5) oriented wedge join run once and
+    feed both operators; no new shuffle, output O(nodes).
+    """
+    dt = _deg_triangles(_undirected(edges, src_col, dst_col))
+    return dt.select(
+        "node",
+        "deg",
+        "triangles",
+        F.when(
+            F.col("deg") >= 2,
+            F.expr(
+                f"(2 * CAST({scale} AS BIGINT) * triangles)"
+                " div (deg * (deg - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lcc_micro"),
+    )
+
+
+def clustering_oracle_sql(edges_cte: str, scale: int = 1_000_000) -> str:
+    """DuckDB oracle for :func:`clustering_coefficients` — the triangle
+    oracle's CTE chain plus the same BIGINT integer-division
+    coefficient."""
+    return f"""
+    WITH und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM ({edges_cte}) WHERE src != dst
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ),
+    tri AS ({triangle_oracle_sql(edges_cte)})
+    SELECT d.node,
+           d.deg::BIGINT AS deg,
+           t.triangles,
+           (CASE WHEN d.deg >= 2
+                 THEN (2 * {scale}::BIGINT * t.triangles)
+                      // (d.deg * (d.deg - 1))
+                 ELSE 0 END)::BIGINT AS lcc_micro
+    FROM deg d JOIN tri t ON t.node = d.node
+    """
 
 
 def triangle_oracle_sql(edges_cte: str) -> str:

@@ -4564,3 +4564,25 @@ def q_search_quantized_topk(spark, sf_dir):
     return ranking.quantized_impact_topk(
         _t(spark, sf_dir, "documents"), _BM25_TERMS, k=10, b_bits=8
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5 (cont.): link-graph density, LTR serving, click models —
+# continuing the exact-oracle discipline of everything above.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "link_clustering_coeff",
+    graph.clustering_oracle_sql(_PAGERANK_EDGES_CTE),
+    "per-node local clustering coefficient (Watts & Strogatz 1998) over "
+    "the undirected md5-derived link graph, in integer micro-units "
+    "(2e6*triangles div deg*(deg-1)): the near-clique density signal "
+    "separating a link farm (neighbors inter-linked, lcc->1) from a "
+    "legitimate hub (lcc->0). Shares the single degree fold + "
+    "O(m^1.5) oriented wedge join with link_triangle_counts; the "
+    "coefficient is BIGINT integer division, bit-identical at any "
+    "parallelism and engine",
+)
+def q_link_clustering_coeff(spark, sf_dir):
+    return graph.clustering_coefficients(_pagerank_edges(spark, sf_dir))

@@ -183,6 +183,7 @@ GRADE_PRIORITY: list[str] = [
     "host_pagerank",
     "web_bowtie_structure",
     "link_hits",
+    "link_clustering_coeff",
     "dup_substring_excise",
     "ann_lsh_topk_md5",
     "embedding_neardup_md5",

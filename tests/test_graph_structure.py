@@ -129,3 +129,67 @@ def test_labelprop_isolated_component_stays_unlabeled(spark):
         for r in label_propagation(df, seeds={0: 7}, iters=4).collect()
     }
     assert got == {0: 7, 1: 7, 5: -1, 6: -1}
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def _py_lcc(edges, scale=1_000_000):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in und for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = _py_triangles(edges)
+    out = {}
+    for v in nodes:
+        d = len(adj[v])
+        lcc = (2 * scale * tri[v]) // (d * (d - 1)) if d >= 2 else 0
+        out[v] = (d, tri[v], lcc)
+    return out
+
+
+def test_lcc_known_graph(spark):
+    # triangle 1-2-3 plus pendant 3-4: lcc(1)=lcc(2)=1.0; deg(3)=3 with
+    # one triangle -> 2/(3*2) = 0.333333; deg(4)=1 -> 0
+    from obp_search_engine_spark.operators.graph import clustering_coefficients
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    got = {r.node: (r.deg, r.triangles, r.lcc_micro)
+           for r in clustering_coefficients(df).collect()}
+    assert got == {
+        1: (2, 1, 1_000_000),
+        2: (2, 1, 1_000_000),
+        3: (3, 1, 333_333),
+        4: (1, 0, 0),
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_lcc_matches_python_reference(spark, seed):
+    from obp_search_engine_spark.operators.graph import clustering_coefficients
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.deg, r.triangles, r.lcc_micro)
+           for r in clustering_coefficients(df).collect()}
+    assert got == _py_lcc(edges)
+
+
+def test_lcc_triangle_counts_unchanged_by_refactor(spark):
+    # the _deg_triangles refactor must leave triangle_counts' output
+    # schema and values untouched
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4)], "src long, dst long"
+    )
+    rows = triangle_counts(df).collect()
+    assert rows[0].__fields__ == ["node", "triangles"]
+    assert {r.node: r.triangles for r in rows} == _py_triangles(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4)]
+    )
