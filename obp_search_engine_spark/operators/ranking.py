@@ -3240,3 +3240,173 @@ def quantized_impacts_oracle_sql(
     )
     {final}
     """
+
+
+# ---------------------------------------------------------------------------
+# Linear learning-to-rank serving (round 5)
+# ---------------------------------------------------------------------------
+
+
+def ltr_linear_topk(
+    docs: DataFrame,
+    prior: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    w_bm25: float = 1.0,
+    w_cov: float = 0.3,
+    w_len: float = -0.05,
+    w_prior: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear learning-to-rank serving path (Liu, *Learning to Rank for
+    Information Retrieval*, 2009; the linear model family of RankSVM /
+    coordinate ascent): score every candidate with a fixed
+    offline-learned weight vector over the standard LTR feature set —
+
+    * ``bm25``  — the full BM25 text score (:func:`bm25_topk` chain);
+    * ``cov``   — query coverage, matched distinct terms / |q|;
+    * ``flen``  — ln(1 + doc length) (length prior, negative weight);
+    * ``fprior``— ln(1 + PageRank mass) from ``prior`` (node, rank) —
+      the query-independent static authority feature (Richardson et
+      al. WWW'06 "Beyond PageRank" uses exactly this split of
+      query-dependent text features + static priors in a learned
+      linear combination).
+
+    This is the ranking upgrade of the reference's unranked OR-of-LIKE
+    search (apiserver/index.js:85-102) once both a text index and a
+    link-graph prior exist: candidates come from the postings
+    (docs matching ≥1 term), features join in, one weighted sum serves.
+
+    FP portability: each feature is rounded to 6 decimals before the
+    combination; the combination is a FIXED-SHAPE expression
+    (w1*f1 + w2*f2 + w3*f3 + w4*f4, left-associated, identical text on
+    both engines), not a data-dependent fold — so the final round(6)
+    grades exactly. PageRank mass is BIGINT (bit-identical by
+    construction), ln over exact integers agrees across engines (the
+    same reliance as BM25's idf).
+
+    100 TB shape: the candidate set is O(matching postings); features
+    join on doc_id (the prior side is O(nodes) but the join is
+    candidate-driven — at scale, a left join after the candidate
+    filter, never a full-corpus scan); top-k is TakeOrdered.
+    """
+    n_q = len(set(query_terms))
+    comp = _bm25_components(docs, query_terms, k1, b, text_col, id_col)
+    comp = comp.localCheckpoint(eager=False)  # reused by score + coverage
+    bm25 = _fold_scores(comp, id_col).withColumnRenamed("score", "bm25")
+    cov = comp.groupBy("_doc").agg(F.count("*").alias("matched")).select(
+        F.col("_doc").alias(id_col), "matched"
+    )
+    dl = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(nonempty_tokens_col(F.lower(F.col(text_col)))).alias("_dl"),
+    )
+    pr = prior.select(
+        F.col("node").alias(id_col), F.col("rank").alias("_mass")
+    )
+    feat = (
+        bm25.join(cov, id_col)
+        .join(dl, id_col)
+        .join(pr, id_col, "left")
+        .select(
+            id_col,
+            "bm25",
+            "matched",
+            F.round(F.col("matched") / F.lit(float(n_q)), 6).alias("_cov"),
+            F.round(F.log(F.lit(1.0) + F.col("_dl")), 6).alias("_flen"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + F.coalesce(F.col("_mass"), F.lit(0)).cast("double")
+                ),
+                6,
+            ).alias("_fprior"),
+        )
+    )
+    score = F.round(
+        F.lit(w_bm25) * F.col("bm25")
+        + F.lit(w_cov) * F.col("_cov")
+        + F.lit(w_len) * F.col("_flen")
+        + F.lit(w_prior) * F.col("_fprior"),
+        6,
+    )
+    return (
+        feat.select(id_col, "bm25", "matched", score.alias("ltr_score"))
+        .orderBy(F.col("ltr_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ltr_linear_oracle_sql(
+    query_terms: list[str],
+    prior_sql: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    w_bm25: float = 1.0,
+    w_cov: float = 0.3,
+    w_len: float = -0.05,
+    w_prior: float = 0.2,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`ltr_linear_topk` — nests the full BM25
+    oracle chain (same sorted-term fold), the same rounded features,
+    and the same fixed-shape weighted combination. ``prior_sql`` is a
+    full SELECT producing (node, rank) — the unrolled PageRank CTE."""
+    terms = sorted(set(query_terms))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    n_q = len(terms)
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    stats AS (
+      SELECT COUNT(*)::DOUBLE AS n, AVG(len(t))::DOUBLE AS avgdl FROM corpus
+    ),
+    tf AS (
+      SELECT doc, len(t)::BIGINT AS dl, unnest(t) AS term FROM corpus
+    ),
+    tfa AS (
+      SELECT doc, dl, term, COUNT(*)::BIGINT AS tf FROM tf
+      WHERE term IN ({terms_sql})
+      GROUP BY doc, dl, term
+    ),
+    dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tfa GROUP BY term),
+    comp AS (
+      SELECT a.doc, a.dl, a.term,
+             ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (a.tf * {k1 + 1.0!r})
+               / (a.tf + {k1!r} * ({1.0 - b!r} + {b!r} * a.dl::DOUBLE / s.avgdl))
+               AS c
+      FROM tfa a JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc,
+             any_value(dl) AS dl,
+             round(list_reduce(list(c ORDER BY term), (x, y) -> x + y), 6)
+               AS bm25,
+             COUNT(*)::BIGINT AS matched
+      FROM comp GROUP BY doc
+    ),
+    pr AS ({prior_sql}),
+    feat AS (
+      SELECT s.doc AS {id_col}, s.bm25, s.matched,
+             round(s.matched / {float(n_q)!r}, 6) AS cov,
+             round(ln(1.0 + s.dl), 6) AS flen,
+             round(ln(1.0 + COALESCE(p.rank, 0)::DOUBLE), 6) AS fprior
+      FROM scored s LEFT JOIN pr p ON p.node = s.doc
+    )
+    SELECT {id_col}, bm25, matched,
+           round({w_bm25!r} * bm25 + {w_cov!r} * cov
+                 + {w_len!r} * flen + {w_prior!r} * fprior, 6) AS ltr_score
+    FROM feat
+    ORDER BY ltr_score DESC, {id_col} ASC LIMIT {k}
+    """

@@ -4586,3 +4586,29 @@ def q_search_quantized_topk(spark, sf_dir):
 )
 def q_link_clustering_coeff(spark, sf_dir):
     return graph.clustering_coefficients(_pagerank_edges(spark, sf_dir))
+
+
+@register(
+    "search_ltr_linear",
+    ranking.ltr_linear_oracle_sql(
+        _BM25_TERMS,
+        graph.pagerank_oracle_sql(_PAGERANK_EDGES_CTE, iters=5),
+        k=10,
+    ),
+    "linear learning-to-rank serving (Liu 2009; Richardson et al. "
+    "WWW'06's text-features + static-prior split): BM25, query "
+    "coverage, ln-length, and ln-PageRank-mass features combined with "
+    "a fixed offline-learned weight vector, top-10. The oracle nests "
+    "the full BM25 chain AND the 5-iteration unrolled integer-PageRank "
+    "CTE; each feature rounds to 6dp and the combination is a "
+    "fixed-shape expression, so the composed score grades exactly. "
+    "Candidates are O(matching postings); the static prior joins in "
+    "candidate-driven",
+)
+def q_search_ltr_linear(spark, sf_dir):
+    return ranking.ltr_linear_topk(
+        _t(spark, sf_dir, "documents"),
+        graph.pagerank(_pagerank_edges(spark, sf_dir), iters=5),
+        _BM25_TERMS,
+        k=10,
+    )

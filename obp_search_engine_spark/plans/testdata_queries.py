@@ -184,6 +184,7 @@ GRADE_PRIORITY: list[str] = [
     "web_bowtie_structure",
     "link_hits",
     "link_clustering_coeff",
+    "search_ltr_linear",
     "dup_substring_excise",
     "ann_lsh_topk_md5",
     "embedding_neardup_md5",

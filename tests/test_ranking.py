@@ -855,3 +855,48 @@ def test_quantized_impacts_hand_computed(spark):
     # quantization is monotone in c within a term: equal c -> equal
     # impact, and impacts stay within [1, 2^b - 1]
     assert all(1 <= r.impact <= 3 for r in full)
+
+
+def test_ltr_linear_semantics(spark):
+    """Hand-checkable LTR: with only the prior weight non-zero the
+    ranking must follow PageRank mass; with only bm25 it must equal
+    bm25_topk's order; features are the documented rounded values."""
+    import math
+
+    from obp_search_engine_spark.operators.ranking import (
+        bm25_topk,
+        ltr_linear_topk,
+    )
+
+    docs = _docs(spark, ["x x y", "y z w", "x z", "w w"])
+    prior = spark.createDataFrame(
+        [(0, 100), (1, 900), (2, 400), (3, 50)], "node long, rank long"
+    )
+    # prior-only: candidates are docs containing x or y (0, 1, 2);
+    # order by mass 1 > 2 > 0
+    by_prior = ltr_linear_topk(
+        docs, prior, ["x", "y"], k=3,
+        w_bm25=0.0, w_cov=0.0, w_len=0.0, w_prior=1.0,
+    ).collect()
+    assert [r.doc_id for r in by_prior] == [1, 2, 0]
+    assert by_prior[0].ltr_score == round(round(math.log(901.0), 6), 6)
+    # bm25-only: must reproduce bm25_topk exactly
+    ltr = ltr_linear_topk(
+        docs, prior, ["x", "y"], k=3,
+        w_bm25=1.0, w_cov=0.0, w_len=0.0, w_prior=0.0,
+    ).collect()
+    ref = bm25_topk(docs, ["x", "y"], k=3).collect()
+    assert [(r.doc_id, r.ltr_score) for r in ltr] == [
+        (r.doc_id, r.score) for r in ref
+    ]
+    # coverage feature: doc 0 matches both terms, doc 2 matches one
+    cov = {r.doc_id: r.matched for r in ltr}
+    assert cov[0] == 2 and cov[2] == 1
+    # missing prior row coalesces to mass 0 (feature ln(1)=0), not null
+    sparse_prior = spark.createDataFrame([(1, 900)], "node long, rank long")
+    got = ltr_linear_topk(
+        docs, sparse_prior, ["x", "y"], k=3,
+        w_bm25=0.0, w_cov=0.0, w_len=0.0, w_prior=1.0,
+    ).collect()
+    assert [r.doc_id for r in got][0] == 1
+    assert all(r.ltr_score == 0.0 for r in got if r.doc_id != 1)
