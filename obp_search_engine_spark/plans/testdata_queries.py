@@ -185,6 +185,8 @@ GRADE_PRIORITY: list[str] = [
     "link_hits",
     "link_clustering_coeff",
     "search_ltr_linear",
+    "click_model_pbm_ctr",
+    "click_model_pbm_exam",
     "dup_substring_excise",
     "ann_lsh_topk_md5",
     "embedding_neardup_md5",

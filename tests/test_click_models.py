@@ -1,0 +1,137 @@
+"""PBM click model: parity with a pure-Python EM reference (same
+rounding, same fold order), hand-checkable first-iteration values, and
+the position-bias recovery property the synthetic log is built for."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from obp_search_engine_spark.operators.click_models import (
+    pbm_attractiveness,
+    pbm_em,
+    pbm_examination,
+)
+
+_EPS = 1e-12
+
+
+def _py_pbm(imps, iters):
+    """Reference EM: imps = [(imp_id, q, d, p, c)]; folds in imp_id
+    order, rounds to 6dp per M-step — the documented recipe."""
+    imps = sorted(imps)
+    a = {(q, d): 0.5 for _, q, d, _, _ in imps}
+    g = {p: 0.5 for _, _, _, p, _ in imps}
+    for _ in range(iters):
+        av, gv = {}, {}
+        for i, q, d, p, c in imps:
+            if c == 1:
+                av[i] = gv[i] = 1.0
+            else:
+                den = max(1.0 - a[(q, d)] * g[p], _EPS)
+                av[i] = a[(q, d)] * (1.0 - g[p]) / den
+                gv[i] = g[p] * (1.0 - a[(q, d)]) / den
+        na, ng = {}, {}
+        for i, q, d, p, c in imps:
+            na.setdefault((q, d), []).append(av[i])
+            ng.setdefault(p, []).append(gv[i])
+        a = {k: round(sum_strict(v) / len(v), 6) for k, v in na.items()}
+        g = {k: round(sum_strict(v) / len(v), 6) for k, v in ng.items()}
+    return a, g
+
+
+def sum_strict(xs):
+    acc = 0.0
+    for x in xs:
+        acc = acc + x
+    return acc
+
+
+def _df(spark, imps):
+    return spark.createDataFrame(
+        imps, "imp_id long, q long, d long, p long, c long"
+    )
+
+
+def test_pbm_hand_case_one_iter(spark):
+    # (q0,d0)@p1: clicked + unclicked; (q0,d1)@p2: unclicked.
+    # init 0.5/0.5 -> unclicked contribution 0.25/0.75 = 1/3:
+    # alpha(0,0)=mean(1,1/3)=0.666667, alpha(0,1)=0.333333,
+    # gamma(1)=0.666667, gamma(2)=0.333333
+    imps = [(1, 0, 0, 1, 1), (2, 0, 0, 1, 0), (3, 0, 1, 2, 0)]
+    alphas, gammas = pbm_em(_df(spark, imps), iters=1)
+    assert {(r.q, r.d): (r.alpha, r.n) for r in alphas.collect()} == {
+        (0, 0): (0.666667, 2),
+        (0, 1): (0.333333, 1),
+    }
+    assert {r.p: (r.gamma, r.n) for r in gammas.collect()} == {
+        1: (0.666667, 2),
+        2: (0.333333, 1),
+    }
+
+
+@pytest.mark.parametrize("iters", [1, 2, 3])
+def test_pbm_matches_python_reference(spark, iters):
+    rng = random.Random(11)
+    imps = [
+        (
+            i,
+            rng.randrange(4),
+            rng.randrange(6),
+            rng.randrange(1, 6),
+            1 if rng.random() < 0.8 / (1 + 0.4 * (i % 5)) else 0,
+        )
+        for i in range(200)
+    ]
+    want_a, want_g = _py_pbm(imps, iters)
+    alphas, gammas = pbm_em(_df(spark, imps), iters=iters)
+    assert {(r.q, r.d): r.alpha for r in alphas.collect()} == want_a
+    assert {r.p: r.gamma for r in gammas.collect()} == want_g
+
+
+def test_pbm_partitioning_invariant(spark):
+    imps = [
+        (i, i % 3, i % 5, i % 4 + 1, 1 if i % (i % 4 + 3) == 0 else 0)
+        for i in range(120)
+    ]
+    a1 = sorted(map(tuple, pbm_attractiveness(_df(spark, imps), 2).collect()))
+    a2 = sorted(
+        map(
+            tuple,
+            pbm_attractiveness(_df(spark, imps).repartition(13), 2).collect(),
+        )
+    )
+    assert a1 == a2
+
+
+def test_pbm_recovers_position_decay(spark):
+    # clicks generated as alpha-free pure position decay with EXACT
+    # realized rates (no sampling noise): 100 impressions per position,
+    # click iff j % (p + 1) == 0, so CTR falls strictly with p and the
+    # learned gamma curve must be strictly decreasing
+    imps = [
+        (p * 100 + j, j % 5, j % 8, p, 1 if j % (p + 1) == 0 else 0)
+        for p in range(1, 7)
+        for j in range(100)
+    ]
+    gammas = {r.p: r.gamma for r in pbm_examination(_df(spark, imps), 2).collect()}
+    curve = [gammas[p] for p in sorted(gammas)]
+    assert all(a > b for a, b in zip(curve, curve[1:]))
+
+
+def test_pbm_all_clicked_cell_saturates(spark):
+    # every impression of (q0,d0) clicked -> alpha pins to 1.0; the
+    # 1e-12 denominator floor keeps the unclicked impression of the
+    # OTHER pair finite even as its position's gamma rides high
+    imps = [(1, 0, 0, 1, 1), (2, 0, 0, 1, 1), (3, 0, 1, 1, 0)]
+    alphas, gammas = pbm_em(_df(spark, imps), iters=3)
+    a = {(r.q, r.d): r.alpha for r in alphas.collect()}
+    assert a[(0, 0)] == 1.0
+    assert 0.0 <= a[(0, 1)] < 1.0
+    assert all(r.gamma <= 1.0 for r in gammas.collect())
+
+
+def test_pbm_iters_zero_rejected(spark):
+    with pytest.raises(ValueError):
+        pbm_em(_df(spark, [(1, 0, 0, 1, 1)]), iters=0)
