@@ -58,6 +58,8 @@ __all__ = [
     "pbm_attractiveness",
     "pbm_examination",
     "pbm_oracle_sql",
+    "cascade_mle",
+    "cascade_oracle_sql",
 ]
 
 _EPS = 1e-12
@@ -209,3 +211,86 @@ def pbm_oracle_sql(
             f" FROM g{iters} g JOIN ng ON ng.p = g.p"
         )
     return "\n".join(parts)
+
+
+def cascade_mle(sessions: DataFrame) -> DataFrame:
+    """Cascade-model attractiveness MLE (Craswell et al. WSDM 2008, the
+    cascade hypothesis; Chuklin et al. 2015 §3.5) over a session log
+    with columns (s BIGINT session, q, d, p position, c in {0,1}).
+
+    Cascade semantics: the user scans a session's ranked list top-down
+    and stops at the FIRST click — so a result is *examined* iff its
+    position is at or above the session's first clicked position (all
+    positions when the session has no click), and only the first click
+    counts as a click (later clicks in the raw log are unexamined under
+    the model and ignored). The MLE is then closed-form per (q, d):
+
+        alpha = #(examined & first-click) / #examined
+
+    Pure integer counting plus one final division rounded to 6
+    decimals — exact on any engine at any parallelism, no EM needed
+    (the cascade likelihood factorizes; cf. the PBM needing
+    :func:`pbm_em`). Pairs never examined carry no evidence and are
+    dropped (the MLE is undefined there).
+
+    Output: (q, d, alpha, examined BIGINT, clicks BIGINT).
+
+    100 TB shape: first-click position is one map-side-combinable
+    groupBy(s) min; joining it back is co-partitioned on s (the log's
+    natural bucketing); the MLE is one more groupBy (q, d). No windows,
+    no Python, no skewed keys (sessions are uniformly sized).
+    """
+    first_click = sessions.groupBy("s").agg(
+        F.min(F.when(F.col("c") == 1, F.col("p"))).alias("_fcp")
+    )
+    e = sessions.join(first_click, "s").select(
+        "q",
+        "d",
+        (F.col("p") <= F.coalesce(F.col("_fcp"), F.lit(1 << 60)))
+        .cast("long")
+        .alias("_ex"),
+        ((F.col("c") == 1) & (F.col("p") == F.col("_fcp")))
+        .cast("long")
+        .alias("_ck"),
+    )
+    return (
+        e.groupBy("q", "d")
+        .agg(
+            F.sum("_ex").alias("examined"),
+            F.sum("_ck").alias("clicks"),
+        )
+        .filter(F.col("examined") > 0)
+        .select(
+            "q",
+            "d",
+            F.round(F.col("clicks") / F.col("examined"), 6).alias("alpha"),
+            "examined",
+            "clicks",
+        )
+    )
+
+
+def cascade_oracle_sql(sessions_cte: str) -> str:
+    """DuckDB oracle for :func:`cascade_mle` — same first-click window,
+    same integer counts, same single rounded division. ``sessions_cte``
+    must produce (s, q, d, p, c)."""
+    return f"""
+    WITH sess AS ({sessions_cte}),
+    fc AS (
+      SELECT s, MIN(CASE WHEN c = 1 THEN p END) AS fcp FROM sess GROUP BY s
+    ),
+    e AS (
+      SELECT sess.q, sess.d,
+             (CASE WHEN sess.p <= COALESCE(fc.fcp, 1152921504606846976)
+                   THEN 1 ELSE 0 END)::BIGINT AS ex,
+             (CASE WHEN sess.c = 1 AND sess.p = fc.fcp
+                   THEN 1 ELSE 0 END)::BIGINT AS ck
+      FROM sess JOIN fc ON fc.s = sess.s
+    )
+    SELECT q, d,
+           round(SUM(ck) / SUM(ex), 6) AS alpha,
+           SUM(ex)::BIGINT AS examined,
+           SUM(ck)::BIGINT AS clicks
+    FROM e GROUP BY q, d
+    HAVING SUM(ex) > 0
+    """

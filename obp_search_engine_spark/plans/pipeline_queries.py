@@ -4698,3 +4698,71 @@ def q_click_model_pbm_ctr(spark, sf_dir):
 )
 def q_click_model_pbm_exam(spark, sf_dir):
     return _cm.pbm_examination(_click_log(spark, sf_dir), iters=2)
+
+
+# Session-structured twin of _CLICK_LOG_CTE: 10-position ranked sessions
+# (s = event_id div 10, p = event_id % 10 + 1), same md5-derived q/d and
+# the same position-decaying click rule.
+_SESSION_LOG_CTE = """
+  SELECT s, q, d, p,
+         CASE WHEN hc % (p + 2) = 0 THEN 1 ELSE 0 END AS c
+  FROM (
+    SELECT e.event_id // 10 AS s,
+           e.event_id % 10 + 1 AS p,
+           ('0x'||substr(md5((e.event_id // 10)::VARCHAR||'#q'),1,6))::BIGINT
+             % 8 AS q,
+           ('0x'||substr(md5(e.event_id::VARCHAR||'#d'),1,6))::BIGINT
+             % 40 AS d,
+           ('0x'||substr(md5(e.event_id::VARCHAR||'#c'),1,6))::BIGINT AS hc
+    FROM events e
+  )
+"""
+
+
+def _session_log(spark, sf_dir):
+    """Spark twin of _SESSION_LOG_CTE — (s, q, d, p, c) ranked sessions."""
+
+    def h(col, tag):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(tag))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.expr("event_id div 10")
+    base = ev.select(
+        s.alias("s"),
+        (F.col("event_id") % 10 + 1).alias("p"),
+        (h(s, "#q") % 8).alias("q"),
+        (h(F.col("event_id"), "#d") % 40).alias("d"),
+        h(F.col("event_id"), "#c").alias("_hc"),
+    )
+    return base.select(
+        "s",
+        "q",
+        "d",
+        "p",
+        F.when(F.col("_hc") % (F.col("p") + 2) == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("c"),
+    )
+
+
+@register(
+    "click_model_cascade",
+    _cm.cascade_oracle_sql(_SESSION_LOG_CTE),
+    "Cascade-model attractiveness MLE (Craswell et al. WSDM 2008) over "
+    "md5-derived 10-position ranked sessions: the user scans top-down "
+    "and stops at the first click, so alpha_{qd} = first-clicks / "
+    "examinations in closed form — pure integer counting plus one "
+    "rounded division (no EM; the cascade likelihood factorizes). "
+    "First-click position is one map-side-combinable groupBy(s) min "
+    "joined back co-partitioned on s. Completes the click-model "
+    "family next to the EM-estimated PBM entries",
+)
+def q_click_model_cascade(spark, sf_dir):
+    return _cm.cascade_mle(_session_log(spark, sf_dir))

@@ -187,6 +187,7 @@ GRADE_PRIORITY: list[str] = [
     "search_ltr_linear",
     "click_model_pbm_ctr",
     "click_model_pbm_exam",
+    "click_model_cascade",
     "dup_substring_excise",
     "ann_lsh_topk_md5",
     "embedding_neardup_md5",

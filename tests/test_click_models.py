@@ -135,3 +135,58 @@ def test_pbm_all_clicked_cell_saturates(spark):
 def test_pbm_iters_zero_rejected(spark):
     with pytest.raises(ValueError):
         pbm_em(_df(spark, [(1, 0, 0, 1, 1)]), iters=0)
+
+
+# ---------------------------------------------------------------------------
+# cascade model
+# ---------------------------------------------------------------------------
+
+
+def _sess_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "s long, q long, d long, p long, c long"
+    )
+
+
+def test_cascade_hand_case(spark):
+    from obp_search_engine_spark.operators.click_models import cascade_mle
+
+    rows = [
+        # session 0: click at p=2 -> p1,p2 examined, p3 not
+        (0, 0, 10, 1, 0),
+        (0, 0, 11, 2, 1),
+        (0, 0, 12, 3, 0),
+        # session 1: no click -> everything examined
+        (1, 0, 10, 1, 0),
+        (1, 0, 12, 2, 0),
+        # session 2: clicks at p=1 AND p=3 -> only first counts;
+        # p3's doc is NOT examined despite its raw c=1
+        (2, 0, 11, 1, 1),
+        (2, 0, 10, 2, 0),
+        (2, 0, 12, 3, 1),
+    ]
+    got = {
+        (r.q, r.d): (r.alpha, r.examined, r.clicks)
+        for r in cascade_mle(_sess_df(spark, rows)).collect()
+    }
+    assert got == {
+        # examined s0p1 + s1p1 (s2p2 sits behind s2's first click at p1)
+        (0, 10): (0.0, 2, 0),
+        # examined s0p2 + s2p1, first-clicked both times
+        (0, 11): (1.0, 2, 2),
+        # only s1p2 (no-click session examines everything); s0p3 and
+        # s2p3 sit behind their sessions' first clicks — s2p3's raw
+        # c=1 is ignored under the cascade
+        (0, 12): (0.0, 1, 0),
+    }
+
+
+def test_cascade_never_examined_dropped(spark):
+    from obp_search_engine_spark.operators.click_models import cascade_mle
+
+    rows = [
+        (0, 0, 1, 1, 1),   # click at p1
+        (0, 0, 2, 2, 0),   # behind the click -> never examined
+    ]
+    got = cascade_mle(_sess_df(spark, rows)).collect()
+    assert {(r.q, r.d) for r in got} == {(0, 1)}
