@@ -60,6 +60,10 @@ __all__ = [
     "pbm_oracle_sql",
     "cascade_mle",
     "cascade_oracle_sql",
+    "dcm_mle",
+    "dcm_attractiveness",
+    "dcm_continuation",
+    "dcm_oracle_sql",
 ]
 
 _EPS = 1e-12
@@ -293,4 +297,147 @@ def cascade_oracle_sql(sessions_cte: str) -> str:
            SUM(ck)::BIGINT AS clicks
     FROM e GROUP BY q, d
     HAVING SUM(ex) > 0
+    """
+
+
+def dcm_mle(sessions: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Dependent Click Model MLE (Guo, Liu & Wang, WSDM 2009 "Efficient
+    multiple-click models in web search"; Chuklin et al. 2015 §3.6)
+    over the same (s, q, d, p, c) ranked-session log as
+    :func:`cascade_mle`.
+
+    DCM generalizes the cascade to MULTIPLE clicks per session: the
+    user scans top-down, always continues past an unclicked result,
+    and continues past a CLICKED result at position j with a
+    position-dependent continuation probability ``lambda_j``. Under
+    the paper's last-click approximation the examined prefix of a
+    session is
+
+        positions 1 .. last-clicked-position   (sessions with clicks)
+        the whole list                         (no-click sessions:
+                                                non-click continuation
+                                                is probability 1)
+
+    and both parameter families are closed-form integer counts:
+
+        alpha_{qd}  = clicks(q, d) / examinations(q, d)
+        lambda_j    = 1 - last-clicks(j) / clicks(j)
+
+    (every click sits at or above its session's last click, so all raw
+    clicks count — the multi-click behaviour the cascade throws away).
+    Pure counting plus one rounded division per output row — exact on
+    any engine at any parallelism. (q, d) pairs never examined and
+    positions never clicked carry no evidence and are dropped.
+
+    Returns ``(alphas, lambdas)``:
+    (q, d, alpha, examined BIGINT, clicks BIGINT) and
+    (p, lam, clicks BIGINT, last_clicks BIGINT).
+
+    100 TB shape: per-session last-click position is one
+    map-side-combinable groupBy(s) max; joining it back is
+    co-partitioned on s (the log's natural bucketing); each parameter
+    family is one more map-side-combined groupBy. No windows, no
+    Python, no skew (sessions are uniformly sized).
+    """
+    lc = sessions.groupBy("s").agg(
+        F.max(F.when(F.col("c") == 1, F.col("p"))).alias("_lcp"),
+        F.max("p").alias("_np"),
+    )
+    e = sessions.join(lc, "s")
+    alphas = (
+        e.select(
+            "q",
+            "d",
+            (F.col("p") <= F.coalesce(F.col("_lcp"), F.col("_np")))
+            .cast("long")
+            .alias("_ex"),
+            F.col("c").cast("long").alias("_ck"),
+        )
+        .groupBy("q", "d")
+        .agg(
+            F.sum("_ex").alias("examined"),
+            F.sum("_ck").alias("clicks"),
+        )
+        .filter(F.col("examined") > 0)
+        .select(
+            "q",
+            "d",
+            F.round(F.col("clicks") / F.col("examined"), 6).alias("alpha"),
+            "examined",
+            "clicks",
+        )
+    )
+    lambdas = (
+        e.filter(F.col("c") == 1)
+        .groupBy("p")
+        .agg(
+            F.count("*").alias("clicks"),
+            F.sum((F.col("p") == F.col("_lcp")).cast("long")).alias(
+                "last_clicks"
+            ),
+        )
+        .select(
+            "p",
+            F.round(
+                F.lit(1.0) - F.col("last_clicks") / F.col("clicks"), 6
+            ).alias("lam"),
+            "clicks",
+            "last_clicks",
+        )
+    )
+    return alphas, lambdas
+
+
+def dcm_attractiveness(sessions: DataFrame) -> DataFrame:
+    """(q, d, alpha, examined, clicks) — the DCM attractiveness table
+    (multi-click position-debiased CTR under the last-click
+    examination rule)."""
+    return dcm_mle(sessions)[0]
+
+
+def dcm_continuation(sessions: DataFrame) -> DataFrame:
+    """(p, lam, clicks, last_clicks) — the DCM continuation curve: the
+    probability a user keeps scanning after clicking at position p."""
+    return dcm_mle(sessions)[1]
+
+
+def dcm_oracle_sql(sessions_cte: str, output: str = "alpha") -> str:
+    """DuckDB oracle for :func:`dcm_mle` — same last-click prefix, same
+    integer counts, same single rounded division per row.
+    ``sessions_cte`` must produce (s, q, d, p, c)."""
+    if output not in ("alpha", "lambda"):
+        raise ValueError("output must be 'alpha' or 'lambda'")
+    head = f"""
+    WITH sess AS ({sessions_cte}),
+    lc AS (
+      SELECT s, MAX(CASE WHEN c = 1 THEN p END) AS lcp, MAX(p) AS np
+      FROM sess GROUP BY s
+    )
+    """
+    if output == "alpha":
+        return head + """
+        , e AS (
+          SELECT sess.q, sess.d,
+                 (CASE WHEN sess.p <= COALESCE(lc.lcp, lc.np)
+                       THEN 1 ELSE 0 END)::BIGINT AS ex,
+                 sess.c::BIGINT AS ck
+          FROM sess JOIN lc ON lc.s = sess.s
+        )
+        SELECT q, d,
+               round(SUM(ck) / SUM(ex), 6) AS alpha,
+               SUM(ex)::BIGINT AS examined,
+               SUM(ck)::BIGINT AS clicks
+        FROM e GROUP BY q, d
+        HAVING SUM(ex) > 0
+        """
+    return head + """
+    SELECT sess.p,
+           round(1.0 - SUM(CASE WHEN sess.p = lc.lcp THEN 1 ELSE 0 END)
+                       / COUNT(*), 6) AS lam,
+           COUNT(*)::BIGINT AS clicks,
+           SUM(CASE WHEN sess.p = lc.lcp THEN 1 ELSE 0 END)::BIGINT
+             AS last_clicks
+    FROM sess JOIN lc ON lc.s = sess.s
+    WHERE sess.c = 1
+    GROUP BY sess.p
     """

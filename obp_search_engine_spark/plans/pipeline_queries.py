@@ -1922,6 +1922,24 @@ def q_search_bm25_maxscore(spark, sf_dir):
 
 
 @register(
+    "search_bm25_blockmax",
+    ranking.bm25_oracle_sql(_BM25_TERMS, k=10),
+    "block-max pruned BM25 top-10 (Ding & Suel SIGIR 2011) — "
+    "result-identical to search_bm25_topk (graded against the SAME "
+    "exact oracle), but phase-2 bounds read per-(term, docid-block) "
+    "maxima from a broadcast skip table instead of max-score's one "
+    "global bound per term, so strictly more docs prune before the "
+    "wide struct-collect fold. The skip table is one extra "
+    "map-side-combined groupBy over the postings scan max-score "
+    "already reads; θ stays a 1-row lazy cross join, no driver collect",
+)
+def q_search_bm25_blockmax(spark, sf_dir):
+    return ranking.bm25_blockmax_topk(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k=10, block=64
+    )
+
+
+@register(
     "inverted_index_postings",
     ranking.inverted_index_oracle_sql(),
     "inverted-index build: one row per term with document frequency, "
@@ -4766,3 +4784,34 @@ def _session_log(spark, sf_dir):
 )
 def q_click_model_cascade(spark, sf_dir):
     return _cm.cascade_mle(_session_log(spark, sf_dir))
+
+
+@register(
+    "click_model_dcm_ctr",
+    _cm.dcm_oracle_sql(_SESSION_LOG_CTE, output="alpha"),
+    "Dependent Click Model attractiveness MLE (Guo, Liu & Wang WSDM "
+    "2009) over the same md5-derived ranked sessions — the multi-click "
+    "generalization of the cascade: the examined prefix runs to the "
+    "session's LAST click (whole list when no click), and every raw "
+    "click counts, so alpha_{qd} = clicks / examinations in closed "
+    "form. Pure integer counting plus one rounded division; last-click "
+    "position is one map-side-combinable groupBy(s) max joined back "
+    "co-partitioned on s. Completes the click-model trio "
+    "(PBM / cascade / DCM)",
+)
+def q_click_model_dcm_ctr(spark, sf_dir):
+    return _cm.dcm_attractiveness(_session_log(spark, sf_dir))
+
+
+@register(
+    "click_model_dcm_cont",
+    _cm.dcm_oracle_sql(_SESSION_LOG_CTE, output="lambda"),
+    "Dependent Click Model continuation curve lambda_p (Guo et al. WSDM "
+    "2009): the probability a user keeps scanning after a click at "
+    "position p, estimated closed-form as 1 - last-clicks(p)/clicks(p) "
+    "over the same session log. One groupBy(p) over the clicked rows "
+    "joined to the per-session last-click table; positions never "
+    "clicked carry no evidence and are dropped",
+)
+def q_click_model_dcm_cont(spark, sf_dir):
+    return _cm.dcm_continuation(_session_log(spark, sf_dir))

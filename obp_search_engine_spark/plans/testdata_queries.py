@@ -160,6 +160,7 @@ GRADE_PRIORITY: list[str] = [
     "event_rollup",
     "doclen_percentiles",
     "search_bm25_topk",
+    "search_bm25_blockmax",
     "search_bm25f",
     "inverted_index_postings",
     "more_like_this",
@@ -188,6 +189,8 @@ GRADE_PRIORITY: list[str] = [
     "click_model_pbm_ctr",
     "click_model_pbm_exam",
     "click_model_cascade",
+    "click_model_dcm_ctr",
+    "click_model_dcm_cont",
     "dup_substring_excise",
     "ann_lsh_topk_md5",
     "embedding_neardup_md5",

@@ -190,3 +190,133 @@ def test_cascade_never_examined_dropped(spark):
     ]
     got = cascade_mle(_sess_df(spark, rows)).collect()
     assert {(r.q, r.d) for r in got} == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# DCM (dependent click model)
+# ---------------------------------------------------------------------------
+
+
+def _py_dcm(rows):
+    """Reference DCM MLE: rows = [(s, q, d, p, c)]. Examined prefix runs
+    to the session's last click (whole list if none); alpha = clicks /
+    examinations per (q, d); lambda_p = 1 - last-clicks/clicks."""
+    lcp, np_ = {}, {}
+    for s, q, d, p, c in rows:
+        np_[s] = max(np_.get(s, 0), p)
+        if c == 1:
+            lcp[s] = max(lcp.get(s, 0), p)
+    ex, ck = {}, {}
+    lam_clicks, lam_last = {}, {}
+    for s, q, d, p, c in rows:
+        if p <= lcp.get(s, np_[s]):
+            ex[(q, d)] = ex.get((q, d), 0) + 1
+        ck[(q, d)] = ck.get((q, d), 0) + c
+        if c == 1:
+            lam_clicks[p] = lam_clicks.get(p, 0) + 1
+            if p == lcp[s]:
+                lam_last[p] = lam_last.get(p, 0) + 1
+    alphas = {
+        k: (round(ck.get(k, 0) / ex[k], 6), ex[k], ck.get(k, 0))
+        for k in ex
+    }
+    lambdas = {
+        p: (
+            round(1.0 - lam_last.get(p, 0) / n, 6),
+            n,
+            lam_last.get(p, 0),
+        )
+        for p, n in lam_clicks.items()
+    }
+    return alphas, lambdas
+
+
+def test_dcm_hand_case(spark):
+    from obp_search_engine_spark.operators.click_models import dcm_mle
+
+    rows = [
+        # session 0: clicks at p=1 and p=3 -> prefix 1..3 all examined,
+        # BOTH clicks count (the multi-click behaviour cascade drops)
+        (0, 0, 10, 1, 1),
+        (0, 0, 11, 2, 0),
+        (0, 0, 12, 3, 1),
+        (0, 0, 13, 4, 0),   # behind the last click -> unexamined
+        # session 1: no click -> whole list examined
+        (1, 0, 10, 1, 0),
+        (1, 0, 13, 2, 0),
+    ]
+    alphas, lambdas = dcm_mle(_sess_df(spark, rows))
+    got_a = {
+        (r.q, r.d): (r.alpha, r.examined, r.clicks)
+        for r in alphas.collect()
+    }
+    assert got_a == {
+        (0, 10): (0.5, 2, 1),
+        (0, 11): (0.0, 1, 0),
+        (0, 12): (1.0, 1, 1),
+        (0, 13): (0.0, 1, 0),   # s0p4 unexamined; only s1p2 counts
+    }
+    got_l = {
+        r.p: (r.lam, r.clicks, r.last_clicks) for r in lambdas.collect()
+    }
+    # p=1 clicked once, not the session's last click -> lambda 1.0;
+    # p=3 clicked once, IS the last click -> lambda 0.0
+    assert got_l == {1: (1.0, 1, 0), 3: (0.0, 1, 1)}
+
+
+def test_dcm_matches_python_reference(spark):
+    rng = random.Random(23)
+    rows = []
+    for s in range(60):
+        q = rng.randrange(4)
+        for p in range(1, rng.randrange(3, 8)):
+            rows.append(
+                (s, q, rng.randrange(9), p, 1 if rng.random() < 0.3 else 0)
+            )
+    want_a, want_l = _py_dcm(rows)
+    alphas, lambdas = __import__(
+        "obp_search_engine_spark.operators.click_models",
+        fromlist=["dcm_mle"],
+    ).dcm_mle(_sess_df(spark, rows))
+    got_a = {
+        (r.q, r.d): (r.alpha, r.examined, r.clicks)
+        for r in alphas.collect()
+    }
+    got_l = {
+        r.p: (r.lam, r.clicks, r.last_clicks) for r in lambdas.collect()
+    }
+    assert got_a == want_a
+    assert got_l == want_l
+
+
+def test_dcm_partitioning_invariant(spark):
+    from obp_search_engine_spark.operators.click_models import dcm_mle
+
+    rows = [
+        (i // 5, i % 3, i % 7, i % 5 + 1, 1 if i % 4 == 0 else 0)
+        for i in range(200)
+    ]
+    a1, l1 = dcm_mle(_sess_df(spark, rows))
+    a2, l2 = dcm_mle(_sess_df(spark, rows).repartition(13))
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, l2.collect()))
+
+
+def test_dcm_examines_at_least_cascade(spark):
+    # DCM's examined prefix (to the LAST click) always contains the
+    # cascade's (to the FIRST click), so per-(q,d) examination counts
+    # dominate and every cascade-examined pair is DCM-examined
+    from obp_search_engine_spark.operators.click_models import (
+        cascade_mle,
+        dcm_mle,
+    )
+
+    rows = [
+        (i // 6, (i // 6) % 3, i % 11, i % 6 + 1, 1 if i % 3 == 0 else 0)
+        for i in range(240)
+    ]
+    df = _sess_df(spark, rows)
+    casc = {(r.q, r.d): r.examined for r in cascade_mle(df).collect()}
+    dcm = {(r.q, r.d): r.examined for r in dcm_mle(df)[0].collect()}
+    assert set(casc) <= set(dcm)
+    assert all(dcm[k] >= casc[k] for k in casc)

