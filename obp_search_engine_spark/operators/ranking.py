@@ -2191,6 +2191,176 @@ def cori_oracle_sql(
     """
 
 
+def shard_selection_redde(
+    docs: DataFrame,
+    query_terms: list[str],
+    n_shards: int = 8,
+    sample_mod: int = 4,
+    topn: int = 40,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ReDDE resource selection (Si & Callan, SIGIR 2003 "Relevant
+    document distribution estimation method for resource selection") —
+    the sample-based alternative to :func:`shard_selection_cori`: the
+    broker holds a small CENTRAL SAMPLE of every shard, runs the query
+    against the sample only, and estimates each shard's relevant-doc
+    count by scaling its sample hits back up:
+
+        ÊR(s) = |{sample docs of s in the sample-run top-n}| · |C_s| / |S_s|
+
+    Shard membership is the md5_32(doc_id) % n_shards portable
+    bucketing (same as CORI); the sample is the deterministic
+    md5_32(doc_id || '#rs') % sample_mod == 0 bucket (an
+    expected-1/sample_mod uniform sample the oracle reproduces
+    exactly); the sample run is the exact BM25 chain of
+    :func:`bm25_topk` over the sample corpus (sample-local N/avgdl/df,
+    sorted-term fold, round(6), score DESC doc ASC tie-break). Shards
+    with an empty sample carry no evidence and are dropped (the
+    estimator is undefined there — identically on both engines);
+    sampled shards with zero top-n hits score 0.0.
+
+    100 TB shape: the broker-side query touches ONLY the ~|C|/sample_mod
+    sample rows — the whole point of ReDDE: shard sizes are one
+    map-side-combined groupBy of integers computed once at sample-build
+    time, and the per-query cost is a top-n over the central sample
+    regardless of corpus size.
+
+    Output: (shard, n_docs, n_sampled, in_topn, score) ordered
+    score DESC, shard ASC, with score = round(in_topn · n_docs /
+    n_sampled, 6).
+    """
+    from .dedup import md5_32_col
+
+    shard = (md5_32_col(F.col(id_col).cast("string")) % n_shards).cast("int")
+    in_sample = (
+        md5_32_col(F.concat(F.col(id_col).cast("string"), F.lit("#rs")))
+        % sample_mod
+        == 0
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(text_col),
+        shard.alias("shard"),
+        in_sample.alias("_in_sample"),
+    )
+    sizes = base.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("_in_sample").cast("long")).cast("long").alias("n_sampled"),
+    )
+    sample_top = bm25_topk(
+        base.filter("_in_sample").select(id_col, text_col),
+        query_terms,
+        k=topn,
+        k1=k1,
+        b=b,
+        text_col=text_col,
+        id_col=id_col,
+    ).select(id_col)
+    hits = (
+        base.join(F.broadcast(sample_top), id_col, "left_semi")
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("in_topn"))
+    )
+    return (
+        sizes.filter(F.col("n_sampled") > 0)
+        .join(hits, "shard", "left")
+        .select(
+            "shard",
+            "n_docs",
+            "n_sampled",
+            F.coalesce("in_topn", F.lit(0)).cast("long").alias("in_topn"),
+            F.round(
+                F.coalesce("in_topn", F.lit(0)).cast("double")
+                * F.col("n_docs")
+                / F.col("n_sampled"),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("shard").asc())
+    )
+
+
+def redde_oracle_sql(
+    query_terms: list[str],
+    n_shards: int = 8,
+    sample_mod: int = 4,
+    topn: int = 40,
+    k1: float = 1.2,
+    b: float = 0.75,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`shard_selection_redde` — identical md5
+    shard/sample bucketing, the exact :func:`bm25_oracle_sql` chain over
+    the sample corpus, and the same scaled integer estimate."""
+    terms = sorted(set(query_terms))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+    WITH base AS (
+      SELECT {id_col} AS doc, {text_col} AS txt,
+             (('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::BIGINT
+                % {int(n_shards)})::INT AS shard,
+             (('0x' || substr(md5({id_col}::VARCHAR || '#rs'), 1, 8))::BIGINT
+                % {int(sample_mod)} = 0) AS in_sample
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    sizes AS (
+      SELECT shard, COUNT(*)::BIGINT AS n_docs,
+             SUM(CASE WHEN in_sample THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+      FROM base GROUP BY shard
+    ),
+    corpus AS (
+      SELECT doc,
+             list_filter(string_split_regex(trim(lower(txt)), '\s+'),
+                         x -> x != '') AS t
+      FROM base WHERE in_sample
+    ),
+    stats AS (
+      SELECT COUNT(*)::DOUBLE AS n, AVG(len(t))::DOUBLE AS avgdl FROM corpus
+    ),
+    tf AS (
+      SELECT doc, len(t)::BIGINT AS dl, unnest(t) AS term FROM corpus
+    ),
+    tfa AS (
+      SELECT doc, dl, term, COUNT(*)::BIGINT AS tf FROM tf
+      WHERE term IN ({terms_sql})
+      GROUP BY doc, dl, term
+    ),
+    dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tfa GROUP BY term),
+    comp AS (
+      SELECT a.doc, a.term,
+             ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (a.tf * {k1 + 1.0!r})
+               / (a.tf + {k1!r} * ({1.0 - b!r} + {b!r} * a.dl::DOUBLE / s.avgdl))
+               AS c
+      FROM tfa a JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    sample_top AS (
+      SELECT doc,
+             round(list_reduce(list(c ORDER BY term), (x, y) -> x + y), 6)
+               AS score
+      FROM comp GROUP BY doc
+      ORDER BY score DESC, doc ASC LIMIT {int(topn)}
+    ),
+    hits AS (
+      SELECT b.shard, COUNT(*)::BIGINT AS in_topn
+      FROM base b JOIN sample_top t ON t.doc = b.doc
+      GROUP BY b.shard
+    )
+    SELECT s.shard, s.n_docs, s.n_sampled,
+           COALESCE(h.in_topn, 0)::BIGINT AS in_topn,
+           round(COALESCE(h.in_topn, 0)::DOUBLE * s.n_docs / s.n_sampled, 6)
+             AS score
+    FROM sizes s LEFT JOIN hits h ON h.shard = s.shard
+    WHERE s.n_sampled > 0
+    ORDER BY score DESC, s.shard ASC
+    """
+
+
 def serve_search_pipeline(
     docs: DataFrame,
     raw_terms: list[str],

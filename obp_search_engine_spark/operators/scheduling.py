@@ -348,3 +348,174 @@ def rendezvous_oracle_sql(
     )
     SELECT {key_col}, s::INT AS shard FROM ranked WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# UCB1 crawl-host bandit (Auer, Cesa-Bianchi & Fischer 2002)
+# ---------------------------------------------------------------------------
+
+
+def ucb1_crawl_schedule(
+    rewards: DataFrame,
+    rounds: int,
+    batch: int,
+    host_col: str = "host",
+) -> DataFrame:
+    """Batched UCB1 bandit scheduling of crawl-host pulls (Auer,
+    Cesa-Bianchi & Fischer, Machine Learning 2002, the UCB1 policy) —
+    the explore/exploit layer a revisit scheduler needs when per-host
+    yield (new URLs per fetch) is UNKNOWN and must be learned online,
+    complementing :func:`allocate_budget` (known demands) and
+    :func:`revisit_priority` (known change rates).
+
+    ``rewards`` holds the environment: (host, pull BIGINT >= 1,
+    reward BIGINT >= 0) — the deterministic reward a host yields on its
+    j-th pull (missing (host, pull) rows read as reward 0). Arms are
+    the distinct hosts. Each round t = 1..rounds pulls a BATCH of
+    ``batch`` hosts at once (one fetch slot each — the per-round
+    parallel crawl fleet):
+
+    * never-pulled hosts come first (UCB1's play-each-arm-once init),
+      ordered host ASC;
+    * played hosts rank by ucb = round(s/n + sqrt(2·ln(T)/n), 6) DESC,
+      host ASC — T = total pulls at round start, (n, s) the host's
+      pull count and reward sum;
+    * chosen hosts observe reward(host, n+1) and update (n, s).
+
+    The schedule is fully deterministic: all state is integer, the only
+    FP values are the rounded ucb scores whose ties break on host, so
+    the R-round recursion unrolls into an exact DuckDB oracle
+    (:func:`ucb1_oracle_sql`).
+
+    100 TB shape: bandit state is ONE ROW PER HOST (two integers) —
+    the per-round cost is a top-``batch`` TakeOrdered over that
+    host-stats frame plus one co-partitioned join against the reward
+    log, both map-side combinable; nothing is per-URL. ``rounds`` is
+    the driver-side loop (a crawl scheduler's natural cadence), each
+    iteration localCheckpointed like the PageRank family.
+
+    Output: one row per executed pull — (t, host, pull, reward, ucb
+    DOUBLE nullable; NULL on a host's first pull) ordered t ASC,
+    host ASC.
+    """
+    if rounds < 1 or batch < 1:
+        raise ValueError("ucb1_crawl_schedule requires rounds, batch >= 1")
+    rew = rewards.select(
+        F.col(host_col).alias("host"),
+        F.col("pull").cast("long").alias("pull"),
+        F.col("reward").cast("long").alias("reward"),
+    )
+    state = (
+        rew.select("host")
+        .distinct()
+        .withColumn("n", F.lit(0).cast("long"))
+        .withColumn("s", F.lit(0).cast("long"))
+    )
+    chosen_rounds = []
+    for t in range(1, rounds + 1):
+        tot = state.agg(F.sum("n").cast("double").alias("_T"))
+        scored = state.crossJoin(F.broadcast(tot)).select(
+            "host",
+            "n",
+            "s",
+            F.when(
+                F.col("n") > 0,
+                F.round(
+                    F.col("s").cast("double") / F.col("n")
+                    + F.sqrt(F.lit(2.0) * F.log("_T") / F.col("n")),
+                    6,
+                ),
+            ).alias("ucb"),
+        )
+        pick = scored.orderBy(
+            (F.col("n") == 0).desc(),
+            F.col("ucb").desc_nulls_last(),
+            F.col("host").asc(),
+        ).limit(batch)
+        obs = (
+            pick.withColumn("pull", F.col("n") + 1)
+            .join(rew, ["host", "pull"], "left")
+            .select(
+                F.lit(t).cast("long").alias("t"),
+                "host",
+                "pull",
+                F.coalesce("reward", F.lit(0)).cast("long").alias("reward"),
+                "ucb",
+            )
+            # consumed by the schedule output AND next round's state;
+            # O(batch) rows — pin it so the loop doesn't re-derive the
+            # whole prefix each round
+            .localCheckpoint(eager=False)
+        )
+        chosen_rounds.append(obs)
+        state = (
+            state.join(
+                obs.select("host", "reward"), "host", "left"
+            )
+            .select(
+                "host",
+                (
+                    F.col("n")
+                    + F.when(F.col("reward").isNotNull(), 1).otherwise(0)
+                ).cast("long").alias("n"),
+                (F.col("s") + F.coalesce("reward", F.lit(0)))
+                .cast("long")
+                .alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = chosen_rounds[0]
+    for df in chosen_rounds[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("t", "host")
+
+
+def ucb1_oracle_sql(rewards_cte: str, rounds: int, batch: int) -> str:
+    """DuckDB oracle for :func:`ucb1_crawl_schedule` — the bandit
+    recursion unrolled into one (score, pick, observe, state) CTE block
+    per round; same rounded ucb, same unplayed-first/host tie order,
+    same integer state. ``rewards_cte`` must produce
+    (host, pull, reward)."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and each round references the previous state three
+    # times, so un-materialized unrolling is exponential (3^rounds)
+    parts = [
+        f"WITH rew AS MATERIALIZED ({rewards_cte}),",
+        "s0 AS MATERIALIZED (SELECT host, 0::BIGINT AS n, 0::BIGINT AS s"
+        " FROM (SELECT DISTINCT host FROM rew)),",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"sc{t} AS MATERIALIZED (SELECT host, n, s,\n"
+            "  CASE WHEN n > 0 THEN round(s::DOUBLE / n\n"
+            f"    + sqrt(2.0 * ln((SELECT SUM(n)::DOUBLE FROM s{p})) / n), 6)\n"
+            f"  END AS ucb FROM s{p}),"
+        )
+        parts.append(
+            f"pk{t} AS MATERIALIZED (SELECT host, n, ucb FROM sc{t}\n"
+            "  ORDER BY (n = 0) DESC, ucb DESC NULLS LAST, host ASC\n"
+            f"  LIMIT {int(batch)}),"
+        )
+        parts.append(
+            f"ob{t} AS MATERIALIZED (SELECT {t}::BIGINT AS t, p.host,"
+            " (p.n + 1)::BIGINT AS pull,"
+            " COALESCE(r.reward, 0)::BIGINT AS reward, p.ucb\n"
+            f"  FROM pk{t} p LEFT JOIN rew r"
+            " ON r.host = p.host AND r.pull = p.n + 1),"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT s.host,\n"
+            "  (s.n + CASE WHEN o.host IS NULL THEN 0 ELSE 1 END)::BIGINT"
+            " AS n,\n"
+            "  (s.s + COALESCE(o.reward, 0))::BIGINT AS s\n"
+            f"  FROM s{p} s LEFT JOIN ob{t} o ON o.host = s.host),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM ob{t}" for t in range(1, rounds + 1)
+    )
+    parts.append(f"sched AS ({union})")
+    parts.append(
+        "SELECT t, host, pull, reward, ucb FROM sched ORDER BY t, host"
+    )
+    return "\n".join(parts)

@@ -644,6 +644,78 @@ def q_crawl_budget_alloc(spark, sf_dir):
     return scheduling.allocate_budget(demands, budget).orderBy("host")
 
 
+# Deterministic md5-derived per-pull host rewards (new-URL yield of a
+# host's j-th fetch): hosts are the 20 documents.source values, reward =
+# md5(host#r<j>) % 100 — same '0x'||substr(md5(...)) portable-hash
+# pattern as _PAGERANK_EDGES_CTE.
+_UCB1_ROUNDS, _UCB1_BATCH = 8, 5
+_UCB1_REWARDS_CTE = f"""
+  SELECT h.host, g.pull,
+         ('0x' || substr(md5(h.host || '#r' || g.pull::VARCHAR), 1, 6))::BIGINT
+           % 100 AS reward
+  FROM (SELECT DISTINCT source AS host FROM documents) h
+  CROSS JOIN (SELECT unnest(range(1, {_UCB1_ROUNDS + 1})) AS pull) g
+"""
+
+
+def _ucb1_rewards(spark, sf_dir):
+    """Spark twin of _UCB1_REWARDS_CTE — (host, pull, reward)."""
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("source").alias("host"))
+        .distinct()
+    )
+    return hosts.select(
+        "host",
+        F.explode(F.sequence(F.lit(1), F.lit(_UCB1_ROUNDS))).alias("pull"),
+    ).select(
+        "host",
+        F.col("pull").cast("long").alias("pull"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("host"),
+                            F.lit("#r"),
+                            F.col("pull").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("reward"),
+    )
+
+
+@register(
+    "crawl_host_bandit_ucb1",
+    scheduling.ucb1_oracle_sql(
+        _UCB1_REWARDS_CTE, rounds=_UCB1_ROUNDS, batch=_UCB1_BATCH
+    ),
+    "batched UCB1 crawl-host bandit (Auer et al. 2002): 8 rounds x 5 "
+    "fetch slots over the 20 document hosts, learning per-host yield "
+    "online — unplayed hosts first (play-each-arm-once init), then "
+    "round(mean + sqrt(2 ln T / n), 6) DESC with host tie-break; "
+    "rewards are the md5-derived per-pull yields. The explore/exploit "
+    "layer crawl_budget_alloc (known demands) and host_revisit_priority "
+    "(known change rates) lack. Bandit state is one (n, s) integer row "
+    "per host; each round is a top-batch TakeOrdered over that frame "
+    "plus one co-partitioned reward join, so the 8-round recursion "
+    "unrolls into an exact DuckDB oracle",
+)
+def q_crawl_host_bandit_ucb1(spark, sf_dir):
+    return scheduling.ucb1_crawl_schedule(
+        _ucb1_rewards(spark, sf_dir),
+        rounds=_UCB1_ROUNDS,
+        batch=_UCB1_BATCH,
+    )
+
+
 @register(
     "dup_substring_spans",
     r"""
@@ -4503,6 +4575,29 @@ def q_webgraph_gap_encoding(spark, sf_dir):
 def q_shard_selection_cori(spark, sf_dir):
     return ranking.shard_selection_cori(
         _t(spark, sf_dir, "documents"), _BM25_TERMS, n_shards=8
+    )
+
+
+@register(
+    "shard_selection_redde",
+    ranking.redde_oracle_sql(_BM25_TERMS, n_shards=8, sample_mod=4, topn=40),
+    "ReDDE resource selection (Si & Callan SIGIR 2003): estimate each "
+    "of the 8 md5-bucketed shards' relevant-doc count for "
+    "('hash','join','spark') by running the exact BM25 chain over a "
+    "deterministic md5 1-in-4 central sample, taking the sample top-40, "
+    "and scaling each shard's hits by n_docs/n_sampled — the "
+    "sample-based complement to shard_selection_cori's statistics "
+    "table. Per-query cost touches only the central sample regardless "
+    "of corpus size; shard sizes are one map-side-combined integer "
+    "groupBy built at sample time",
+)
+def q_shard_selection_redde(spark, sf_dir):
+    return ranking.shard_selection_redde(
+        _t(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        n_shards=8,
+        sample_mod=4,
+        topn=40,
     )
 
 

@@ -138,6 +138,7 @@ GRADE_PRIORITY: list[str] = [
     "autocomplete_index_delta",
     "webgraph_gap_encoding",
     "shard_selection_cori",
+    "shard_selection_redde",
     "search_query_likelihood",
     "search_rm3_expansion",
     "search_sdm",
@@ -169,6 +170,7 @@ GRADE_PRIORITY: list[str] = [
     "mirror_host_pairs",
     "redirect_resolution",
     "crawl_budget_alloc",
+    "crawl_host_bandit_ucb1",
     "snapshot_change_detection",
     "link_harmonic_centrality",
     "link_salsa",

@@ -966,3 +966,84 @@ def test_bm25_blockmax_edge_cases(spark):
     ]
     assert pruned == exact and len(pruned) == 2
     assert bm25_blockmax_topk(docs, ["zzz"], k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ReDDE shard selection (Si & Callan 2003)
+# ---------------------------------------------------------------------------
+
+
+def _py_redde(rows, terms, n_shards, sample_mod, topn):
+    """Pure-Python ReDDE reference: same md5 buckets, same BM25 chain
+    over the sample, same scaled integer estimate."""
+    import hashlib
+
+    def md5_32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    base = [
+        (i, t, md5_32(str(i)) % n_shards, md5_32(f"{i}#rs") % sample_mod == 0)
+        for i, t in rows
+        if t is not None
+    ]
+    sizes = {}
+    for i, t, s, smp in base:
+        nd, ns = sizes.get(s, (0, 0))
+        sizes[s] = (nd + 1, ns + (1 if smp else 0))
+    sample_rows = [(i, t) for i, t, s, smp in base if smp]
+    top = {d for d, _ in _py_bm25(sample_rows, terms, k=topn)}
+    hits = {}
+    for i, t, s, smp in base:
+        if i in top:
+            hits[s] = hits.get(s, 0) + 1
+    out = []
+    for s, (nd, ns) in sizes.items():
+        if ns == 0:
+            continue
+        h = hits.get(s, 0)
+        out.append((s, nd, ns, h, round(h * nd / ns, 6)))
+    out.sort(key=lambda r: (-r[4], r[0]))
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_redde_matches_python_reference(spark, seed):
+    from obp_search_engine_spark.operators.ranking import shard_selection_redde
+
+    rows = _rand_docs(random.Random(seed), n=150)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.shard, r.n_docs, r.n_sampled, r.in_topn, r.score)
+        for r in shard_selection_redde(
+            docs, ["hash", "join", "spark"], n_shards=4, sample_mod=3, topn=15
+        ).collect()
+    ]
+    assert got == _py_redde(rows, ["hash", "join", "spark"], 4, 3, 15)
+
+
+def test_redde_empty_sample_shard_dropped(spark):
+    # sample_mod large enough that (with this tiny corpus) some shard
+    # plausibly has no sampled doc; assert the invariant directly:
+    # every output shard has n_sampled > 0 and scores scale hits
+    from obp_search_engine_spark.operators.ranking import shard_selection_redde
+
+    rows = [(i, "hash join" if i % 3 == 0 else "scan sort") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shard_selection_redde(
+        docs, ["hash"], n_shards=8, sample_mod=5, topn=10
+    ).collect()
+    assert all(r.n_sampled > 0 for r in out)
+    for r in out:
+        assert r.score == round(r.in_topn * r.n_docs / r.n_sampled, 6)
+
+
+def test_redde_partitioning_invariant(spark):
+    from obp_search_engine_spark.operators.ranking import shard_selection_redde
+
+    rows = _rand_docs(random.Random(31), n=120)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = shard_selection_redde(docs, _WORDS[:3], n_shards=4).collect()
+    b = shard_selection_redde(
+        docs.repartition(13), _WORDS[:3], n_shards=4
+    ).collect()
+    assert list(map(tuple, a)) == list(map(tuple, b))

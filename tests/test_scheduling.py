@@ -120,3 +120,145 @@ def test_oracle_matches_python_reference():
     )
     got = {h: (d, a, s) for h, d, a, s in duckdb.sql(sql).fetchall()}
     assert got == _py_alloc(demands, budget)
+
+
+# ---------------------------------------------------------------------------
+# UCB1 crawl-host bandit
+# ---------------------------------------------------------------------------
+
+
+def _py_ucb1(rewards: dict, hosts, rounds: int, batch: int):
+    """Reference bandit: rewards = {(host, pull): reward}. Mirrors the
+    documented policy — unplayed-first/host-asc init, rounded ucb
+    DESC / host ASC, integer state."""
+    import math
+
+    n = {h: 0 for h in hosts}
+    s = {h: 0 for h in hosts}
+    out = []
+    for t in range(1, rounds + 1):
+        T = sum(n.values())
+        scored = []
+        for h in hosts:
+            if n[h] == 0:
+                key = (0, 0.0, h)  # unplayed bucket, ordered by host
+            else:
+                ucb = round(s[h] / n[h] + math.sqrt(2 * math.log(T) / n[h]), 6)
+                key = (1, -ucb, h)
+            scored.append((key, h))
+        scored.sort()
+        for _, h in scored[:batch]:
+            pull = n[h] + 1
+            r = rewards.get((h, pull), 0)
+            ucb = (
+                None
+                if n[h] == 0
+                else round(s[h] / n[h] + math.sqrt(2 * math.log(T) / n[h]), 6)
+            )
+            out.append((t, h, pull, r, ucb))
+            n[h] += 1
+            s[h] += r
+    out.sort(key=lambda r: (r[0], r[1]))
+    return out
+
+
+def _rewards_df(spark, rewards):
+    return spark.createDataFrame(
+        [(h, p, r) for (h, p), r in sorted(rewards.items())],
+        "host string, pull long, reward long",
+    )
+
+
+def test_ucb1_matches_python_reference(spark):
+    from obp_search_engine_spark.operators.scheduling import (
+        ucb1_crawl_schedule,
+    )
+
+    rng = random.Random(7)
+    hosts = [f"h{i:02d}" for i in range(9)]
+    rounds, batch = 7, 3
+    rewards = {
+        (h, p): rng.randrange(100)
+        for h in hosts
+        for p in range(1, rounds + 1)
+    }
+    got = [
+        (r.t, r.host, r.pull, r.reward, r.ucb)
+        for r in ucb1_crawl_schedule(
+            _rewards_df(spark, rewards), rounds=rounds, batch=batch
+        ).collect()
+    ]
+    assert got == _py_ucb1(rewards, hosts, rounds, batch)
+
+
+def test_ucb1_plays_every_arm_before_repeating(spark):
+    """With H hosts and batch B, the first ceil(H/B) rounds sweep every
+    arm exactly once (pull == 1) before any second pull happens."""
+    from obp_search_engine_spark.operators.scheduling import (
+        ucb1_crawl_schedule,
+    )
+
+    hosts = [f"h{i}" for i in range(10)]
+    rewards = {(h, p): 1 for h in hosts for p in range(1, 7)}
+    sched = ucb1_crawl_schedule(
+        _rewards_df(spark, rewards), rounds=6, batch=4
+    ).collect()
+    first_seen = {}
+    for r in sched:
+        first_seen.setdefault(r.host, (r.t, r.pull))
+    assert set(first_seen) == set(hosts)
+    sweep_rounds = {t for t, _ in first_seen.values()}
+    assert sweep_rounds <= {1, 2, 3}  # ceil(10/4) = 3
+    assert all(
+        r.pull == 1 for r in sched if r.t <= 2
+    )  # rounds 1-2 are pure first pulls
+
+
+def test_ucb1_exploits_the_better_arm(spark):
+    """Two arms, one always 90 one always 10: after the init sweep the
+    rich arm must take strictly more pulls."""
+    from obp_search_engine_spark.operators.scheduling import (
+        ucb1_crawl_schedule,
+    )
+
+    rounds = 10
+    rewards = {("rich", p): 90 for p in range(1, rounds + 1)}
+    rewards.update({("poor", p): 10 for p in range(1, rounds + 1)})
+    sched = ucb1_crawl_schedule(
+        _rewards_df(spark, rewards), rounds=rounds, batch=1
+    ).collect()
+    pulls = {"rich": 0, "poor": 0}
+    for r in sched:
+        pulls[r.host] += 1
+    assert pulls["rich"] > pulls["poor"]
+    assert pulls["rich"] + pulls["poor"] == rounds
+
+
+def test_ucb1_partitioning_invariant(spark):
+    from obp_search_engine_spark.operators.scheduling import (
+        ucb1_crawl_schedule,
+    )
+
+    rng = random.Random(19)
+    rewards = {
+        (f"h{i}", p): rng.randrange(50)
+        for i in range(8)
+        for p in range(1, 6)
+    }
+    a = ucb1_crawl_schedule(_rewards_df(spark, rewards), 5, 3).collect()
+    b = ucb1_crawl_schedule(
+        _rewards_df(spark, rewards).repartition(11), 5, 3
+    ).collect()
+    assert list(map(tuple, a)) == list(map(tuple, b))
+
+
+def test_ucb1_rejects_bad_params(spark):
+    from obp_search_engine_spark.operators.scheduling import (
+        ucb1_crawl_schedule,
+    )
+
+    df = _rewards_df(spark, {("h", 1): 1})
+    with pytest.raises(ValueError):
+        ucb1_crawl_schedule(df, rounds=0, batch=1)
+    with pytest.raises(ValueError):
+        ucb1_crawl_schedule(df, rounds=1, batch=0)
