@@ -441,3 +441,73 @@ def dcm_oracle_sql(sessions_cte: str, output: str = "alpha") -> str:
     WHERE sess.c = 1
     GROUP BY sess.p
     """
+
+
+def sdbn_satisfaction(sessions: DataFrame) -> DataFrame:
+    """Simplified-DBN satisfaction MLE (Chapelle & Zhang, WWW 2009 "A
+    dynamic bayesian network click model for web search ranking", the
+    gamma = 1 simplification; Chuklin et al. 2015 §3.8) over the same
+    (s, q, d, p, c) ranked-session log as :func:`dcm_mle`.
+
+    sDBN separates a clicked result's ATTRACTIVENESS (did it earn the
+    click — :func:`dcm_attractiveness` under the shared last-click
+    examination rule) from its SATISFACTION (did the click END the
+    search). With continuation probability 1 after an unsatisfying
+    click, the satisfaction MLE is closed-form per (q, d):
+
+        s_{qd} = #(sessions where d's click is the session's LAST click)
+                 / #(clicks on d)
+
+    — the probability that clicking d satisfied the user. Pure integer
+    counting plus one rounded division; pairs never clicked carry no
+    evidence and are dropped. Note the structural difference from
+    :func:`dcm_continuation`: DCM's lambda is per-POSITION (a browsing
+    trait), sDBN's satisfaction is per-(query, document) — the signal a
+    ranker consumes as a dwell-free "good abandonment" label.
+
+    Output: (q, d, sat, clicks BIGINT, last_clicks BIGINT).
+
+    100 TB shape: one groupBy(s) max joined back co-partitioned on s,
+    one map-side-combined groupBy (q, d). No windows, no Python.
+    """
+    lc = sessions.groupBy("s").agg(
+        F.max(F.when(F.col("c") == 1, F.col("p"))).alias("_lcp")
+    )
+    return (
+        sessions.filter(F.col("c") == 1)
+        .join(lc, "s")
+        .groupBy("q", "d")
+        .agg(
+            F.count("*").alias("clicks"),
+            F.sum((F.col("p") == F.col("_lcp")).cast("long")).alias(
+                "last_clicks"
+            ),
+        )
+        .select(
+            "q",
+            "d",
+            F.round(F.col("last_clicks") / F.col("clicks"), 6).alias("sat"),
+            "clicks",
+            "last_clicks",
+        )
+    )
+
+
+def sdbn_oracle_sql(sessions_cte: str) -> str:
+    """DuckDB oracle for :func:`sdbn_satisfaction` — same last-click
+    join, same integer counts, same rounded division."""
+    return f"""
+    WITH sess AS ({sessions_cte}),
+    lc AS (
+      SELECT s, MAX(CASE WHEN c = 1 THEN p END) AS lcp FROM sess GROUP BY s
+    )
+    SELECT sess.q, sess.d,
+           round(SUM(CASE WHEN sess.p = lc.lcp THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS sat,
+           COUNT(*)::BIGINT AS clicks,
+           SUM(CASE WHEN sess.p = lc.lcp THEN 1 ELSE 0 END)::BIGINT
+             AS last_clicks
+    FROM sess JOIN lc ON lc.s = sess.s
+    WHERE sess.c = 1
+    GROUP BY sess.q, sess.d
+    """

@@ -3435,6 +3435,145 @@ def quantized_impact_topk(
     )
 
 
+def champion_lists(
+    docs: DataFrame,
+    query_terms: list[str] | None = None,
+    m: int = 10,
+    b_bits: int = 8,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Champion lists / first-tier static index pruning (Manning,
+    Raghavan & Schuetze, *Introduction to Information Retrieval* 2008
+    §7.1.3-7.2.1; Persin, Zobel & Sacks-Davis JASIS 1996's
+    frequency-sorted early termination): for every term, keep only its
+    top-``m`` postings by quantized impact (impact DESC, doc ASC) —
+    the tier-1 index a high-QPS serving stack probes before falling
+    back to the full index. Built on :func:`quantized_impacts`, so
+    every stored value is a small integer and grading needs no FP
+    discipline beyond the already-portable BM25 component.
+
+    100 TB shape: the build is ONE window per term partition — the
+    same groupBy(term) shuffle the index build already pays — and the
+    output is bounded by vocab x m, typically 100-1000x smaller than
+    the postings it summarizes.
+
+    Output: (term, ``id_col``, impact, rank) with rank <= m,
+    ordered term ASC, rank ASC.
+    """
+    idx = quantized_impacts(
+        docs, query_terms, b_bits=b_bits, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("impact").desc(), F.col(id_col).asc()
+    )
+    return (
+        idx.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= m)
+        .orderBy("term", "rank")
+    )
+
+
+def champion_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    m: int = 10,
+    b_bits: int = 8,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tier-1 champion-list retrieval: candidates are the UNION of the
+    query terms\' champion lists (<= |q| x m docs — bounded and
+    broadcastable regardless of corpus size), then each candidate is
+    scored with its FULL integer impact sum over the query terms and
+    the top-k returned (impact_score DESC, doc ASC).
+
+    Deliberately approximate (the tiered-index trade: a doc outside
+    every champion list can never place, even if its summed impacts
+    would reach the top-k) — the oracle replicates the champion
+    candidate rule exactly rather than comparing against exhaustive
+    top-k; :func:`quantized_impact_topk` IS the exhaustive tier-2
+    fallback, and the pytest quantifies the overlap on a corpus where
+    tiering provably drops a doc.
+
+    100 TB shape: query-time cost is a broadcast semi-join of the
+    bounded candidate set against the query-restricted postings — the
+    whole point of tiering: latency scales with |q| x m, not corpus
+    size.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    idx = quantized_impacts(
+        docs, terms, b_bits=b_bits, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    ).localCheckpoint(eager=False)  # consumed by champions AND scoring
+    w = Window.partitionBy("term").orderBy(
+        F.col("impact").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        idx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select(id_col)
+        .distinct()
+    )
+    return (
+        idx.join(F.broadcast(cand), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum("impact").cast("long").alias("impact_score"))
+        .orderBy(F.col("impact_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def champion_oracle_sql(
+    query_terms: list[str],
+    m: int = 10,
+    k: int | None = None,
+    b_bits: int = 8,
+    k1: float = 1.2,
+    b: float = 0.75,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`champion_lists` (``k=None``) and
+    :func:`champion_topk` (``k`` set) — nests the exact
+    :func:`quantized_impacts_oracle_sql` chain, then the same
+    impact-DESC/doc-ASC window and candidate rule."""
+    inner = quantized_impacts_oracle_sql(
+        query_terms, b_bits=b_bits, k1=k1, b=b, topk=None,
+        docs_table=docs_table, text_col=text_col, id_col=id_col,
+    )
+    base = f"""
+    WITH qidx AS MATERIALIZED (SELECT * FROM ({inner})),
+    champs AS (
+      SELECT term, {id_col}, impact,
+             row_number() OVER (PARTITION BY term
+               ORDER BY impact DESC, {id_col} ASC)::INT AS rank
+      FROM qidx
+    )
+    """
+    if k is None:
+        return base + f"""
+        SELECT term, {id_col}, impact, rank FROM champs
+        WHERE rank <= {int(m)} ORDER BY term, rank
+        """
+    return base + f"""
+    , cand AS (
+      SELECT DISTINCT {id_col} FROM champs WHERE rank <= {int(m)}
+    )
+    SELECT q.{id_col}, SUM(q.impact)::BIGINT AS impact_score
+    FROM qidx q JOIN cand c USING ({id_col})
+    GROUP BY q.{id_col}
+    ORDER BY impact_score DESC, {id_col} ASC LIMIT {int(k)}
+    """
+
+
 def quantized_impacts_oracle_sql(
     query_terms: list[str],
     b_bits: int = 8,

@@ -4679,6 +4679,40 @@ def q_search_quantized_topk(spark, sf_dir):
     )
 
 
+@register(
+    "index_champion_lists",
+    ranking.champion_oracle_sql(_BM25_TERMS, m=10),
+    "champion lists / tier-1 static index pruning (Manning et al. IR "
+    "2008 §7.1.3; Persin et al. 1996): per term, only the top-10 "
+    "postings by 8-bit quantized impact (impact DESC, doc ASC) — the "
+    "first-tier index a high-QPS stack probes before the full postings. "
+    "One window per term partition on the same groupBy(term) shuffle "
+    "the index build already pays; output bounded by vocab x m. Oracle "
+    "nests the exact quantized-impacts chain plus the same window",
+)
+def q_index_champion_lists(spark, sf_dir):
+    return ranking.champion_lists(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, m=10, b_bits=8
+    )
+
+
+@register(
+    "search_champion_topk",
+    ranking.champion_oracle_sql(_BM25_TERMS, m=10, k=10),
+    "tier-1 champion-list retrieval: candidates = union of the query "
+    "terms' champion lists (<= |q| x m docs, broadcast), each scored "
+    "with its FULL integer impact sum, top-10. Deliberately "
+    "approximate (the tiered-index trade) — the oracle replicates the "
+    "champion candidate rule exactly; search_quantized_topk is the "
+    "exhaustive tier-2 fallback. Query latency scales with |q| x m, "
+    "not corpus size",
+)
+def q_search_champion_topk(spark, sf_dir):
+    return ranking.champion_topk(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k=10, m=10, b_bits=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # round 5 (cont.): link-graph density, LTR serving, click models —
 # continuing the exact-oracle discipline of everything above.
@@ -4910,3 +4944,18 @@ def q_click_model_dcm_ctr(spark, sf_dir):
 )
 def q_click_model_dcm_cont(spark, sf_dir):
     return _cm.dcm_continuation(_session_log(spark, sf_dir))
+
+
+@register(
+    "click_model_sdbn_sat",
+    _cm.sdbn_oracle_sql(_SESSION_LOG_CTE),
+    "simplified-DBN satisfaction MLE (Chapelle & Zhang WWW 2009, "
+    "gamma=1) over the same ranked sessions: s_{qd} = the probability "
+    "a click on d ENDED the search (its click is the session's last) — "
+    "the per-(query, doc) dwell-free relevance signal DCM's "
+    "per-position lambda cannot express. Closed-form integer counting "
+    "(one groupBy(s) max joined back, one groupBy (q,d)); completes "
+    "the click-model family: PBM (EM), cascade, DCM, sDBN",
+)
+def q_click_model_sdbn_sat(spark, sf_dir):
+    return _cm.sdbn_satisfaction(_session_log(spark, sf_dir))

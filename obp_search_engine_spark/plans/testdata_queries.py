@@ -144,6 +144,8 @@ GRADE_PRIORITY: list[str] = [
     "search_sdm",
     "index_quantized_impacts",
     "search_quantized_topk",
+    "index_champion_lists",
+    "search_champion_topk",
     "semdedup_keep",
     "dsir_resample_topk",
     "doc_stupid_backoff",
@@ -193,6 +195,7 @@ GRADE_PRIORITY: list[str] = [
     "click_model_cascade",
     "click_model_dcm_ctr",
     "click_model_dcm_cont",
+    "click_model_sdbn_sat",
     "dup_substring_excise",
     "ann_lsh_topk_md5",
     "embedding_neardup_md5",

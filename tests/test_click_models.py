@@ -320,3 +320,67 @@ def test_dcm_examines_at_least_cascade(spark):
     dcm = {(r.q, r.d): r.examined for r in dcm_mle(df)[0].collect()}
     assert set(casc) <= set(dcm)
     assert all(dcm[k] >= casc[k] for k in casc)
+
+
+# ---------------------------------------------------------------------------
+# sDBN satisfaction
+# ---------------------------------------------------------------------------
+
+
+def test_sdbn_hand_case(spark):
+    from obp_search_engine_spark.operators.click_models import (
+        sdbn_satisfaction,
+    )
+
+    rows = [
+        # session 0: clicks at p=1 (d=10) and p=3 (d=12) -> d12's click
+        # is the last (satisfied), d10's is not
+        (0, 0, 10, 1, 1),
+        (0, 0, 11, 2, 0),
+        (0, 0, 12, 3, 1),
+        # session 1: single click on d10 -> last click (satisfied)
+        (1, 0, 10, 1, 1),
+        (1, 0, 12, 2, 0),
+    ]
+    got = {
+        (r.q, r.d): (r.sat, r.clicks, r.last_clicks)
+        for r in sdbn_satisfaction(_sess_df(spark, rows)).collect()
+    }
+    assert got == {
+        (0, 10): (0.5, 2, 1),   # clicked twice, satisfied once
+        (0, 12): (1.0, 1, 1),
+    }
+    # d=11 never clicked -> no evidence -> dropped
+    assert (0, 11) not in got
+
+
+def test_sdbn_matches_python_reference(spark):
+    from obp_search_engine_spark.operators.click_models import (
+        sdbn_satisfaction,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    for s in range(80):
+        q = rng.randrange(4)
+        for p in range(1, rng.randrange(3, 8)):
+            rows.append(
+                (s, q, rng.randrange(9), p, 1 if rng.random() < 0.35 else 0)
+            )
+    lcp = {}
+    for s, q, d, p, c in rows:
+        if c == 1:
+            lcp[s] = max(lcp.get(s, 0), p)
+    want = {}
+    for s, q, d, p, c in rows:
+        if c == 1:
+            ck, last = want.get((q, d), (0, 0))
+            want[(q, d)] = (ck + 1, last + (1 if p == lcp[s] else 0))
+    want = {
+        k: (round(last / ck, 6), ck, last) for k, (ck, last) in want.items()
+    }
+    got = {
+        (r.q, r.d): (r.sat, r.clicks, r.last_clicks)
+        for r in sdbn_satisfaction(_sess_df(spark, rows)).collect()
+    }
+    assert got == want

@@ -1047,3 +1047,90 @@ def test_redde_partitioning_invariant(spark):
         docs.repartition(13), _WORDS[:3], n_shards=4
     ).collect()
     assert list(map(tuple, a)) == list(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# champion lists (tier-1 static pruning)
+# ---------------------------------------------------------------------------
+
+
+def test_champion_lists_structure(spark):
+    from obp_search_engine_spark.operators.ranking import (
+        champion_lists,
+        quantized_impacts,
+    )
+
+    rows = _rand_docs(random.Random(13), n=60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = 3
+    champs = champion_lists(docs, ["hash", "join"], m=m).collect()
+    # per-term: <= m rows, ranks 1..len contiguous, impacts non-increasing
+    by_term = {}
+    for r in champs:
+        by_term.setdefault(r.term, []).append(r)
+    full = {
+        (r.term, r.doc_id): r.impact
+        for r in quantized_impacts(docs, ["hash", "join"]).collect()
+    }
+    for term, rs in by_term.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= m
+        imps = [r.impact for r in rs]
+        assert imps == sorted(imps, reverse=True)
+        # each champion's impact matches the full index
+        for r in rs:
+            assert full[(term, r.doc_id)] == r.impact
+        # nothing outside the list beats the weakest champion under
+        # (impact DESC, doc ASC)
+        if len(rs) == m:
+            cutoff = (-rs[-1].impact, rs[-1].doc_id)
+            champ_docs = {r.doc_id for r in rs}
+            for (t, d), imp in full.items():
+                if t == term and d not in champ_docs:
+                    assert (-imp, d) > cutoff
+
+
+def test_champion_topk_scores_candidates_fully(spark):
+    """Champion retrieval scores candidates with their FULL impact sum
+    (both terms), even when a candidate entered via only one champion
+    list — and docs outside every champion list never place."""
+    from obp_search_engine_spark.operators.ranking import (
+        champion_topk,
+        quantized_impact_topk,
+    )
+
+    rows = _rand_docs(random.Random(29), n=80)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = champion_topk(docs, ["hash", "join", "spark"], k=5, m=4).collect()
+    exhaustive = {
+        r.doc_id: r.impact_score
+        for r in quantized_impact_topk(
+            docs, ["hash", "join", "spark"], k=200
+        ).collect()
+    }
+    for r in got:
+        assert exhaustive[r.doc_id] == r.impact_score  # full-info scores
+    scores = [r.impact_score for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_champion_topk_with_big_m_equals_exhaustive(spark):
+    """m larger than any postings list disables tiering: the champion
+    top-k must equal the exhaustive quantized top-k exactly."""
+    from obp_search_engine_spark.operators.ranking import (
+        champion_topk,
+        quantized_impact_topk,
+    )
+
+    rows = _rand_docs(random.Random(37), n=70)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [
+        (r.doc_id, r.impact_score)
+        for r in champion_topk(docs, ["hash", "join"], k=10, m=10_000).collect()
+    ]
+    b = [
+        (r.doc_id, r.impact_score)
+        for r in quantized_impact_topk(docs, ["hash", "join"], k=10).collect()
+    ]
+    assert a == b
