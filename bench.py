@@ -127,6 +127,22 @@ BENCH_QUERIES = [
     "semdedup_keep",
     "dsir_resample_topk",
     "doc_stupid_backoff",
+    # round-5 (cont.) additions: click-model family over the md5 session
+    # log, LTR serving, clustering coefficient, and the
+    # pruned/tiered/sampled serving structures (block-max, champion
+    # lists, ReDDE) + the UCB1 crawl-host bandit
+    "click_model_pbm_ctr",
+    "click_model_cascade",
+    "click_model_dcm_ctr",
+    "click_model_sdbn_sat",
+    "search_ltr_linear",
+    "link_clustering_coeff",
+    "search_bm25_blockmax",
+    "index_champion_lists",
+    "search_champion_topk",
+    "shard_selection_redde",
+    "crawl_host_bandit_ucb1",
+    "search_qpp_preretrieval",
 ]
 
 

@@ -2361,6 +2361,226 @@ def redde_oracle_sql(
     """
 
 
+def qpp_preretrieval(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pre-retrieval query-performance prediction (He & Ounis, SIGIR
+    2004 posters; Cronen-Townsend et al.'s clarity motivation; Zhao,
+    Scholer & Tsegay, ECIR 2008's SCQ) — the broker-side difficulty
+    estimates a serving stack computes BEFORE running a query, used to
+    pick fan-out depth, trigger expansion (cf. :func:`rm3_expansion_terms`),
+    or route to a fallback ranker. Per query q (a (query_id, terms)
+    fixture), from corpus statistics only:
+
+        idf(t)    = ln((N + 1) / (df_t + 1))          (df_t = 0 safe)
+        ictf(t)   = ln((T + 1) / (cf_t + 1))          (T = total tokens)
+        scq(t)    = (1 + ln(cf_t)) · idf(t)           (cf_t > 0 terms)
+        avg_idf   = mean idf over the query's DISTINCT terms
+        max_idf   = max idf
+        avg_ictf  = mean ictf
+        scq_sum   = Σ scq over terms with cf_t > 0     (0.0 if none)
+        scope     = n_q / N  — fraction of docs containing ≥1 query term
+
+    All statistics are integer counts off one corpus scan; the only FP
+    is the final fixed-shape ln/mean arithmetic, folded in sorted-term
+    order and rounded to 6 decimals (the module's FP-portability
+    recipe), so the whole predictor table grades via an exact oracle.
+
+    100 TB shape: df/cf are one map-side-combined groupBy(term) over
+    the scan, filtered to the (bounded, broadcast) query vocabulary
+    BEFORE the shuffle; scope is one left-semi count per query over the
+    same scan. Per-query cost is independent of corpus size once the
+    statistics table exists — exactly the table a broker keeps hot.
+
+    Output: (query_id, n_terms, avg_idf, max_idf, avg_ictf, scq_sum,
+    scope) ordered query_id ASC.
+    """
+    qrows = [
+        (qid, sorted(set(t.lower() for t in terms)))
+        for qid, terms in queries
+    ]
+    vocab = sorted({t for _, ts in qrows for t in ts})
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_doc"), toks.alias("_t")
+    )
+    totals = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.size("_t")).cast("long").alias("tot"),
+    )
+    stats = (
+        base.select("_doc", F.explode("_t").alias("term"))
+        .filter(F.col("term").isin(vocab))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("_doc").cast("long").alias("df"),
+            F.count("*").cast("long").alias("cf"),
+        )
+    )
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in qrows for t in ts],
+        "query_id string, term string",
+    )
+    qstats = (
+        qterms.join(F.broadcast(stats), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "term",
+            F.log(
+                (F.col("n").cast("double") + 1.0)
+                / (F.coalesce("df", F.lit(0)).cast("double") + 1.0)
+            ).alias("_idf"),
+            F.log(
+                (F.col("tot").cast("double") + 1.0)
+                / (F.coalesce("cf", F.lit(0)).cast("double") + 1.0)
+            ).alias("_ictf"),
+            F.when(
+                F.coalesce("cf", F.lit(0)) > 0,
+                (F.lit(1.0) + F.log(F.col("cf").cast("double")))
+                * F.log(
+                    (F.col("n").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                ),
+            ).alias("_scq"),
+        )
+    )
+    folded = qstats.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "_idf"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_idf"],
+            )
+            / F.count("*"),
+            6,
+        ).alias("avg_idf"),
+        F.round(F.max("_idf"), 6).alias("max_idf"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "_ictf"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_ictf"],
+            )
+            / F.count("*"),
+            6,
+        ).alias("avg_ictf"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "_scq"))),
+                F.lit(0.0),
+                lambda acc, x: acc + F.coalesce(x["_scq"], F.lit(0.0)),
+            ),
+            6,
+        ).alias("scq_sum"),
+    )
+    # scope: docs containing >= 1 of the query's terms, per query
+    hits = (
+        base.select("_doc", F.explode(F.array_distinct("_t")).alias("term"))
+        .filter(F.col("term").isin(vocab))
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "_doc")
+        .distinct()
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("_nq"))
+    )
+    return (
+        folded.join(hits, "query_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "n_terms",
+            "avg_idf",
+            "max_idf",
+            "avg_ictf",
+            "scq_sum",
+            F.round(
+                F.coalesce("_nq", F.lit(0)).cast("double") / F.col("n"), 6
+            ).alias("scope"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def qpp_oracle_sql(
+    queries: list[tuple[str, list[str]]],
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`qpp_preretrieval` — same integer
+    statistics, same ln shapes, same sorted-term folds and rounds."""
+    qrows = [
+        (qid, sorted(set(t.lower() for t in terms)))
+        for qid, terms in queries
+    ]
+    vocab = sorted({t for _, ts in qrows for t in ts})
+    vocab_sql = ", ".join(f"'{t}'" for t in vocab)
+    qterms_sql = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, '{t}' AS term"
+        for qid, ts in qrows
+        for t in ts
+    )
+    return rf"""
+    WITH corpus AS MATERIALIZED (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    totals AS (
+      SELECT COUNT(*)::BIGINT AS n, SUM(len(t))::BIGINT AS tot FROM corpus
+    ),
+    qterms AS ({qterms_sql}),
+    stats AS (
+      SELECT term, COUNT(DISTINCT doc)::BIGINT AS df, COUNT(*)::BIGINT AS cf
+      FROM (SELECT doc, unnest(t) AS term FROM corpus)
+      WHERE term IN ({vocab_sql})
+      GROUP BY term
+    ),
+    qstats AS (
+      SELECT q.query_id, q.term,
+             ln((tt.n + 1.0) / (COALESCE(s.df, 0) + 1.0)) AS idf,
+             ln((tt.tot + 1.0) / (COALESCE(s.cf, 0) + 1.0)) AS ictf,
+             CASE WHEN COALESCE(s.cf, 0) > 0
+                  THEN (1.0 + ln(s.cf::DOUBLE))
+                       * ln((tt.n + 1.0) / (s.df + 1.0)) END AS scq
+      FROM qterms q LEFT JOIN stats s ON s.term = q.term
+      CROSS JOIN totals tt
+    ),
+    folded AS (
+      SELECT query_id,
+             COUNT(*)::BIGINT AS n_terms,
+             round(list_reduce(list(idf ORDER BY term), (x, y) -> x + y)
+                   / COUNT(*), 6) AS avg_idf,
+             round(MAX(idf), 6) AS max_idf,
+             round(list_reduce(list(ictf ORDER BY term), (x, y) -> x + y)
+                   / COUNT(*), 6) AS avg_ictf,
+             round(list_reduce(
+                     list(COALESCE(scq, 0.0) ORDER BY term),
+                     (x, y) -> x + y), 6) AS scq_sum
+      FROM qstats GROUP BY query_id
+    ),
+    hits AS (
+      SELECT q.query_id, COUNT(DISTINCT c.doc)::BIGINT AS nq
+      FROM (SELECT doc, unnest(list_distinct(t)) AS term FROM corpus) c
+      JOIN qterms q ON q.term = c.term
+      GROUP BY q.query_id
+    )
+    SELECT f.query_id, f.n_terms, f.avg_idf, f.max_idf, f.avg_ictf,
+           f.scq_sum,
+           round(COALESCE(h.nq, 0)::DOUBLE / tt.n, 6) AS scope
+    FROM folded f LEFT JOIN hits h ON h.query_id = f.query_id
+    CROSS JOIN totals tt
+    ORDER BY f.query_id
+    """
+
+
 def serve_search_pipeline(
     docs: DataFrame,
     raw_terms: list[str],

@@ -4578,6 +4578,33 @@ def q_shard_selection_cori(spark, sf_dir):
     )
 
 
+_QPP_QUERIES = [
+    ("q1", ["hash", "join", "spark"]),
+    ("q2", ["merge", "sort"]),
+    ("q3", ["zzzunseen"]),  # out-of-vocabulary: df = cf = 0 path
+    ("q4", ["row", "scan", "hash", "sort"]),
+]
+
+
+@register(
+    "search_qpp_preretrieval",
+    ranking.qpp_oracle_sql(_QPP_QUERIES),
+    "pre-retrieval query-performance prediction (He & Ounis SIGIR 2004; "
+    "Zhao et al. ECIR 2008 SCQ): per fixture query, avg/max IDF, avg "
+    "ICTF, SCQ sum, and query scope from corpus statistics alone — the "
+    "difficulty estimates a broker computes BEFORE running a query to "
+    "pick fan-out depth or trigger RM3 expansion. One corpus scan "
+    "builds the (bounded, broadcast) query-vocabulary stats table with "
+    "map-side combine; q3 exercises the df=cf=0 out-of-vocabulary path "
+    "identically on both engines. Completes the broker family next to "
+    "shard_selection_cori / shard_selection_redde",
+)
+def q_search_qpp_preretrieval(spark, sf_dir):
+    return ranking.qpp_preretrieval(
+        _t(spark, sf_dir, "documents"), _QPP_QUERIES
+    )
+
+
 @register(
     "shard_selection_redde",
     ranking.redde_oracle_sql(_BM25_TERMS, n_shards=8, sample_mod=4, topn=40),

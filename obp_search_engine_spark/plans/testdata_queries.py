@@ -139,6 +139,7 @@ GRADE_PRIORITY: list[str] = [
     "webgraph_gap_encoding",
     "shard_selection_cori",
     "shard_selection_redde",
+    "search_qpp_preretrieval",
     "search_query_likelihood",
     "search_rm3_expansion",
     "search_sdm",

@@ -1134,3 +1134,78 @@ def test_champion_topk_with_big_m_equals_exhaustive(spark):
         for r in quantized_impact_topk(docs, ["hash", "join"], k=10).collect()
     ]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# pre-retrieval QPP
+# ---------------------------------------------------------------------------
+
+
+def test_qpp_matches_python_reference(spark):
+    from obp_search_engine_spark.operators.ranking import qpp_preretrieval
+
+    rows = _rand_docs(random.Random(43), n=90)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [
+        ("a", ["hash", "join"]),
+        ("b", ["spark", "page", "row"]),
+        ("c", ["nosuchtoken"]),
+    ]
+
+    import math
+
+    corpus = [(i, _tokens(t)) for i, t in rows if t is not None]
+    n = len(corpus)
+    tot = sum(len(t) for _, t in corpus)
+    want = {}
+    for qid, terms in queries:
+        terms = sorted(set(terms))
+        idfs, ictfs, scqs = [], [], []
+        for t in terms:  # sorted-term fold order
+            df = sum(1 for _, ts in corpus if t in ts)
+            cf = sum(ts.count(t) for _, ts in corpus)
+            idf = math.log((n + 1) / (df + 1))
+            idfs.append(idf)
+            ictfs.append(math.log((tot + 1) / (cf + 1)))
+            scqs.append((1 + math.log(cf)) * idf if cf > 0 else 0.0)
+        nq = sum(1 for _, ts in corpus if any(t in ts for t in terms))
+        want[qid] = (
+            len(terms),
+            round(sum_strict(idfs) / len(terms), 6),
+            round(max(idfs), 6),
+            round(sum_strict(ictfs) / len(terms), 6),
+            round(sum_strict(scqs), 6),
+            round(nq / n, 6),
+        )
+    got = {
+        r.query_id: (
+            r.n_terms, r.avg_idf, r.max_idf, r.avg_ictf, r.scq_sum, r.scope
+        )
+        for r in qpp_preretrieval(docs, queries).collect()
+    }
+    assert got == want
+
+
+def sum_strict(xs):
+    acc = 0.0
+    for x in xs:
+        acc += x
+    return acc
+
+
+def test_qpp_oov_query_scores_zero_scope(spark):
+    from obp_search_engine_spark.operators.ranking import qpp_preretrieval
+
+    docs = spark.createDataFrame(
+        [(0, "hash join"), (1, "scan"), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        r.query_id: r
+        for r in qpp_preretrieval(docs, [("q", ["zzz", "yyy"])]).collect()
+    }
+    r = got["q"]
+    assert r.scope == 0.0 and r.scq_sum == 0.0 and r.n_terms == 2
+    # df=0 -> idf = ln((N+1)/1) = ln(3), identical for both terms
+    import math
+
+    assert r.avg_idf == r.max_idf == round(math.log(3.0), 6)
