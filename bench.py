@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "shard_selection_redde",
     "crawl_host_bandit_ucb1",
     "search_qpp_preretrieval",
+    "search_query_reformulations",
+    "search_related_queries_coclick",
 ]
 
 

@@ -4986,3 +4986,76 @@ def q_click_model_dcm_cont(spark, sf_dir):
 )
 def q_click_model_sdbn_sat(spark, sf_dir):
     return _cm.sdbn_satisfaction(_session_log(spark, sf_dir))
+
+
+from ..operators import querylog as _ql  # noqa: E402
+
+# Per-user temporal query log over events: q = md5(event_id#qr) % 32 —
+# each event row is one issued query in the user's timeline.
+_QUERYLOG_CTE = """
+  SELECT user_id, ts, event_id,
+         ('0x'||substr(md5(event_id::VARCHAR||'#qr'),1,6))::BIGINT % 32 AS q
+  FROM events
+"""
+
+
+def _query_log(spark, sf_dir):
+    """Spark twin of _QUERYLOG_CTE — (user_id, ts, event_id, q)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"), F.lit("#qr")
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 32
+        ).alias("q"),
+    )
+
+
+@register(
+    "search_query_reformulations",
+    _ql.reformulations_oracle_sql(_QUERYLOG_CTE, k=5),
+    "query-flow graph top-5 reformulations per source query (Boldi et "
+    "al. CIKM 2008): consecutive query pairs inside each user's "
+    "timeline (ordered ts, event_id — a total order, so deterministic), "
+    "aggregated by frequency — the 'people also searched for' edge "
+    "list. One window per user partition (the log's natural bucketing), "
+    "one map-side-combined groupBy(pair), one bounded top-k window. "
+    "Pure integer counting",
+)
+def q_search_query_reformulations(spark, sf_dir):
+    return _ql.query_reformulations(_query_log(spark, sf_dir), k=5)
+
+
+@register(
+    "search_related_queries_coclick",
+    _ql.coclick_oracle_sql(
+        f"SELECT q, d FROM ({_CLICK_LOG_CTE}) WHERE c = 1", cap=7
+    ),
+    "related queries via shared clicked docs (Beeferman & Berger KDD "
+    "2000; Craswell & Szummer 2007): for every query pair sharing a "
+    "clicked doc, the distinct co-click count and integer "
+    "milli-Jaccard over their clicked-doc sets. Docs whose clicked-"
+    "query set exceeds the cap (7 — at sf0.01 that keeps the 2 "
+    "degree-7 docs and drops the 38 degree-8 ones, exercising both "
+    "sides of the cap) drop BEFORE the pair explosion — "
+    "the degree-cap discipline of related_pages_cocitation, applied "
+    "identically in the oracle. All integers; per-doc pair explosion "
+    "bounded by cap^2",
+)
+def q_search_related_queries_coclick(spark, sf_dir):
+    clicks = _click_log(spark, sf_dir).filter(F.col("c") == 1)
+    return _ql.related_queries_coclick(clicks, cap=7)

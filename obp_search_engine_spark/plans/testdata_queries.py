@@ -197,6 +197,8 @@ GRADE_PRIORITY: list[str] = [
     "click_model_dcm_ctr",
     "click_model_dcm_cont",
     "click_model_sdbn_sat",
+    "search_query_reformulations",
+    "search_related_queries_coclick",
     "dup_substring_excise",
     "ann_lsh_topk_md5",
     "embedding_neardup_md5",
