@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "search_qpp_preretrieval",
     "search_query_reformulations",
     "search_related_queries_coclick",
+    "search_mmr_rerank",
 ]
 
 

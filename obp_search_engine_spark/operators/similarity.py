@@ -702,3 +702,203 @@ def merge_ivf_index_delta(
         ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
     )
     return out.unionByName(delta_assigned.select(*out.columns))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998)
+# ---------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the serving-side diversification pass between ANN
+    retrieval and the result page: greedily select ``k`` results from
+    the relevance top-``pool``, each step maximizing
+
+        mmr(i) = lam * rel(i) - (1 - lam) * max_{s in selected} sim(i, s)
+
+    with rel = round(cosine(v, query), 5) (the module's portable-cosine
+    convention) and sim the pairwise candidate cosine, also rounded to
+    5. Step 1 has no selected set: maxsim is NULL and
+    mmr = round(lam * rel, 6); later steps round the combination to 6
+    decimals and break ties id ASC — a total order, so the greedy
+    recursion unrolls into an exact DuckDB oracle
+    (:func:`mmr_oracle_sql`).
+
+    100 TB shape: the corpus-sized work is ONE relevance top-``pool``
+    (a TakeOrdered scan — the same plan as :func:`brute_force_topk`, or
+    the ANN index probe upstream); everything after operates on the
+    bounded pool (pool² pairwise sims ≈ 400 rows at pool 20), so the
+    k greedy rounds cost O(pool²) total regardless of corpus size. No
+    driver collect — each pick is a 1-row TakeOrdered joined back
+    broadcast, like the UCB1 bandit loop.
+
+    Output: (step, ``id_col``, rel, maxsim, mmr) ordered step ASC.
+    """
+    if k < 1 or pool < k:
+        raise ValueError("mmr_rerank requires 1 <= k <= pool")
+    cand = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            F.round(cosine_col(F.col(vec_col), query), 5).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(pool)
+        .localCheckpoint(eager=False)  # pool rows; consumed k+1 times
+    )
+    a = cand.select(F.col(id_col).alias("_a"), F.col("_v").alias("_va"))
+    b = cand.select(F.col(id_col).alias("_b"), F.col("_v").alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with(
+            _as_double(F.col("_va")),
+            _as_double(F.col("_vb")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(_as_double(c), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sims = (
+        a.join(b)
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            "_a",
+            "_b",
+            F.round(dot / (norm(F.col("_va")) * norm(F.col("_vb"))), 5).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=False)  # pool^2 rows; consumed k-1 times
+    )
+    lam = float(lam)
+    picks = []
+    sel = None  # DataFrame of selected ids, column _s
+    for step in range(1, k + 1):
+        if sel is None:
+            scored = cand.select(
+                F.lit(step).cast("int").alias("step"),
+                F.col(id_col),
+                "rel",
+                F.lit(None).cast("double").alias("maxsim"),
+                F.round(F.lit(lam) * F.col("rel"), 6).alias("mmr"),
+            )
+        else:
+            ms = (
+                sims.join(
+                    F.broadcast(sel), sims["_b"] == sel["_s"], "left_semi"
+                )
+                .groupBy("_a")
+                .agg(F.max("sim").alias("maxsim"))
+            )
+            scored = (
+                cand.join(F.broadcast(sel), cand[id_col] == sel["_s"], "left_anti")
+                .join(
+                    F.broadcast(ms),
+                    cand[id_col] == F.col("_a"),
+                    "left",
+                )
+                .select(
+                    F.lit(step).cast("int").alias("step"),
+                    F.col(id_col),
+                    "rel",
+                    "maxsim",
+                    F.round(
+                        F.lit(lam) * F.col("rel")
+                        - F.lit(1.0 - lam) * F.coalesce("maxsim", F.lit(0.0)),
+                        6,
+                    ).alias("mmr"),
+                )
+            )
+        pick = (
+            scored.orderBy(F.desc("mmr"), F.asc(id_col))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick)
+        chosen = pick.select(F.col(id_col).alias("_s"))
+        sel = chosen if sel is None else sel.unionByName(chosen)
+        sel = sel.localCheckpoint(eager=False)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("step")
+
+
+def mmr_oracle_sql(
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+) -> str:
+    """DuckDB oracle for :func:`mmr_rerank` with the query vector =
+    ``table[id_col = query_id]``'s embedding — the greedy recursion
+    unrolled into one (maxsim, pick, selected) CTE block per step, same
+    5-decimal cosines, 6-decimal combination, id tie-break."""
+    lam = float(lam)
+    cos = (
+        "round(list_sum(list_transform(list_zip({x}, {y}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({x}, t -> CAST(t AS DOUBLE) * t)))"
+        " * sqrt(list_sum(list_transform({y}, t -> CAST(t AS DOUBLE) * t)))), 5)"
+    )
+    parts = [
+        f"WITH q AS MATERIALIZED (SELECT {vec_col} AS qe FROM {table}"
+        f" WHERE {id_col} = {int(query_id)}),",
+        "cand AS MATERIALIZED (",
+        f"  SELECT e.{id_col} AS id, e.{vec_col} AS v,",
+        "         " + cos.format(x=f"e.{vec_col}", y="q.qe") + " AS rel",
+        f"  FROM {table} e, q ORDER BY rel DESC, e.{id_col} ASC"
+        f" LIMIT {int(pool)}),",
+        "sims AS MATERIALIZED (",
+        "  SELECT a.id AS ia, b.id AS ib,",
+        "         " + cos.format(x="a.v", y="b.v") + " AS sim",
+        "  FROM cand a JOIN cand b ON a.id != b.id),",
+        f"p1 AS MATERIALIZED (SELECT 1::INT AS step, id, rel,"
+        f" NULL::DOUBLE AS maxsim, round({lam!r} * rel, 6) AS mmr"
+        f" FROM cand ORDER BY round({lam!r} * rel, 6) DESC, id ASC LIMIT 1),",
+        "s1 AS MATERIALIZED (SELECT id FROM p1),",
+    ]
+    for t in range(2, k + 1):
+        p = t - 1
+        parts.append(
+            f"ms{t} AS MATERIALIZED (SELECT ia AS id, MAX(sim) AS maxsim"
+            f" FROM sims WHERE ib IN (SELECT id FROM s{p}) GROUP BY ia),"
+        )
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT {t}::INT AS step, c.id, c.rel,"
+            f" m.maxsim,"
+            f" round({lam!r} * c.rel - {1.0 - lam!r}"
+            f" * COALESCE(m.maxsim, 0.0), 6) AS mmr"
+            f" FROM cand c LEFT JOIN ms{t} m ON m.id = c.id"
+            f" WHERE c.id NOT IN (SELECT id FROM s{p})"
+            f" ORDER BY mmr DESC, c.id ASC LIMIT 1),"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED"
+            f" (SELECT id FROM s{p} UNION ALL SELECT id FROM p{t}),"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM p{t}" for t in range(1, k + 1))
+    parts.append(f"sel AS ({union})")
+    parts.append(
+        f"SELECT step, id AS {id_col}, rel, maxsim, mmr FROM sel"
+        " ORDER BY step"
+    )
+    return "\n".join(parts)

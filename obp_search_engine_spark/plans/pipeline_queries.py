@@ -1737,6 +1737,27 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "search_mmr_rerank",
+    similarity.mmr_oracle_sql(k=5, pool=20, lam=0.7),
+    "MMR diversified re-ranking (Carbonell & Goldstein SIGIR 1998): "
+    "greedy top-5 from the cosine top-20 pool around "
+    "embeddings[vec_id=0], each step maximizing lam*rel - "
+    "(1-lam)*max-sim-to-selected (lam=0.7) — the serving-side "
+    "diversification pass between ANN retrieval and the result page. "
+    "Corpus-sized work is ONE TakeOrdered relevance scan; the k greedy "
+    "rounds run over the bounded pool (pool^2 pairwise sims), each "
+    "pick a 1-row TakeOrdered joined back broadcast (no driver "
+    "collect). 5-decimal portable cosines + 6-decimal combination + id "
+    "tie-break make the greedy recursion grade via unrolled "
+    "MATERIALIZED CTEs",
+)
+def q_search_mmr_rerank(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.mmr_rerank(e, query, k=5, pool=20, lam=0.7)
+
+
+@register(
     "ann_lsh_topk",
     None,
     "SRP-LSH bucketed ANN top-10 (multi-table probe + exact re-rank) — "

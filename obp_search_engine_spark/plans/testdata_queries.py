@@ -199,6 +199,7 @@ GRADE_PRIORITY: list[str] = [
     "click_model_sdbn_sat",
     "search_query_reformulations",
     "search_related_queries_coclick",
+    "search_mmr_rerank",
     "dup_substring_excise",
     "ann_lsh_topk_md5",
     "embedding_neardup_md5",

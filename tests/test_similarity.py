@@ -253,3 +253,116 @@ def test_md5_neardup_pairs_match_python_reference(vecs):
                     ref[(a, b)] = c
     assert got == ref
     assert len(got) > 0  # clustered fixture must produce near-dup pairs
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+
+def _py_mmr(vecs, query, k, pool, lam):
+    """Pure-Python greedy MMR mirroring the documented recipe: rel/sim
+    rounded to 5, combination to 6, ties by id."""
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 5)
+
+    rel = {i: cos(v, query) for i, v in vecs.items()}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:pool]
+    out, sel = [], []
+    for step in range(1, k + 1):
+        if not sel:
+            scored = [(round(lam * rel[i], 6), None, i) for i in cand]
+        else:
+            scored = []
+            for i in cand:
+                if i in sel:
+                    continue
+                ms = max(cos(vecs[i], vecs[s]) for s in sel)
+                scored.append(
+                    (round(lam * rel[i] - (1 - lam) * ms, 6), ms, i)
+                )
+        scored.sort(key=lambda t: (-t[0], t[2]))
+        mmr, ms, i = scored[0]
+        out.append((step, i, rel[i], ms, mmr))
+        sel.append(i)
+    return out
+
+
+def test_mmr_matches_python_reference(spark):
+    import random
+
+    from obp_search_engine_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(3)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)
+    }
+    query = [rng.uniform(-1, 1) for _ in range(8)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # cast to float32 like the real table, then read back the exact
+    # float32 values for the reference
+    f32 = {
+        r.vec_id: [float(x) for x in r.embedding] for r in df.collect()
+    }
+    want = _py_mmr(f32, query, k=5, pool=12, lam=0.7)
+    got = [
+        (r.step, r.vec_id, r.rel, r.maxsim, r.mmr)
+        for r in mmr_rerank(df, query, k=5, pool=12, lam=0.7).collect()
+    ]
+    assert got == want
+
+
+def test_mmr_diversifies_duplicate_cluster(spark):
+    """Three near-identical top-relevance vectors: pure relevance would
+    return all three first; MMR must interleave the diverse vector."""
+    from obp_search_engine_spark.operators.similarity import mmr_rerank
+
+    # query NOT colinear with the duplicate cluster (when it is, maxsim
+    # equals rel and MMR stays monotone in relevance — no reordering is
+    # possible at step 2, by algebra): cluster a0/a1 at rel~0.898 with
+    # sim(a0,a1)~1, diverse b at rel~0.79 with sim(b,a0)~0.44; at
+    # lam=0.7 mmr(b)=0.42 > mmr(a1)=0.33
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0]),
+        (2, [0.44, 0.9, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [0.9, 0.44, 0.0]
+    got = [
+        r.vec_id
+        for r in mmr_rerank(df, q, k=3, pool=3, lam=0.7).collect()
+    ]
+    # doc1's tiny y-component makes it the most relevant; MMR then
+    # promotes the diverse doc2 over the near-duplicate doc0
+    assert got == [1, 2, 0]
+    from obp_search_engine_spark.operators.similarity import brute_force_topk
+
+    rel_order = [r.vec_id for r in brute_force_topk(df, q, k=3).collect()]
+    assert rel_order == [1, 0, 2]   # pure relevance keeps the duplicate 2nd
+
+
+def test_mmr_step1_is_top_relevance_and_validation(spark):
+    import pytest as _pytest
+
+    from obp_search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    rows = [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0, 0.5, 0.25]
+    top1 = brute_force_topk(df, q, k=1).first().vec_id
+    first = mmr_rerank(df, q, k=2, pool=8).orderBy("step").first()
+    assert first.vec_id == top1 and first.maxsim is None
+    with _pytest.raises(ValueError):
+        mmr_rerank(df, q, k=5, pool=3)
