@@ -3032,6 +3032,108 @@ def err_oracle_sql(run_cte: str, qrels_cte: str, k: int = 10,
     """
 
 
+def rbp_at_k(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    max_grade: int = 3,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """RBP@k — Rank-Biased Precision (Moffat & Zobel, TOIS 2008) with
+    persistence p = 1/2 and graded gains r_i = rel_i / max_grade
+    (the graded extension of §5 of the paper):
+
+        RBP  = (1 - p) · Σ_{i=1..k} r_i · p^(i-1)
+        res  = (1 - p) · Σ_{i not judged-at-or-missing, i ≤ ∞} p^(i-1)
+
+    ``res`` is the RBP *residual* — the score mass the metric cannot
+    assign because the run is only k deep (tail beyond k) plus any rank
+    slots ≤ k the run left empty; RBP ≤ true-RBP ≤ RBP + res·1.0.
+
+    EXACT arithmetic: with p = 1/2 every weight p^(i-1) is dyadic, so
+    both engines fold the INTEGER sums
+
+        S = Σ rel_i · 2^(k-i)        (present, judged-or-0 ranks)
+        P = Σ 2^(k-i)                (present ranks)
+
+    and divide once at the end: RBP = S / (max_grade · 2^k),
+    residual = (2^k − P) / 2^k — a single exact division each, rounded
+    to 6, bit-identical at any shuffle parallelism.
+
+    100 TB shape: the run side is per-query bounded (k rows) by
+    construction; qrels is touched by one left equi join; the per-query
+    fold is a plain integer SUM with map-side combine.
+
+    Output: (query, rbp, residual), one row per query in the run.
+    """
+    r = run.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_rank"),
+    )
+    jr = r.join(
+        qrels.select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.col(rel_col).cast("long").alias("_rel"),
+        ),
+        ["_q", "_d"],
+        "left",
+    ).select(
+        "_q",
+        (
+            F.coalesce("_rel", F.lit(0))
+            * F.expr(f"shiftleft(1L, {int(k)} - _rank)")
+        ).alias("_s"),
+        F.expr(f"shiftleft(1L, {int(k)} - _rank)").alias("_p"),
+    )
+    denom = float(max_grade * (1 << k))
+    full = float(1 << k)
+    return (
+        jr.groupBy("_q")
+        .agg(F.sum("_s").alias("_S"), F.sum("_p").alias("_P"))
+        .select(
+            F.col("_q").alias(query_col),
+            F.round(F.col("_S").cast("double") / F.lit(denom), 6).alias(
+                "rbp"
+            ),
+            F.round(
+                (F.lit(full) - F.col("_P").cast("double")) / F.lit(full), 6
+            ).alias("residual"),
+        )
+    )
+
+
+def rbp_oracle_sql(run_cte: str, qrels_cte: str, k: int = 10,
+                   max_grade: int = 3) -> str:
+    """DuckDB oracle for :func:`rbp_at_k` — the same integer sums
+    S = Σ rel·2^(k-rank), P = Σ 2^(k-rank) and the same two exact final
+    divisions (see the operator docstring for why p = 1/2 makes this
+    bit-portable)."""
+    denom = float(max_grade * (1 << k))
+    full = float(1 << k)
+    return rf"""
+    WITH run0 AS MATERIALIZED ({run_cte}),
+    qrels0 AS MATERIALIZED ({qrels_cte}),
+    jr AS (
+      SELECT r.query,
+             COALESCE(q.rel, 0)::BIGINT * (1::BIGINT << ({int(k)} - r.rank))
+               AS s,
+             (1::BIGINT << ({int(k)} - r.rank)) AS p
+      FROM run0 r LEFT JOIN qrels0 q
+        ON q.query = r.query AND q.doc_id = r.doc_id
+      WHERE r.rank <= {int(k)}
+    )
+    SELECT query,
+           round(SUM(s)::DOUBLE / {denom!r}, 6) AS rbp,
+           round(({full!r} - SUM(p)::DOUBLE) / {full!r}, 6) AS residual
+    FROM jr GROUP BY query
+    """
+
+
 def map_oracle_sql(run_cte: str, qrels_cte: str, k: int = 10,
                    rel_threshold: int = 1) -> str:
     """DuckDB oracle for :func:`map_at_k`."""

@@ -4454,6 +4454,27 @@ def q_search_eval_err(spark, sf_dir):
     return ranking.err_at_k(runs, rels, k=10, max_grade=3)
 
 
+@register(
+    "search_eval_rbp",
+    ranking.rbp_oracle_sql(
+        _NDCG_RUN_CTE, _NDCG_QRELS_CTE, k=10, max_grade=3
+    ),
+    "RBP@10 + residual (Moffat & Zobel, TOIS 2008; persistence p = 1/2, "
+    "graded gains rel/3) over the same three runs/qrels: the "
+    "user-model metric that also REPORTS ITS OWN UNCERTAINTY — the "
+    "residual bounds the score mass lost to the unjudged tail, the "
+    "number a crawl operator watches when deciding whether judging "
+    "deeper would change the ranking verdict. With p = 1/2 every "
+    "geometric weight is dyadic, so both engines fold exact INTEGER "
+    "sums S = sum(rel<<(k-rank)), P = sum(1<<(k-rank)) and divide once "
+    "at the end — bit-identical at any parallelism; completes the "
+    "trec_eval family (nDCG/MAP/MRR/P/R/ERR/RBP)",
+)
+def q_search_eval_rbp(spark, sf_dir):
+    runs, rels = _ndcg_run_and_qrels(spark, sf_dir)
+    return ranking.rbp_at_k(runs, rels, k=10, max_grade=3)
+
+
 _SPELL_QUERY_TERMS = ["join", "hsh", "sparc", "filtr", "colum", "zzzzz"]
 
 

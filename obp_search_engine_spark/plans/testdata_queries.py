@@ -131,6 +131,7 @@ GRADE_PRIORITY: list[str] = [
     "search_eval_mrr",
     "search_eval_pr",
     "search_eval_err",
+    "search_eval_rbp",
     "search_spell_suggest",
     "search_autocomplete",
     "search_related_pmi",

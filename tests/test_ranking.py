@@ -563,6 +563,45 @@ def test_err_hand_computed_and_edges(spark):
     assert err_at_k(prun, pq, k=10).collect()[0].err == 0.875
 
 
+def test_rbp_hand_computed_and_residual(spark):
+    from obp_search_engine_spark.operators.ranking import rbp_at_k
+
+    # p = 1/2, graded gains rel/3: RBP = (1/2)·Σ (rel_i/3)·(1/2)^(i-1)
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 1, 3), ("q", 3, 1)], "query string, doc_id long, rel int"
+    )
+    row = rbp_at_k(run, qrels, k=10).collect()[0]
+    # rank1 rel3: (1/2)(1)(1) ; rank2 unjudged 0 ; rank3 rel1: (1/2)(1/3)(1/4)
+    assert row.rbp == round(0.5 * (1.0 + 0.0 + (1 / 3) * 0.25), 6)
+    # residual: run is 3 deep -> tail mass Σ_{i>=4}(1/2)^i = (1/2)^3
+    assert row.residual == round(0.125, 6)
+    # cutoff at k=2 drops the rank-3 gain AND adds it to the residual
+    row2 = rbp_at_k(run, qrels, k=2).collect()[0]
+    assert row2.rbp == 0.5
+    assert row2.residual == round(0.25, 6)
+    # a rank gap (rank 2 missing from the run) goes into the residual
+    gappy = spark.createDataFrame(
+        [("q", 1, 1), ("q", 3, 3)], "query string, doc_id long, rank int"
+    )
+    rg = rbp_at_k(gappy, qrels, k=3).collect()[0]
+    assert rg.residual == round(0.25 + 0.125, 6)
+    # perfect run: every rank max-grade, full depth -> rbp + residual = 1
+    perf = spark.createDataFrame(
+        [("p", d, d) for d in range(1, 11)],
+        "query string, doc_id long, rank int",
+    )
+    pq = spark.createDataFrame(
+        [("p", d, 3) for d in range(1, 11)],
+        "query string, doc_id long, rel int",
+    )
+    pr = rbp_at_k(perf, pq, k=10).collect()[0]
+    assert round(pr.rbp + pr.residual, 6) == 1.0
+
+
 def _docs(spark, texts):
     return spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
