@@ -927,6 +927,154 @@ def clustering_oracle_sql(edges_cte: str, scale: int = 1_000_000) -> str:
     """
 
 
+def _edge_support(g: DataFrame) -> DataFrame:
+    """(a, b, sup) — per-edge triangle support over a canonical
+    undirected edge set ``g(a < b)``, via the same degree orientation
+    as :func:`_deg_triangles` (each triangle enumerated at exactly one
+    wedge, oriented out-degree O(sqrt m) — the hub-skew defense), then
+    exploded back to its three canonical edges. Edges in no triangle
+    get sup 0 via the final left join."""
+    deg = (
+        g.select(F.col("a").alias("node"))
+        .unionAll(g.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ew = g.join(da, "a").join(db, "b")
+    lo_is_a = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ew.select(
+        F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_is_a, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
+    ).persist()
+    o1 = oriented.select(
+        F.col("lo").alias("w"), F.col("hi").alias("u"), F.col("deg_hi").alias("deg_u")
+    )
+    o2 = oriented.select(
+        F.col("lo").alias("w"), F.col("hi").alias("v"), F.col("deg_hi").alias("deg_v")
+    )
+    wedges = o1.join(o2, "w").filter(
+        (F.col("deg_u") < F.col("deg_v"))
+        | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+    )
+    closing = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    tri = wedges.join(closing, ["u", "v"]).select("w", "u", "v")
+    pairs = (
+        tri.select(F.col("w").alias("x"), F.col("u").alias("y"))
+        .unionAll(tri.select(F.col("w").alias("x"), F.col("v").alias("y")))
+        .unionAll(tri.select(F.col("u").alias("x"), F.col("v").alias("y")))
+    )
+    sup = (
+        pairs.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("sup"))
+    )
+    out = g.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("sup")
+    )
+    oriented.unpersist()
+    return out
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int,
+    peels: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-truss edge peeling (Cohen 2008) over the undirected simple
+    graph: repeatedly delete edges whose triangle support is < k-2
+    (``peels`` synchronous rounds), returning survivors with their
+    support inside the surviving subgraph. The truss is the EDGE-level
+    sharpening of :func:`kcore_nodes` — a k-core can be a star (zero
+    triangles) but every k-truss edge sits in >= k-2 triangles, so
+    trusses isolate the genuinely clique-like link-farm / template-ring
+    cores that degree alone cannot distinguish from hubs (the k-truss
+    is contained in the (k-1)-core but is strictly denser).
+
+    Same fixed-round grading convention as :func:`kcore_nodes`: a
+    fixed-depth peel grades exactly; at web scale rounds~10 hits the
+    fixpoint because each round removes whole support-layers.
+    Deterministic: supports are exact integer triangle counts (degree
+    orientation, each triangle counted once — see :func:`_edge_support`).
+
+    Output: (a BIGINT, b BIGINT, sup BIGINT) canonical (a < b) edges
+    alive after ``peels`` rounds whose final-subgraph support is still
+    >= k-2.
+
+    100 TB shape: each round is the O(m^1.5)-bounded oriented wedge
+    join plus one shuffled-hash join of edges against supports — the
+    same per-round cost as one triangle count; no driver state, lineage
+    truncated per round. Reference analogue: the ban-cluster heuristic
+    family (banserver moderation console) — truss membership is the
+    graph-native "this whole ring is one operation" signal.
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3 (k-2 support threshold)")
+    g = _undirected(edges, src_col, dst_col).localCheckpoint(eager=True)
+    for _ in range(peels):
+        s = _edge_support(g)
+        g = (
+            s.filter(F.col("sup") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return _edge_support(g).filter(F.col("sup") >= k - 2)
+
+
+def _support_sql(g: str, tag: str) -> str:
+    """CTE chain computing per-edge triangle support over edge set CTE
+    ``g`` — the SQL twin of :func:`_edge_support`; emits ``s{tag}``
+    with (a, b, sup)."""
+    return (
+        f"d{tag} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM ("
+        f"SELECT a AS node FROM {g} UNION ALL SELECT b FROM {g}) GROUP BY node),\n"
+        f"o{tag} AS MATERIALIZED (SELECT"
+        f" CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS lo,"
+        f" CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS hi,"
+        f" CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS deg_hi"
+        f" FROM {g} u JOIN d{tag} da ON da.node = u.a"
+        f" JOIN d{tag} db ON db.node = u.b),\n"
+        f"t{tag} AS MATERIALIZED (SELECT w.w, w.u, w.v FROM ("
+        f"SELECT o1.lo AS w, o1.hi AS u, o2.hi AS v"
+        f" FROM o{tag} o1 JOIN o{tag} o2 ON o1.lo = o2.lo"
+        f" WHERE (o1.deg_hi, o1.hi) < (o2.deg_hi, o2.hi)) w"
+        f" JOIN o{tag} o ON o.lo = w.u AND o.hi = w.v),\n"
+        f"p{tag} AS MATERIALIZED (SELECT least(x, y) AS a, greatest(x, y) AS b,"
+        f" COUNT(*) AS c FROM ("
+        f"SELECT w AS x, u AS y FROM t{tag}"
+        f" UNION ALL SELECT w, v FROM t{tag}"
+        f" UNION ALL SELECT u, v FROM t{tag}) GROUP BY 1, 2),\n"
+        f"s{tag} AS MATERIALIZED (SELECT g.a, g.b, COALESCE(p.c, 0)::BIGINT AS sup"
+        f" FROM {g} g LEFT JOIN p{tag} p ON p.a = g.a AND p.b = g.b)"
+    )
+
+
+def ktruss_oracle_sql(edges_cte: str, k: int, peels: int = 3) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`ktruss_edges` — the same
+    degree-oriented support count and the same >= k-2 peel per round."""
+    parts = [
+        f"WITH e0 AS ({edges_cte}),",
+        "g0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM e0 WHERE src != dst),",
+    ]
+    for i in range(1, peels + 1):
+        parts.append(_support_sql(f"g{i - 1}", str(i)) + ",")
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT a, b FROM s{i} WHERE sup >= {k - 2}),"
+        )
+    parts.append(_support_sql(f"g{peels}", "f"))
+    parts.append(f"SELECT a, b, sup FROM sf WHERE sup >= {k - 2}")
+    return "\n".join(parts)
+
+
 def triangle_oracle_sql(edges_cte: str) -> str:
     """DuckDB oracle for :func:`triangle_counts` — same degree
     orientation, same wedge-plus-closure join, exact integer counts."""

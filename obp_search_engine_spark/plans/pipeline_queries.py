@@ -3523,6 +3523,22 @@ def q_link_kcore(spark, sf_dir):
 
 
 @register(
+    "link_ktruss",
+    graph.ktruss_oracle_sql(_PAGERANK_EDGES_CTE, k=3, peels=3),
+    "k-truss edge peeling (k=3, 3 synchronous rounds; Cohen 2008) over "
+    "the undirected md5-derived link graph: repeatedly delete edges in "
+    "fewer than k-2 triangles, return survivors with their in-subgraph "
+    "support. The EDGE-level sharpening of link_kcore — a core can be "
+    "a star, but every truss edge closes triangles, so trusses isolate "
+    "the clique-like link-farm rings degree alone cannot. Per round "
+    "one degree-oriented wedge join (O(m^1.5), hub-skew safe) + one "
+    "edge-support join; exact integer supports, unrolled-CTE oracle",
+)
+def q_link_ktruss(spark, sf_dir):
+    return graph.ktruss_edges(_pagerank_edges(spark, sf_dir), k=3, peels=3)
+
+
+@register(
     "link_reciprocity",
     graph.reciprocity_oracle_sql(_PAGERANK_EDGES_CTE),
     "per-node link reciprocity in integer milli-units: how many of a "

@@ -132,6 +132,7 @@ GRADE_PRIORITY: list[str] = [
     "search_eval_pr",
     "search_eval_err",
     "search_eval_rbp",
+    "link_ktruss",
     "search_spell_suggest",
     "search_autocomplete",
     "search_related_pmi",

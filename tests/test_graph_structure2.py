@@ -175,3 +175,61 @@ def test_registrable_domain_psl_lite(spark):
         4: "localhost",
         5: "example.com.au",
     }
+
+
+def _py_ktruss(edges, k, peels):
+    g = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+
+    def support(g):
+        adj = {}
+        for a, b in g:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {
+            (a, b): len(adj[a] & adj[b]) for a, b in g
+        }
+
+    for _ in range(peels):
+        s = support(g)
+        g = {e for e in g if s[e] >= k - 2}
+    s = support(g)
+    return {e: c for e, c in s.items() if c >= k - 2}
+
+
+def test_ktruss_clique_triangle_pendant(spark):
+    from obp_search_engine_spark.operators.graph import ktruss_edges
+
+    # 4-clique {1..4} (every edge in 2 triangles), pendant triangle
+    # {4,5,6} (support 1 each), dangling edge (6,7) (support 0)
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (4, 6), (5, 6), (6, 7),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # k=3 (sup >= 1): dangling edge peels, clique + triangle survive
+    got3 = {(r.a, r.b): r.sup for r in ktruss_edges(df, k=3, peels=2).collect()}
+    assert got3 == {
+        (1, 2): 2, (1, 3): 2, (1, 4): 2, (2, 3): 2, (2, 4): 2, (3, 4): 2,
+        (4, 5): 1, (4, 6): 1, (5, 6): 1,
+    }
+    # k=4 (sup >= 2): only the clique's edges survive
+    got4 = {(r.a, r.b): r.sup for r in ktruss_edges(df, k=4, peels=2).collect()}
+    assert got4 == {
+        (1, 2): 2, (1, 3): 2, (1, 4): 2, (2, 3): 2, (2, 4): 2, (3, 4): 2,
+    }
+    # k=5 (sup >= 3): nothing survives
+    assert ktruss_edges(df, k=5, peels=2).count() == 0
+    # k < 3 rejected
+    with pytest.raises(ValueError):
+        ktruss_edges(df, k=2)
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_ktruss_matches_python_reference(spark, seed):
+    from obp_search_engine_spark.operators.graph import ktruss_edges
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(24), rng.randrange(24)) for _ in range(140)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b): r.sup for r in ktruss_edges(df, k=4, peels=3).collect()}
+    assert got == _py_ktruss(edges, k=4, peels=3)
