@@ -2798,6 +2798,209 @@ def serve_search_oracle_sql(
     """
 
 
+def textrank_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    iters: int = 4,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    per document, build the undirected token co-occurrence graph
+    (adjacent-token pairs, window 2, unweighted — the paper's base
+    configuration), run ``iters`` rounds of PageRank on it, and return
+    the top-``k`` tokens per doc by rank. The web-scale analogue of
+    hand-curated listing tags (items.tags, crawler/db/mysql.go:53-59;
+    surfaced by /search/toptags, apiserver/index.js:305-339): automatic
+    tag generation for the untagged majority of a crawled corpus.
+
+    EXACT arithmetic — the same BIGINT mass-unit scheme as
+    ``graph.pagerank``: per doc, init = scale // n_d (n_d = graph
+    vertices of that doc), base = ((den-num)·init) // den, and each
+    contribution is (num·rank) div (den·deg) — pure integer div
+    truncation, so ranks are bit-identical at any shuffle parallelism
+    and engine. Tokens that never co-occur with a DIFFERENT adjacent
+    token (single-token docs, immediate self-repeats only) have no
+    vertex and are not ranked, per the paper's graph construction.
+
+    100 TB shape: everything keys on (doc, term) — the co-occurrence
+    graph never crosses documents, so every join and groupBy in the
+    iteration is co-partitioned by doc and there is no corpus-sized
+    hot key; the per-doc vertex count n_d rides a broadcast-sized...
+    no — a same-key groupBy join, map-side combined. The final top-k
+    is one window over (doc), per-doc bounded. One explode of the
+    token stream total; no Python anywhere.
+
+    Output: (doc_id, term, tr_rank BIGINT, pos INT) with pos = 1..k by
+    (tr_rank DESC, term ASC).
+    """
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
+    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_doc"), toks.alias("_t")
+    )
+    n1 = F.size("_t") - 1
+    adj = base.select(
+        "_doc",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, F.greatest(n1, F.lit(0))).alias("x"),
+                F.slice("_t", 2, F.greatest(n1, F.lit(0))).alias("y"),
+            )
+        ).alias("_p"),
+    ).select(
+        "_doc", F.col("_p.x").alias("x"), F.col("_p.y").alias("y")
+    )
+    und = (
+        adj.filter(F.col("x") != F.col("y"))
+        .select(
+            "_doc",
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+        )
+        .distinct()
+    )
+    sym = und.select("_doc", F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select("_doc", F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("_doc", "u").agg(F.count("*").alias("deg"))
+    ew = sym.join(deg, ["_doc", "u"]).persist()
+    nodes = deg.select("_doc", F.col("u").alias("node"))
+    per_doc = nodes.groupBy("_doc").agg(F.count("*").alias("_n"))
+    init = per_doc.select(
+        "_doc",
+        F.expr(f"{int(scale)}L div _n").alias("_init"),
+    ).select(
+        "_doc",
+        "_init",
+        F.expr(f"({den - num} * _init) div {den}").alias("_base"),
+    )
+    ranks = nodes.join(init, "_doc").select(
+        "_doc", "node", F.col("_init").alias("rank")
+    )
+    nb = nodes.join(init, "_doc").select("_doc", "node", "_base").persist()
+    for i in range(iters):
+        r = ranks.select(
+            F.col("_doc").alias("_rd"),
+            F.col("node").alias("_rn"),
+            F.col("rank").alias("_rr"),
+        )
+        contrib = (
+            ew.join(
+                r, (ew["_doc"] == r["_rd"]) & (ew["u"] == r["_rn"])
+            )
+            .select(
+                ew["_doc"].alias("_doc"),
+                ew["v"].alias("node"),
+                F.expr(f"({num} * _rr) div ({den} * deg)").alias("c"),
+            )
+            .groupBy("_doc", "node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nb.join(contrib, ["_doc", "node"], "left")
+            .select(
+                "_doc",
+                "node",
+                (F.col("_base") + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("_doc").orderBy(
+        F.col("rank").desc(), F.col("node").asc()
+    )
+    out = (
+        ranks.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("node").alias("term"),
+            F.col("rank").alias("tr_rank"),
+            F.col("pos").cast("int").alias("pos"),
+        )
+    )
+    ew.unpersist()
+    nb.unpersist()
+    return out
+
+
+def textrank_oracle_sql(
+    k: int = 5,
+    iters: int = 4,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**12,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`textrank_keywords` — same tokenization,
+    same adjacent-pair graph, same per-doc integer PageRank unrolled
+    one CTE pair per iteration (all heavy CTEs MATERIALIZED so the
+    parquet scan is read once, not exponentially inlined)."""
+    num, den = damping
+    parts = [
+        rf"""WITH corpus AS MATERIALIZED (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT doc, least(t[j], t[j + 1]) AS a,
+                      greatest(t[j], t[j + 1]) AS b
+      FROM corpus, unnest(generate_series(1, len(t) - 1)) AS s(j)
+      WHERE t[j] != t[j + 1]
+    ),
+    sym AS MATERIALIZED (
+      SELECT doc, a AS u, b AS v FROM und
+      UNION ALL SELECT doc, b, a FROM und
+    ),
+    deg AS MATERIALIZED (
+      SELECT doc, u, COUNT(*) AS deg FROM sym GROUP BY doc, u
+    ),
+    nodes AS MATERIALIZED (SELECT doc, u AS node FROM deg),
+    p AS MATERIALIZED (
+      SELECT doc, ({scale} // COUNT(*)) AS init,
+             (({den - num}) * ({scale} // COUNT(*))) // {den} AS base
+      FROM nodes GROUP BY doc
+    ),
+    r0 AS MATERIALIZED (
+      SELECT nodes.doc, nodes.node, p.init AS rank
+      FROM nodes JOIN p ON p.doc = nodes.doc
+    ),"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT s.doc, s.v AS node,"
+            f" SUM(({num} * r.rank) // ({den} * d.deg)) AS s"
+            f" FROM sym s JOIN deg d ON d.doc = s.doc AND d.u = s.u"
+            f" JOIN r{i - 1} r ON r.doc = s.doc AND r.node = s.u"
+            f" GROUP BY s.doc, s.v),"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT n.doc, n.node,"
+            f" (p.base + COALESCE(c.s, 0))::BIGINT AS rank"
+            f" FROM nodes n JOIN p ON p.doc = n.doc"
+            f" LEFT JOIN c{i} c ON c.doc = n.doc AND c.node = n.node),"
+        )
+    parts.append(
+        f"fin AS (SELECT doc, node, rank,"
+        f" row_number() OVER (PARTITION BY doc"
+        f" ORDER BY rank DESC, node ASC) AS pos FROM r{iters})"
+    )
+    parts.append(
+        f"SELECT doc AS {id_col}, node AS term, rank AS tr_rank,"
+        f" pos::INT AS pos FROM fin WHERE pos <= {int(k)}"
+    )
+    return "\n".join(parts)
+
+
 def related_terms_pmi(
     docs: DataFrame,
     anchor_terms: list[str],

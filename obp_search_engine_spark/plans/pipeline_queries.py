@@ -4491,6 +4491,24 @@ def q_search_eval_rbp(spark, sf_dir):
     return ranking.rbp_at_k(runs, rels, k=10, max_grade=3)
 
 
+@register(
+    "textrank_keywords",
+    ranking.textrank_oracle_sql(k=5, iters=4),
+    "TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): "
+    "per-doc adjacent-token co-occurrence graph + 4 rounds of integer "
+    "PageRank, top-5 tokens per doc — automatic tag generation for the "
+    "untagged majority of a crawled corpus (the web-scale analogue of "
+    "items.tags / /search/toptags). Same BIGINT mass units and div "
+    "truncation as the link-graph PageRank family, so the iterative "
+    "ranker grades exactly; every join/groupBy keys on (doc, term) — "
+    "co-partitioned, no corpus-sized hot key, one token explode total",
+)
+def q_textrank_keywords(spark, sf_dir):
+    return ranking.textrank_keywords(
+        _t(spark, sf_dir, "documents"), k=5, iters=4
+    )
+
+
 _SPELL_QUERY_TERMS = ["join", "hsh", "sparc", "filtr", "colum", "zzzzz"]
 
 

@@ -133,6 +133,7 @@ GRADE_PRIORITY: list[str] = [
     "search_eval_err",
     "search_eval_rbp",
     "link_ktruss",
+    "textrank_keywords",
     "search_spell_suggest",
     "search_autocomplete",
     "search_related_pmi",

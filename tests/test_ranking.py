@@ -1248,3 +1248,64 @@ def test_qpp_oov_query_scores_zero_scope(spark):
     import math
 
     assert r.avg_idf == r.max_idf == round(math.log(3.0), 6)
+
+
+def _py_textrank(texts, k=5, iters=4, num=85, den=100, scale=10**12):
+    out = {}
+    for doc, text in enumerate(texts):
+        toks = [t for t in text.lower().split() if t]
+        und = set()
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                und.add((min(x, y), max(x, y)))
+        sym = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+        deg = {}
+        for u, _ in sym:
+            deg[u] = deg.get(u, 0) + 1
+        nodes = sorted(deg)
+        if not nodes:
+            continue
+        init = scale // len(nodes)
+        base = ((den - num) * init) // den
+        rank = {n: init for n in nodes}
+        for _ in range(iters):
+            contrib = {}
+            for u, v in sym:
+                contrib[v] = contrib.get(v, 0) + (num * rank[u]) // (den * deg[u])
+            rank = {n: base + contrib.get(n, 0) for n in nodes}
+        top = sorted(nodes, key=lambda n: (-rank[n], n))[:k]
+        out[doc] = [(t, rank[t], i + 1) for i, t in enumerate(top)]
+    return out
+
+
+def test_textrank_matches_python_reference(spark):
+    from obp_search_engine_spark.operators.ranking import textrank_keywords
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog the quick fox",
+        "spark shuffles data and spark joins data and data wins",
+        "solo",          # single token: no edges, no vertices, no rows
+        "loop loop loop",  # only self-adjacency: no vertices
+        "a b a b a b c",
+    ]
+    docs = _docs(spark, texts)
+    got = {}
+    for r in textrank_keywords(docs, k=5, iters=4).collect():
+        got.setdefault(r.doc_id, []).append((r.term, r.tr_rank, r.pos))
+    for d in got:
+        got[d].sort(key=lambda x: x[2])
+    assert got == _py_textrank(texts, k=5, iters=4)
+    # docs 2 and 3 produce no keyword rows at all
+    assert 2 not in got and 3 not in got
+
+
+def test_textrank_parallelism_invariant(spark):
+    from obp_search_engine_spark.operators.ranking import textrank_keywords
+
+    texts = ["w%d x%d y common z%d common w%d" % (i, i % 3, i % 5, (i * 7) % 11)
+             for i in range(40)]
+    docs = _docs(spark, texts)
+    a = sorted(map(tuple, textrank_keywords(docs, k=3).collect()))
+    b = sorted(map(tuple,
+                   textrank_keywords(docs.repartition(17), k=3).collect()))
+    assert a == b and len(a) > 0
