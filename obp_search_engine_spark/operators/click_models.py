@@ -51,7 +51,7 @@ O(log) on a single key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "pbm_em",
@@ -64,6 +64,13 @@ __all__ = [
     "dcm_attractiveness",
     "dcm_continuation",
     "dcm_oracle_sql",
+    "sdbn_satisfaction",
+    "sdbn_oracle_sql",
+    "ubm_impressions",
+    "ubm_em",
+    "ubm_attractiveness",
+    "ubm_examination",
+    "ubm_oracle_sql",
 ]
 
 _EPS = 1e-12
@@ -511,3 +518,212 @@ def sdbn_oracle_sql(sessions_cte: str) -> str:
     WHERE sess.c = 1
     GROUP BY sess.q, sess.d
     """
+
+
+def ubm_impressions(sessions: DataFrame) -> DataFrame:
+    """(s, q, d, p, c) ranked sessions -> the UBM impression log
+    (imp_id, q, d, p, r, c) where ``r`` is the position of the nearest
+    OBSERVED click above p in the same session (0 if none) — the
+    conditioning variable that distinguishes UBM's examination from
+    PBM's. ``imp_id = s * 1024 + p`` (requires p < 1024; web SERPs are
+    10-100 deep) gives the unique, both-engines-computable fold key the
+    exact-oracle discipline needs."""
+    w = (
+        Window.partitionBy("s")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sessions.select(
+        (F.col("s") * 1024 + F.col("p")).cast("long").alias("imp_id"),
+        "q",
+        "d",
+        "p",
+        F.coalesce(
+            F.max(F.when(F.col("c") == 1, F.col("p"))).over(w), F.lit(0)
+        )
+        .cast("long")
+        .alias("r"),
+        "c",
+    )
+
+
+def ubm_em(
+    sessions: DataFrame, iters: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """User Browsing Model EM (Dupret & Piwowarski, SIGIR 2008 "A user
+    browsing model to predict search engine click data from past
+    observations"; Chuklin et al. 2015 §3.5) over (s, q, d, p, c)
+    ranked sessions.
+
+    UBM generalizes the PBM's examination from a per-position scalar to
+    a (position, previous-click) pair:
+
+        P(click | q, d at p, last click at r) = alpha_{qd} * gamma_{p,r}
+
+    with r the position of the nearest click ABOVE p in the same
+    session (0 = no click yet). The distance-to-last-click conditioning
+    captures what PBM cannot: a user who just clicked at p-1 examines
+    p far more often than one whose last click was 8 slots up. Since r
+    is a function of the OBSERVED clicks, it is a static per-impression
+    column (:func:`ubm_impressions`) and the EM recursion is exactly
+    PBM-shaped with gamma keyed (p, r) — same E-step posteriors, same
+    per-cell means, same 6-decimal rounding and imp_id-ordered folds
+    and 1e-12 denominator floor as :func:`pbm_em`, so the same
+    exact-oracle discipline holds (mirrored by :func:`ubm_oracle_sql`).
+
+    Returns ``(alphas, gammas)``: (q, d, alpha, n) and (p, r, gamma, n).
+
+    100 TB shape: one session-partitioned running-max window computes r
+    (sessions are the log's native write order, so this is a non-shuffle
+    sort within partitions after one partitionBy(s) exchange the log's
+    bucketing already provides), then each EM round is the PBM's two
+    map-side-combinable groupBys — the gamma table grows to ~positions²
+    rows (≤ ~10^4 for 100-deep SERPs), still broadcast-sized.
+    """
+    if iters < 1:
+        raise ValueError("ubm_em requires iters >= 1")
+    imp = ubm_impressions(sessions).localCheckpoint(eager=False)
+    a = imp.select("q", "d").distinct().withColumn("a", F.lit(0.5))
+    g = imp.select("p", "r").distinct().withColumn("g", F.lit(0.5))
+    for _ in range(iters):
+        denom = F.greatest(
+            F.lit(1.0) - F.col("a") * F.col("g"), F.lit(_EPS)
+        )
+        av = F.when(F.col("c") == 1, F.lit(1.0)).otherwise(
+            F.col("a") * (F.lit(1.0) - F.col("g")) / denom
+        )
+        gv = F.when(F.col("c") == 1, F.lit(1.0)).otherwise(
+            F.col("g") * (F.lit(1.0) - F.col("a")) / denom
+        )
+        e = (
+            imp.join(a, ["q", "d"])
+            .join(F.broadcast(g), ["p", "r"])
+            .select(
+                "imp_id", "q", "d", "p", "r", av.alias("_av"), gv.alias("_gv")
+            )
+            .localCheckpoint(eager=False)
+        )
+        a = (
+            e.groupBy("q", "d")
+            .agg(F.collect_list(F.struct("imp_id", "_av")).alias("_xs"))
+            .select(
+                "q",
+                "d",
+                F.round(
+                    F.aggregate(
+                        F.array_sort("_xs"),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["_av"],
+                    )
+                    / F.size("_xs"),
+                    6,
+                ).alias("a"),
+            )
+        )
+        g = (
+            e.groupBy("p", "r")
+            .agg(F.collect_list(F.struct("imp_id", "_gv")).alias("_xs"))
+            .select(
+                "p",
+                "r",
+                F.round(
+                    F.aggregate(
+                        F.array_sort("_xs"),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["_gv"],
+                    )
+                    / F.size("_xs"),
+                    6,
+                ).alias("g"),
+            )
+        )
+    na = imp.groupBy("q", "d").agg(F.count("*").alias("n"))
+    ng = imp.groupBy("p", "r").agg(F.count("*").alias("n"))
+    alphas = a.join(na, ["q", "d"]).select(
+        "q", "d", F.col("a").alias("alpha"), "n"
+    )
+    gammas = g.join(ng, ["p", "r"]).select(
+        "p", "r", F.col("g").alias("gamma"), "n"
+    )
+    return alphas, gammas
+
+
+def ubm_attractiveness(sessions: DataFrame, iters: int = 2) -> DataFrame:
+    """(q, d, alpha, n) — UBM attractiveness after ``iters`` EM rounds
+    (the browsing-debiased CTR; sharper than PBM's when click gaps
+    matter)."""
+    return ubm_em(sessions, iters)[0]
+
+
+def ubm_examination(sessions: DataFrame, iters: int = 2) -> DataFrame:
+    """(p, r, gamma, n) — UBM's examination surface over (position,
+    previous-click-position) after ``iters`` EM rounds."""
+    return ubm_em(sessions, iters)[1]
+
+
+def ubm_oracle_sql(
+    sessions_cte: str, iters: int = 2, output: str = "alpha"
+) -> str:
+    """DuckDB oracle for :func:`ubm_attractiveness` /
+    :func:`ubm_examination` — r computed by the same running-max
+    window, EM unrolled one CTE per (iteration, family), same rounded
+    parameters / ordered folds / denominator floor as the Spark side.
+    ``sessions_cte`` must produce (s, q, d, p, c)."""
+    if output not in ("alpha", "gamma"):
+        raise ValueError("output must be 'alpha' or 'gamma'")
+    parts = [
+        f"WITH sess AS ({sessions_cte}),",
+        "imp AS (\n"
+        "  SELECT s * 1024 + p AS imp_id, q, d, p,\n"
+        "    COALESCE(MAX(CASE WHEN c = 1 THEN p END) OVER (\n"
+        "      PARTITION BY s ORDER BY p\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING\n"
+        "    ), 0) AS r, c\n"
+        "  FROM sess\n"
+        "),",
+        "a0 AS (SELECT q, d, 0.5 AS a FROM (SELECT DISTINCT q, d FROM imp)),",
+        "g0 AS (SELECT p, r, 0.5 AS g"
+        " FROM (SELECT DISTINCT p, r FROM imp)),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"e{i} AS (\n"
+            "  SELECT i.imp_id, i.q, i.d, i.p, i.r,\n"
+            "    CASE WHEN i.c = 1 THEN 1.0\n"
+            "         ELSE a.a * (1.0 - g.g)\n"
+            f"              / greatest(1.0 - a.a * g.g, {_EPS!r}) END AS av,\n"
+            "    CASE WHEN i.c = 1 THEN 1.0\n"
+            "         ELSE g.g * (1.0 - a.a)\n"
+            f"              / greatest(1.0 - a.a * g.g, {_EPS!r}) END AS gv\n"
+            f"  FROM imp i JOIN a{i - 1} a ON a.q = i.q AND a.d = i.d\n"
+            f"  JOIN g{i - 1} g ON g.p = i.p AND g.r = i.r\n"
+            "),"
+        )
+        parts.append(
+            f"a{i} AS (SELECT q, d,"
+            " round(list_reduce(list(av ORDER BY imp_id), (x, y) -> x + y)"
+            f" / COUNT(*), 6) AS a FROM e{i} GROUP BY q, d),"
+        )
+        parts.append(
+            f"g{i} AS (SELECT p, r,"
+            " round(list_reduce(list(gv ORDER BY imp_id), (x, y) -> x + y)"
+            f" / COUNT(*), 6) AS g FROM e{i} GROUP BY p, r),"
+        )
+    if output == "alpha":
+        parts.append(
+            "na AS (SELECT q, d, COUNT(*)::BIGINT AS n FROM imp GROUP BY q, d)"
+        )
+        parts.append(
+            f"SELECT a.q, a.d, a.a AS alpha, na.n"
+            f" FROM a{iters} a JOIN na ON na.q = a.q AND na.d = a.d"
+        )
+    else:
+        parts.append(
+            "ng AS (SELECT p, r, COUNT(*)::BIGINT AS n"
+            " FROM imp GROUP BY p, r)"
+        )
+        parts.append(
+            f"SELECT g.p, g.r, g.g AS gamma, ng.n"
+            f" FROM g{iters} g JOIN ng ON ng.p = g.p AND ng.r = g.r"
+        )
+    return "\n".join(parts)

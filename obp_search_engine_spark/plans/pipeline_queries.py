@@ -5064,6 +5064,38 @@ def q_click_model_sdbn_sat(spark, sf_dir):
     return _cm.sdbn_satisfaction(_session_log(spark, sf_dir))
 
 
+@register(
+    "click_model_ubm_ctr",
+    _cm.ubm_oracle_sql(_SESSION_LOG_CTE, iters=2, output="alpha"),
+    "User Browsing Model attractiveness (Dupret & Piwowarski SIGIR "
+    "2008) after 2 EM rounds over the md5-derived ranked sessions: "
+    "examination is keyed (position, previous-click position) instead "
+    "of PBM's bare position, so alpha_{qd} is debiased against the "
+    "click-gap effect PBM cannot see. r is one session-partitioned "
+    "running-max window; each EM round is the PBM's two map-side-"
+    "combinable groupBys with the (p,r) gamma table still broadcast-"
+    "sized. Same 6dp-per-M-step / imp_id-ordered-fold discipline, so "
+    "the latent-variable estimator grades via an exact unrolled-CTE "
+    "oracle",
+)
+def q_click_model_ubm_ctr(spark, sf_dir):
+    return _cm.ubm_attractiveness(_session_log(spark, sf_dir), iters=2)
+
+
+@register(
+    "click_model_ubm_exam",
+    _cm.ubm_oracle_sql(_SESSION_LOG_CTE, iters=2, output="gamma"),
+    "User Browsing Model examination surface gamma_{p,r} after the "
+    "same 2 EM rounds — the (position, previous-click) browsing "
+    "profile: examination decays with distance below the last click, "
+    "the UBM signature PBM's per-position curve flattens away. Same "
+    "exact-oracle EM chain as click_model_ubm_ctr, projected to the "
+    "(p, r) family",
+)
+def q_click_model_ubm_exam(spark, sf_dir):
+    return _cm.ubm_examination(_session_log(spark, sf_dir), iters=2)
+
+
 from ..operators import querylog as _ql  # noqa: E402
 
 # Per-user temporal query log over events: q = md5(event_id#qr) % 32 —

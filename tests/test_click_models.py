@@ -384,3 +384,124 @@ def test_sdbn_matches_python_reference(spark):
         for r in sdbn_satisfaction(_sess_df(spark, rows)).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- UBM
+
+
+from obp_search_engine_spark.operators.click_models import (  # noqa: E402
+    ubm_attractiveness,
+    ubm_em,
+    ubm_examination,
+    ubm_impressions,
+)
+
+
+def _py_ubm(sessions, iters):
+    """Reference UBM EM over [(s, q, d, p, c)]: r = nearest click above
+    p in s (0 if none); folds in imp_id = s*1024+p order, 6dp per
+    M-step — the documented recipe."""
+    imps = []
+    by_s = {}
+    for s, q, d, p, c in sessions:
+        by_s.setdefault(s, []).append((p, c))
+    for s, q, d, p, c in sessions:
+        r = max((pp for pp, cc in by_s[s] if cc == 1 and pp < p), default=0)
+        imps.append((s * 1024 + p, q, d, p, r, c))
+    imps.sort()
+    a = {(q, d): 0.5 for _, q, d, _, _, _ in imps}
+    g = {(p, r): 0.5 for _, _, _, p, r, _ in imps}
+    for _ in range(iters):
+        av, gv = {}, {}
+        for i, q, d, p, r, c in imps:
+            if c == 1:
+                av[i] = gv[i] = 1.0
+            else:
+                den = max(1.0 - a[(q, d)] * g[(p, r)], _EPS)
+                av[i] = a[(q, d)] * (1.0 - g[(p, r)]) / den
+                gv[i] = g[(p, r)] * (1.0 - a[(q, d)]) / den
+        na, ng = {}, {}
+        for i, q, d, p, r, c in imps:
+            na.setdefault((q, d), []).append(av[i])
+            ng.setdefault((p, r), []).append(gv[i])
+        a = {k: round(sum_strict(v) / len(v), 6) for k, v in na.items()}
+        g = {k: round(sum_strict(v) / len(v), 6) for k, v in ng.items()}
+    return a, g
+
+
+def _sess_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "s long, q long, d long, p long, c long"
+    )
+
+
+def test_ubm_r_column(spark):
+    # session 7: clicks at p=2 and p=4 -> r = 0,0,2,2,4 for p=1..5
+    rows = [(7, 0, d, p, 1 if p in (2, 4) else 0) for p, d in enumerate(
+        range(5), start=1)]
+    got = {
+        r.p: r.r
+        for r in ubm_impressions(_sess_df(spark, rows)).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 2, 4: 2, 5: 4}
+
+
+@pytest.mark.parametrize("iters", [1, 2])
+def test_ubm_matches_python_reference(spark, iters):
+    rng = random.Random(23)
+    rows = []
+    for s in range(12):
+        for p in range(1, 6):
+            rows.append(
+                (s, s % 3, rng.randrange(6), p, int(rng.random() < 0.3))
+            )
+    alphas, gammas = ubm_em(_sess_df(spark, rows), iters=iters)
+    ref_a, ref_g = _py_ubm(rows, iters)
+    assert {(r.q, r.d): r.alpha for r in alphas.collect()} == ref_a
+    assert {(r.p, r.r): r.gamma for r in gammas.collect()} == ref_g
+
+
+def test_ubm_partitioning_invariant(spark):
+    rng = random.Random(5)
+    rows = [
+        (s, s % 2, rng.randrange(4), p, int(rng.random() < 0.4))
+        for s in range(10)
+        for p in range(1, 5)
+    ]
+    df = _sess_df(spark, rows)
+    one = {
+        (r.q, r.d): r.alpha
+        for r in ubm_attractiveness(df.coalesce(1), iters=2).collect()
+    }
+    many = {
+        (r.q, r.d): r.alpha
+        for r in ubm_attractiveness(df.repartition(13), iters=2).collect()
+    }
+    assert one == many
+
+
+def test_ubm_examination_gap_decay(spark):
+    # after a click at p-1 (r = p-1, gap 1) docs are examined (clicked)
+    # far more often than at gap 4 — UBM must rank gamma(gap 1) above
+    # gamma(gap 4) where PBM would average them away
+    rng = random.Random(41)
+    rows = []
+    for s in range(300):
+        clicked_first = True  # click at p=1 always
+        for p in range(1, 7):
+            if p == 1:
+                c = 1
+            else:
+                gap = p - 1  # last click stays at 1 unless re-clicked
+                c = int(rng.random() < (0.8 / gap))
+            rows.append((s, 0, p, p, c))
+    gam = {
+        (r.p, r.r): r.gamma
+        for r in ubm_examination(_sess_df(spark, rows), iters=2).collect()
+    }
+    assert gam[(2, 1)] > gam[(6, 1)]
+
+
+def test_ubm_iters_zero_rejected(spark):
+    with pytest.raises(ValueError):
+        ubm_em(_sess_df(spark, [(1, 0, 0, 1, 1)]), iters=0)
