@@ -2497,3 +2497,145 @@ def webgraph_gap_encode_oracle_sql(edges_cte: str) -> str:
            round(varint_bytes::DOUBLE / (degree * 8.0), 6) AS ratio
     FROM agg
     """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    iters: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = DEFAULT_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Fixed-point integer Personalized PageRank (Page et al. 1999 §6;
+    Haveliwala, WWW 2002 "Topic-sensitive PageRank"): :func:`pagerank`
+    with ALL teleport mass restricted to a seed set — rank becomes
+    proximity-to-the-seeds instead of global importance. This is the
+    authority signal a focused crawler wants (Chakrabarti et al. 1999):
+    seed the topic hubs, PPR the discovered host graph, and the frontier
+    dequeue prioritizes hosts reachable from (hence topically near) the
+    seeds — complementing the NB-classifier priority
+    (:mod:`..operators.classifier`) with a pure link-structure one.
+
+    Same integer-mass discipline as :func:`pagerank` (documented there;
+    bit-identical at any shuffle parallelism, exact-oracle graded):
+
+    * only seeds hold initial mass: ``init = scale div |seeds|`` each,
+      every other node starts at 0;
+    * per iteration every node receives its in-edge contributions
+      ``(num * r_src) div (den * out_deg)``; only seeds receive the
+      teleport term ``((den - num) * init) div den``;
+    * dangling mass is dropped, division truncation leaks bounded mass
+      — totals drift below ``scale``, fine for ranking;
+    * nodes unreachable from the seed set converge to rank 0 — the
+      defining PPR property (global pagerank gives everyone base mass).
+
+    100 TB shape: identical to :func:`pagerank` — the degree-folded edge
+    list shuffles once and persists, each iteration is one shuffled-hash
+    join + one map-side-combined groupBy(dst), lineage truncated per
+    iteration. The seed set is a driver-side literal (focused-crawl seed
+    lists are 10-10^4 hosts), compiled into an ``isin`` predicate — no
+    extra join, no broadcast table.
+
+    Returns (node BIGINT, rank BIGINT) for every node in the graph.
+    """
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError(f"damping must satisfy 0 < num < den, got {damping}")
+    if not seeds:
+        raise ValueError("personalized_pagerank requires >= 1 seed")
+    seeds = sorted({int(s) for s in seeds})
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ew = e.join(
+        e.groupBy("src").agg(F.count("*").alias("deg")), "src"
+    ).persist()
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .union(ew.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+    init = scale // len(seeds)
+    base = ((den - num) * init) // den
+    is_seed = F.col("node").isin(seeds)
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(init)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for i in range(iters):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr(f"({num} * rank) div ({den} * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                + F.coalesce(F.col("s"), F.lit(0))
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+        if truncate_lineage:
+            ranks = ranks.localCheckpoint(eager=True)
+    ew.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def personalized_pagerank_oracle_sql(
+    edges_cte: str,
+    seeds: list[int],
+    iters: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """DuckDB oracle for :func:`personalized_pagerank` — the same
+    unrolled join-agg CTE chain as :func:`pagerank_oracle_sql` with the
+    init and teleport terms gated on seed membership."""
+    num, den = damping
+    seeds = sorted({int(s) for s in seeds})
+    init = scale // len(seeds)
+    base = ((den - num) * init) // den
+    seed_list = ", ".join(str(s) for s in seeds)
+    parts = [
+        f"WITH e0 AS ({edges_cte}),",
+        "e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),",
+        "ew AS (SELECT src, dst,"
+        " COUNT(*) OVER (PARTITION BY src) AS deg FROM e1),",
+        "nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),",
+        f"r0 AS (SELECT node, CASE WHEN node IN ({seed_list})"
+        f" THEN {init} ELSE 0 END::BIGINT AS rank FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT ew.dst AS node,"
+            f" SUM(({num} * r.rank) // ({den} * ew.deg)) AS s"
+            f" FROM ew JOIN r{i - 1} r ON ew.src = r.node GROUP BY ew.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" (CASE WHEN nodes.node IN ({seed_list}) THEN {base}"
+            f" ELSE 0 END + COALESCE(c.s, 0))::BIGINT AS rank"
+            f" FROM nodes LEFT JOIN c{i} c ON c.node = nodes.node),"
+        )
+    parts.append(f"fin AS (SELECT * FROM r{iters})")
+    parts.append("SELECT node, rank FROM fin")
+    return "\n".join(parts)

@@ -476,6 +476,30 @@ def q_host_pagerank(spark, sf_dir):
     return graph.pagerank(_pagerank_edges(spark, sf_dir), iters=5)
 
 
+_PPR_SEEDS = [0, 3, 7]
+
+
+@register(
+    "link_ppr",
+    graph.personalized_pagerank_oracle_sql(
+        _PAGERANK_EDGES_CTE, seeds=_PPR_SEEDS, iters=5
+    ),
+    "Personalized PageRank (Haveliwala WWW 2002) over the same "
+    "md5-derived link graph, teleporting ONLY to a 3-host seed set: "
+    "rank becomes link-proximity to the seeds, the focused-crawl "
+    "frontier prior (Chakrabarti et al. 1999) complementing the NB "
+    "topic classifier. Same fixed-point BIGINT discipline as "
+    "host_pagerank (bit-identical at any parallelism, exact "
+    "unrolled-CTE oracle); nodes unreachable from the seeds converge "
+    "to 0 — the defining PPR property. The seed set compiles to an "
+    "isin predicate, no extra join or broadcast",
+)
+def q_link_ppr(spark, sf_dir):
+    return graph.personalized_pagerank(
+        _pagerank_edges(spark, sf_dir), seeds=_PPR_SEEDS, iters=5
+    )
+
+
 @register(
     "frontier_opic_priority",
     graph.opic_oracle_sql(_PAGERANK_EDGES_CTE, rounds=4),

@@ -459,3 +459,118 @@ def test_webgraph_gap_encode_hand_computed(spark):
     a = sorted(map(tuple, webgraph_gap_encode(edges.repartition(1)).collect()))
     b = sorted(map(tuple, webgraph_gap_encode(edges.repartition(7)).collect()))
     assert a == b
+
+
+# ------------------------------------------------- personalized pagerank
+
+
+from obp_search_engine_spark.operators.graph import (  # noqa: E402
+    personalized_pagerank,
+    personalized_pagerank_oracle_sql,
+)
+
+
+def _py_ppr(edges, seeds, iters=5, num=85, den=100, scale=DEFAULT_SCALE):
+    e = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    seeds = sorted(set(seeds))
+    deg = {}
+    for a, _ in e:
+        deg[a] = deg.get(a, 0) + 1
+    init = scale // len(seeds)
+    base = ((den - num) * init) // den
+    r = {v: (init if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        nxt = {v: (base if v in seeds else 0) for v in nodes}
+        for a, b in e:
+            nxt[b] += (num * r[a]) // (den * deg[a])
+        r = nxt
+    return r
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+@pytest.mark.parametrize("seed", [3, 29])
+def test_ppr_matches_python_reference(spark, seed):
+    rng = random.Random(seed)
+    edges = _rand_edges(rng)
+    seeds = [0, 1, 2]
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            _edges_df(spark, edges), seeds=seeds, iters=4
+        ).collect()
+    }
+    assert got == _py_ppr(edges, seeds, iters=4)
+
+
+def test_ppr_unreachable_is_zero(spark):
+    # two components: seeds in {0->1->2}; {10->11} never reachable
+    edges = [(0, 1), (1, 2), (10, 11)]
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            _edges_df(spark, edges), seeds=[0], iters=5
+        ).collect()
+    }
+    assert got[10] == 0 and got[11] == 0
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+
+def test_ppr_seed_proximity_ordering(spark):
+    # chain 0->1->2->3: rank must decay with distance from the seed
+    edges = [(0, 1), (1, 2), (2, 3)]
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            _edges_df(spark, edges), seeds=[0], iters=6
+        ).collect()
+    }
+    assert got[0] > got[1] > got[2] > got[3]
+
+
+def test_ppr_partitioning_invariant(spark):
+    rng = random.Random(7)
+    edges = _rand_edges(rng)
+    df = _edges_df(spark, edges)
+    one = sorted(
+        map(
+            tuple,
+            personalized_pagerank(
+                df.coalesce(1), seeds=[1, 4], iters=3
+            ).collect(),
+        )
+    )
+    many = sorted(
+        map(
+            tuple,
+            personalized_pagerank(
+                df.repartition(17), seeds=[1, 4], iters=3
+            ).collect(),
+        )
+    )
+    assert one == many
+
+
+def test_ppr_validates_args(spark):
+    df = _edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, seeds=[])
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, seeds=[0], damping=(100, 100))
+
+
+def test_ppr_oracle_matches_python_reference():
+    import duckdb
+
+    rng = random.Random(13)
+    edges = _rand_edges(rng, n_nodes=30, n_edges=70)
+    seeds = [2, 5]
+    cte = "SELECT * FROM (VALUES {}) AS t(src, dst)".format(
+        ", ".join(f"({a}, {b})" for a, b in edges)
+    )
+    sql = personalized_pagerank_oracle_sql(cte, seeds=seeds, iters=4)
+    got = {int(n): int(r) for n, r in duckdb.sql(sql).fetchall()}
+    assert got == _py_ppr(edges, seeds, iters=4)
