@@ -5191,3 +5191,122 @@ def q_search_query_reformulations(spark, sf_dir):
 def q_search_related_queries_coclick(spark, sf_dir):
     clicks = _click_log(spark, sf_dir).filter(F.col("c") == 1)
     return _ql.related_queries_coclick(clicks, cap=7)
+
+
+# -------------------------------------------------------- robots eval
+
+# Shared rule book: host index -> serialized rule string ('D:p|A:p' — the
+# host_state.robots_rules format of functions/robots.py). Exercises root
+# disallow, allow-override of a deeper prefix, the RFC 9309 allow-wins
+# tie (D:/p3 vs A:/p3), and rule-free hosts.
+_ROBOTS_RULEBOOK = {
+    0: "D:/p0|A:/p0/s1|D:/p3|A:/p3|CD:2.0",
+    1: "D:/|A:/p2|CD:1.0",
+    2: "",
+    3: "D:/p0|A:/p0/s1|D:/p3|A:/p3|CD:2.0",
+    4: "D:/|A:/p2|CD:1.0",
+    5: "",
+    6: "D:/p0|A:/p0/s1|D:/p3|A:/p3|CD:2.0",
+    7: "D:/|A:/p2|CD:1.0",
+}
+
+
+def _robots_rule_values() -> str:
+    """The rule book exploded to SQL VALUES (host, prefix, allow)."""
+    rows = []
+    for k, rules in _ROBOTS_RULEBOOK.items():
+        for part in rules.split("|"):
+            if part.startswith(("D:", "A:")):
+                rows.append(
+                    f"('h{k}.example', '{part[2:]}',"
+                    f" {'TRUE' if part.startswith('A:') else 'FALSE'})"
+                )
+    return ", ".join(rows)
+
+
+_ROBOTS_EVAL_ORACLE = f"""
+WITH base AS (
+  SELECT d.doc_id AS url_id,
+    'h' || (('0x'||substr(md5(d.doc_id::VARCHAR||'#h'),1,6))::BIGINT % 8)
+      || '.example' AS host,
+    '/p' || (('0x'||substr(md5(d.doc_id::VARCHAR||'#a'),1,6))::BIGINT % 5)
+      || '/s'
+      || (('0x'||substr(md5(d.doc_id::VARCHAR||'#b'),1,6))::BIGINT % 7)
+      AS path
+  FROM documents d
+),
+rules AS (SELECT * FROM (VALUES {{values}}) t(host, prefix, allow)),
+m AS (
+  SELECT b.url_id, r.allow,
+         row_number() OVER (
+           PARTITION BY b.url_id
+           ORDER BY len(r.prefix) DESC, r.allow DESC
+         ) AS rn
+  FROM base b
+  JOIN rules r ON r.host = b.host AND starts_with(b.path, r.prefix)
+),
+best AS (SELECT url_id, allow FROM m WHERE rn = 1)
+SELECT b.url_id, b.host, b.path,
+       'http://' || b.host || b.path AS url
+FROM base b LEFT JOIN best ON best.url_id = b.url_id
+WHERE COALESCE(best.allow, TRUE)
+""".replace("{values}", _robots_rule_values())
+
+
+def _robots_url_frontier(spark, sf_dir):
+    """Deterministic md5-derived candidate URL frontier over documents —
+    the Spark twin of the oracle's `base` CTE."""
+
+    def h(tag, mod):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(tag))
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(F.lit("h"), h("#h", 8), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("/p"), h("#a", 5), F.lit("/s"), h("#b", 7)
+        ).alias("path"),
+    ).withColumn(
+        "url", F.concat(F.lit("http://"), F.col("host"), F.col("path"))
+    )
+
+
+@register(
+    "robots_rules_eval",
+    _ROBOTS_EVAL_ORACLE,
+    "RFC 9309 robots rule evaluation as a set operator: an md5-derived "
+    "candidate URL frontier joined to per-host serialized rule sets "
+    "(functions/robots.py host_state format), longest-prefix match "
+    "with allow-wins ties, rule-free hosts pass. Exercises root "
+    "disallow (D:/), allow-override of a deeper prefix (A:/p0/s1 under "
+    "D:/p0), and the equal-length A-beats-D tie. JVM-side throughout: "
+    "the per-host rule book broadcasts and the match is one "
+    "higher-order-array fold per url — at 10^10 urls the frontier "
+    "never shuffles for robots, the gate is map-only. The oracle "
+    "replays the match as a window rank over the exploded rule rows",
+)
+def q_robots_rules_eval(spark, sf_dir):
+    from ..functions.robots import filter_robots_allowed
+
+    host_state = spark.createDataFrame(
+        [(f"h{k}.example", r) for k, r in _ROBOTS_RULEBOOK.items()],
+        "host string, robots_rules string",
+    )
+    urls = _robots_url_frontier(spark, sf_dir)
+    return filter_robots_allowed(urls, host_state).select(
+        "url_id", "host", "path", "url"
+    )
