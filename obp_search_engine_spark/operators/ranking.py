@@ -4332,3 +4332,241 @@ def ltr_linear_oracle_sql(
     FROM feat
     ORDER BY ltr_score DESC, {id_col} ASC LIMIT {k}
     """
+
+
+def team_draft_interleave(
+    rankings: DataFrame,
+    steps: int = 10,
+    q_col: str = "q",
+    a_col: str = "a",
+    b_col: str = "b",
+    coin_tag: str = "#f",
+    click_tag: str = "#c",
+) -> DataFrame:
+    """Team-draft interleaving (Radlinski, Kurup & Joachims, CIKM 2008
+    "How does clickthrough data reflect retrieval quality?"; Chapelle
+    et al. TOIS 2012) — the online A/B evaluator the offline
+    trec_eval family (ndcg/err/rbp/map/mrr) cannot replace: rankers A
+    and B are merged into ONE interleaved list per query, shown once,
+    and the team whose contributed docs attract more clicks wins. An
+    order of magnitude more sensitive than split-traffic A/B at equal
+    impressions, and unbiased against position because both teams face
+    the same presentation.
+
+    Input: one row per query with ranked doc-id arrays ``a`` and ``b``
+    (duplicate-free within each array). Draft (``steps`` picks, here
+    run to the union so every doc is placed): at each pick the team
+    with fewer contributions picks its best not-yet-picked doc; ties
+    break by a deterministic md5 coin per (query, step) —
+    ``md5(q || '#f' || i) % 2`` (0 = A) — so the run is reproducible
+    and exactly oracle-checkable; a team with no docs left cedes the
+    pick. Clicks are simulated on the INTERLEAVED positions with the
+    repo's standard position-decay rule ``md5(q || '#c' || p) %
+    (p + 2) == 0``, so credit flows through the same presentation both
+    teams share — the TDI design point.
+
+    Output: (q, n_interleaved, credit_a, credit_b, winner) with winner
+    in {'A','B','tie'}; all counting is integer, so the operator grades
+    via an exact unrolled-CTE oracle (:func:`tdi_oracle_sql`).
+
+    100 TB shape: per-query state is two k-length arrays folded through
+    ``F.aggregate`` — one narrow projection, NO shuffle, no Python; a
+    billion-query log interleaves map-only. The draft never leaves the
+    row, so skew is impossible by construction.
+    """
+    q_s = F.col(q_col).cast("string")
+
+    def coin(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(q_s, F.lit(coin_tag), i.cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+
+    def hclick(p):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(q_s, F.lit(click_tag), p.cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    a_arr = F.col(a_col)
+    b_arr = F.col(b_col)
+
+    def step(acc, i):
+        avail_a = F.filter(
+            a_arr, lambda x: ~F.array_contains(acc["picked"], x)
+        )
+        avail_b = F.filter(
+            b_arr, lambda x: ~F.array_contains(acc["picked"], x)
+        )
+        want_a = (acc["na"] < acc["nb"]) | (
+            (acc["na"] == acc["nb"]) & (coin(i) == 0)
+        )
+        team = (
+            F.when(want_a & (F.size(avail_a) > 0), F.lit("A"))
+            .when(~want_a & (F.size(avail_b) > 0), F.lit("B"))
+            .when(F.size(avail_b) > 0, F.lit("B"))
+            .when(F.size(avail_a) > 0, F.lit("A"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        pick = F.when(
+            team == "A", F.element_at(avail_a, 1)
+        ).otherwise(F.element_at(avail_b, 1))
+        return F.when(
+            team.isNull(), acc
+        ).otherwise(
+            F.struct(
+                F.concat(acc["picked"], F.array(pick)).alias("picked"),
+                F.concat(
+                    acc["teams"],
+                    F.array(
+                        F.when(team == "A", F.lit(1)).otherwise(F.lit(2))
+                    ),
+                ).alias("teams"),
+                (
+                    acc["na"]
+                    + F.when(team == "A", F.lit(1)).otherwise(F.lit(0))
+                ).alias("na"),
+                (
+                    acc["nb"]
+                    + F.when(team == "B", F.lit(1)).otherwise(F.lit(0))
+                ).alias("nb"),
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("picked"),
+        F.array().cast("array<int>").alias("teams"),
+        F.lit(0).alias("na"),
+        F.lit(0).alias("nb"),
+    )
+    drafted = rankings.select(
+        F.col(q_col).alias("q"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(steps))), init, step
+        ).alias("_s"),
+    )
+
+    def credit(team_id):
+        # guard: sequence(1, 0) DESCENDS in Spark, so an empty draft
+        # (both input rankings empty) must short-circuit to 0
+        return F.when(
+            F.size(F.col("_s.teams")) > 0,
+            F.aggregate(
+                F.sequence(F.lit(1), F.size(F.col("_s.teams"))),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc
+                + F.when(
+                    (F.element_at(F.col("_s.teams"), p) == team_id)
+                    & (hclick(p) % (p.cast("long") + 2) == 0),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    scored = drafted.select(
+        "q",
+        F.size("_s.picked").cast("long").alias("n_interleaved"),
+        credit(1).alias("credit_a"),
+        credit(2).alias("credit_b"),
+    )
+    return scored.select(
+        "q",
+        "n_interleaved",
+        "credit_a",
+        "credit_b",
+        F.when(F.col("credit_a") > F.col("credit_b"), F.lit("A"))
+        .when(F.col("credit_b") > F.col("credit_a"), F.lit("B"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )
+
+
+def tdi_oracle_sql(
+    rankings_cte: str,
+    steps: int = 10,
+    coin_tag: str = "#f",
+    click_tag: str = "#c",
+) -> str:
+    """DuckDB oracle for :func:`team_draft_interleave` — the draft
+    unrolled one CTE per pick (same md5 coins, same cede-the-pick rule),
+    then the same position-decay click credit. ``rankings_cte`` must
+    yield (q, a LIST, b LIST)."""
+    parts = [
+        f"WITH base AS ({rankings_cte}),",
+        "s0 AS (SELECT q, a, b, []::BIGINT[] AS picked,"
+        " []::INT[] AS teams, 0 AS na, 0 AS nb FROM base),",
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f"s{i} AS (\n"
+            "  SELECT q, a, b,\n"
+            "    CASE WHEN team IS NULL THEN picked\n"
+            "         ELSE list_append(picked, pick) END AS picked,\n"
+            "    CASE WHEN team IS NULL THEN teams\n"
+            "         ELSE list_append(teams,\n"
+            "           CASE team WHEN 'A' THEN 1 ELSE 2 END) END AS teams,\n"
+            "    na + CASE WHEN team = 'A' THEN 1 ELSE 0 END AS na,\n"
+            "    nb + CASE WHEN team = 'B' THEN 1 ELSE 0 END AS nb\n"
+            "  FROM (\n"
+            "    SELECT *, CASE WHEN team = 'A' THEN avail_a[1]\n"
+            "                   ELSE avail_b[1] END AS pick\n"
+            "    FROM (\n"
+            "      SELECT *,\n"
+            "        CASE WHEN want_a AND len(avail_a) > 0 THEN 'A'\n"
+            "             WHEN NOT want_a AND len(avail_b) > 0 THEN 'B'\n"
+            "             WHEN len(avail_b) > 0 THEN 'B'\n"
+            "             WHEN len(avail_a) > 0 THEN 'A' END AS team\n"
+            "      FROM (\n"
+            "        SELECT q, a, b, picked, teams, na, nb,\n"
+            "          list_filter(a, x -> NOT list_contains(picked, x))\n"
+            "            AS avail_a,\n"
+            "          list_filter(b, x -> NOT list_contains(picked, x))\n"
+            "            AS avail_b,\n"
+            "          na < nb OR (na = nb AND\n"
+            "            ('0x'||substr(md5(q::VARCHAR||"
+            f"'{coin_tag}{i}'),1,6))::BIGINT % 2 = 0) AS want_a\n"
+            f"        FROM s{i - 1}\n"
+            "      )\n"
+            "    )\n"
+            "  )\n"
+            "),"
+        )
+    parts.append(
+        "pos AS (\n"
+        "  SELECT q, len(picked)::BIGINT AS n_interleaved,\n"
+        "         unnest(teams) AS team,\n"
+        "         unnest(range(1, len(teams) + 1)) AS p\n"
+        f"  FROM s{steps}\n"
+        "),\n"
+        "cred AS (\n"
+        "  SELECT q, ANY_VALUE(n_interleaved) AS n_interleaved,\n"
+        "    SUM(CASE WHEN team = 1 AND\n"
+        f"      ('0x'||substr(md5(q::VARCHAR||'{click_tag}'||p),1,6))::BIGINT"
+        " % (p + 2) = 0\n"
+        "      THEN 1 ELSE 0 END)::BIGINT AS credit_a,\n"
+        "    SUM(CASE WHEN team = 2 AND\n"
+        f"      ('0x'||substr(md5(q::VARCHAR||'{click_tag}'||p),1,6))::BIGINT"
+        " % (p + 2) = 0\n"
+        "      THEN 1 ELSE 0 END)::BIGINT AS credit_b\n"
+        "  FROM pos GROUP BY q\n"
+        ")\n"
+        "SELECT q, n_interleaved, credit_a, credit_b,\n"
+        "  CASE WHEN credit_a > credit_b THEN 'A'\n"
+        "       WHEN credit_b > credit_a THEN 'B'\n"
+        "       ELSE 'tie' END AS winner\n"
+        "FROM cred"
+    )
+    return "\n".join(parts)

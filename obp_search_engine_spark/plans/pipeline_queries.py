@@ -5310,3 +5310,68 @@ def q_robots_rules_eval(spark, sf_dir):
     return filter_robots_allowed(urls, host_state).select(
         "url_id", "host", "path", "url"
     )
+
+
+# --------------------------------------------- team-draft interleaving
+
+# Two deterministic duplicate-free rankers per query q in 0..7: ranker A
+# = (3*i + md5(q#A)) mod 40, ranker B = (7*i + md5(q#B)) mod 40 for
+# i = 0..4 (3 and 7 are coprime with 40, so each 5-list is injective).
+_TDI_RANKINGS_CTE = """
+  SELECT q,
+    list_transform(range(0, 5), i -> (3 * i +
+      ('0x'||substr(md5(q::VARCHAR||'#A'),1,6))::BIGINT % 40) % 40) AS a,
+    list_transform(range(0, 5), i -> (7 * i +
+      ('0x'||substr(md5(q::VARCHAR||'#B'),1,6))::BIGINT % 40) % 40) AS b
+  FROM (SELECT range AS q FROM range(8))
+"""
+
+
+def _tdi_rankings(spark, sf_dir):
+    """Spark twin of _TDI_RANKINGS_CTE."""
+
+    def h(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("q").cast("string"), F.lit(tag))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 40
+        )
+
+    base = spark.range(8).select(F.col("id").alias("q"))
+    return base.select(
+        "q",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: (F.lit(3) * i.cast("long") + h("#A")) % 40,
+        ).alias("a"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: (F.lit(7) * i.cast("long") + h("#B")) % 40,
+        ).alias("b"),
+    )
+
+
+@register(
+    "search_eval_interleaving",
+    ranking.tdi_oracle_sql(_TDI_RANKINGS_CTE, steps=10),
+    "team-draft interleaving (Radlinski et al. CIKM 2008) — the ONLINE "
+    "ranker A/B evaluator the offline trec_eval family can't replace: "
+    "per query, rankers A and B draft alternately into one interleaved "
+    "list (fewer-contributions-first, deterministic md5 coin per tie, "
+    "a team with no docs left cedes), clicks simulated on the SHARED "
+    "interleaved positions with the repo's position-decay rule, and "
+    "the team with more clicked contributions wins. All counting is "
+    "integer and the draft is a per-row array fold (map-only, no "
+    "shuffle, no Python — a billion-query log interleaves without one "
+    "exchange), graded by a 10-step unrolled-CTE oracle replaying the "
+    "identical draft",
+)
+def q_search_eval_interleaving(spark, sf_dir):
+    return ranking.team_draft_interleave(_tdi_rankings(spark, sf_dir))

@@ -1309,3 +1309,110 @@ def test_textrank_parallelism_invariant(spark):
     b = sorted(map(tuple,
                    textrank_keywords(docs.repartition(17), k=3).collect()))
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------- team-draft interleaving
+
+
+import hashlib
+
+from obp_search_engine_spark.operators.ranking import (  # noqa: E402
+    team_draft_interleave,
+)
+
+
+def _h6(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+
+def _py_tdi(q, a, b, steps=10):
+    """Pure-python team-draft reference replaying the md5 coins/clicks."""
+    picked, teams, na, nb = [], [], 0, 0
+    for i in range(1, steps + 1):
+        avail_a = [x for x in a if x not in picked]
+        avail_b = [x for x in b if x not in picked]
+        want_a = na < nb or (na == nb and _h6(f"{q}#f{i}") % 2 == 0)
+        if want_a and avail_a:
+            team = "A"
+        elif not want_a and avail_b:
+            team = "B"
+        elif avail_b:
+            team = "B"
+        elif avail_a:
+            team = "A"
+        else:
+            continue
+        if team == "A":
+            picked.append(avail_a[0]); teams.append(1); na += 1
+        else:
+            picked.append(avail_b[0]); teams.append(2); nb += 1
+    ca = cb = 0
+    for p, t in enumerate(teams, start=1):
+        if _h6(f"{q}#c{p}") % (p + 2) == 0:
+            if t == 1:
+                ca += 1
+            else:
+                cb += 1
+    winner = "A" if ca > cb else ("B" if cb > ca else "tie")
+    return (len(picked), ca, cb, winner)
+
+
+def _tdi_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "q long, a array<bigint>, b array<bigint>"
+    )
+
+
+def test_tdi_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(31)
+    rows = []
+    for q in range(12):
+        docs = list(range(20))
+        rng.shuffle(docs)
+        a = docs[:5]
+        rng.shuffle(docs)
+        b = docs[:5]
+        rows.append((q, a, b))
+    got = {
+        r.q: (r.n_interleaved, r.credit_a, r.credit_b, r.winner)
+        for r in team_draft_interleave(_tdi_df(spark, rows)).collect()
+    }
+    assert got == {q: _py_tdi(q, a, b) for q, a, b in rows}
+
+
+def test_tdi_disjoint_lists_balanced(spark):
+    rows = [(3, [1, 2, 3, 4, 5], [11, 12, 13, 14, 15])]
+    r = team_draft_interleave(_tdi_df(spark, rows)).first()
+    assert r.n_interleaved == 10  # full union placed
+
+
+def test_tdi_every_union_doc_placed_once(spark):
+    # overlapping lists: interleaved length == |A ∪ B|
+    rows = [(5, [1, 2, 3, 4, 5], [3, 4, 5, 6, 7])]
+    r = team_draft_interleave(_tdi_df(spark, rows)).first()
+    assert r.n_interleaved == 7
+
+
+def test_tdi_empty_rankings_tie(spark):
+    rows = [(9, [], [])]
+    r = team_draft_interleave(_tdi_df(spark, rows)).first()
+    assert (r.n_interleaved, r.credit_a, r.credit_b, r.winner) == (
+        0,
+        0,
+        0,
+        "tie",
+    )
+
+
+def test_tdi_partitioning_invariant(spark):
+    rows = [
+        (q, [q, q + 1, q + 2], [q + 2, q + 3, q + 4]) for q in range(10)
+    ]
+    df = _tdi_df(spark, rows)
+    one = sorted(map(tuple, team_draft_interleave(df.coalesce(1)).collect()))
+    many = sorted(
+        map(tuple, team_draft_interleave(df.repartition(7)).collect())
+    )
+    assert one == many
