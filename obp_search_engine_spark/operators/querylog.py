@@ -36,6 +36,11 @@ __all__ = [
     "reformulations_oracle_sql",
     "related_queries_coclick",
     "coclick_oracle_sql",
+    "click_graph_walk",
+    "click_graph_walk_oracle_sql",
+    "lru_stack_distances",
+    "lru_hit_curve",
+    "lru_hit_curve_oracle_sql",
 ]
 
 
@@ -211,4 +216,241 @@ def coclick_oracle_sql(clicks_cte: str, cap: int = 64) -> str:
     JOIN nq n1 ON n1.q = p.q1
     JOIN nq n2 ON n2.q = p.q2
     ORDER BY p.q1, p.q2
+    """
+
+
+def click_graph_walk(
+    clicks: DataFrame,
+    steps: int = 3,
+    scale: int = 10**12,
+    floor: int = 0,
+    q_col: str = "q",
+    d_col: str = "d",
+) -> DataFrame:
+    """Markov random walk on the bipartite query-click graph (Craswell
+    & Szummer, SIGIR 2007 "Random walks on the click graph"): start
+    ``scale`` integer mass units on every query node, split mass evenly
+    over a node's click edges each half-step (query→doc, doc→query,
+    …), and read the doc-side mass after an odd number of half-steps as
+    the walk-smoothed relevance of d to q — docs never clicked FOR q
+    but co-clicked with q's neighbors earn mass, the sparsity fix
+    coclick Jaccard (:func:`related_queries_coclick`) can't provide at
+    the (q, d) grain.
+
+    Integer fixed-point discipline (same as ``graph.pagerank``):
+    per half-step each node forwards ``mass div degree`` along every
+    edge — truncation leaks bounded mass, sums are associative, so the
+    result is bit-identical at any shuffle parallelism and exactly
+    oracle-checkable (:func:`click_graph_walk_oracle_sql`). ``steps``
+    must be odd so the walk ends on the doc side. Rows with mass <=
+    ``floor`` are dropped after every step — at floor=0 this only
+    prunes dead zeros; production raises it (e.g. scale/10^6) to bound
+    the per-query reachable set, the standard sparsification.
+
+    Output: (q, d, mass BIGINT), mass > floor.
+
+    100 TB shape: the degree-folded edge list shuffles once and is
+    reused by every half-step's equi-join + map-side-combined groupBy —
+    identical plan shape to pagerank, keyed alternately by q and d.
+    Mega-queries (navigational heads) fan out along their edges but
+    combine map-side on the receiving key; the floor bounds state
+    growth across steps.
+    """
+    if steps < 1 or steps % 2 == 0:
+        raise ValueError("steps must be odd and >= 1")
+    e = clicks.select(
+        F.col(q_col).cast("long").alias("q"),
+        F.col(d_col).cast("long").alias("d"),
+    ).distinct()
+    e = (
+        e.join(e.groupBy("q").agg(F.count("*").alias("qdeg")), "q")
+        .join(e.groupBy("d").agg(F.count("*").alias("ddeg")), "d")
+        .persist()
+    )
+    e.count()
+    # m: (q0, node, mass); node is a doc after odd half-steps. m derives
+    # from e, so every join below aliases both sides (self-join lineage).
+    m = e.select(
+        F.col("q").alias("q0"),
+        F.col("d").alias("node"),
+        F.expr(f"{scale} div qdeg").cast("long").alias("mass"),
+    ).filter(F.col("mass") > floor)
+    for i in range(2, steps + 1):
+        side, out, deg = (
+            ("d", "q", "ddeg") if i % 2 == 0 else ("q", "d", "qdeg")
+        )
+        m = (
+            m.alias("m")
+            .join(e.alias("e"), F.col("m.node") == F.col(f"e.{side}"))
+            .select(
+                F.col("m.q0").alias("q0"),
+                F.col(f"e.{out}").alias("node"),
+                F.expr(f"mass div {deg}").alias("c"),
+            )
+            .groupBy("q0", "node")
+            .agg(F.sum("c").cast("long").alias("mass"))
+            .filter(F.col("mass") > floor)
+            .localCheckpoint(eager=False)
+        )
+    out = m.select(
+        F.col("q0").alias("q"), F.col("node").alias("d"), "mass"
+    )
+    return out
+
+
+def click_graph_walk_oracle_sql(
+    clicks_cte: str, steps: int = 3, scale: int = 10**12, floor: int = 0
+) -> str:
+    """DuckDB oracle for :func:`click_graph_walk` — the same
+    degree-folded edge list and one join-agg CTE per half-step, same
+    integer division and floor."""
+    if steps < 1 or steps % 2 == 0:
+        raise ValueError("steps must be odd and >= 1")
+    parts = [
+        f"WITH c0 AS ({clicks_cte}),",
+        "e0 AS (SELECT DISTINCT q, d FROM c0),",
+        "e AS (SELECT e0.q, e0.d,"
+        " COUNT(*) OVER (PARTITION BY e0.q) AS qdeg,"
+        " COUNT(*) OVER (PARTITION BY e0.d) AS ddeg FROM e0),",
+        f"m1 AS (SELECT q AS q0, d AS node, ({scale} // qdeg)::BIGINT AS mass"
+        f" FROM e WHERE {scale} // qdeg > {floor}),",
+    ]
+    for i in range(2, steps + 1):
+        if i % 2 == 0:
+            parts.append(
+                f"m{i} AS (SELECT m.q0, e.q AS node,"
+                " SUM(m.mass // e.ddeg)::BIGINT AS mass"
+                f" FROM m{i - 1} m JOIN e ON e.d = m.node"
+                f" GROUP BY m.q0, e.q HAVING SUM(m.mass // e.ddeg) > {floor}),"
+            )
+        else:
+            parts.append(
+                f"m{i} AS (SELECT m.q0, e.d AS node,"
+                " SUM(m.mass // e.qdeg)::BIGINT AS mass"
+                f" FROM m{i - 1} m JOIN e ON e.q = m.node"
+                f" GROUP BY m.q0, e.d HAVING SUM(m.mass // e.qdeg) > {floor}),"
+            )
+    parts.append(f"fin AS (SELECT * FROM m{steps})")
+    parts.append("SELECT q0 AS q, node AS d, mass FROM fin")
+    return "\n".join(parts)
+
+
+def lru_stack_distances(
+    log: DataFrame, q_col: str = "q", t_col: str = "event_id"
+) -> DataFrame:
+    """Per repeat occurrence of a query in a totally-ordered log, its
+    LRU stack (reuse) distance: the number of DISTINCT other queries
+    issued strictly between this occurrence and the previous occurrence
+    of the same query (Mattson et al., IBM Sys J 1970). A repeat with
+    reuse distance r hits an LRU cache of capacity k iff r < k.
+
+    Output: (t, q, reuse BIGINT) — one row per non-first occurrence.
+
+    Scale note (documented, not hidden): the between-occurrences
+    distinct count is a range self-join, O(sum of gap lengths) — this
+    is the OFFLINE cache-sizing analysis (run on a day's log or a
+    sample to pick the result-cache capacity, cf. Markatos, IPM 2001),
+    not an online component. Spark shape: one lag window per query
+    partition + one range join re-using the log's time-partitioning;
+    gaps longer than the analysis horizon can be pre-clamped upstream.
+    """
+    lg = log.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(q_col).cast("long").alias("q"),
+    )
+    w = Window.partitionBy("q").orderBy("t")
+    occ = lg.withColumn("prev", F.lag("t").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    o, x = occ.alias("o"), lg.alias("x")
+    between = o.join(
+        x,
+        (F.col("x.t") > F.col("o.prev"))
+        & (F.col("x.t") < F.col("o.t"))
+        & (F.col("x.q") != F.col("o.q")),
+        "left",
+    )
+    return (
+        between.groupBy(F.col("o.t").alias("t"), F.col("o.q").alias("q"))
+        .agg(F.count_distinct(F.col("x.q")).alias("reuse"))
+        .select("t", "q", F.col("reuse").cast("long").alias("reuse"))
+    )
+
+
+def lru_hit_curve(
+    log: DataFrame,
+    capacities: tuple[int, ...] = (1, 4, 16, 64),
+    q_col: str = "q",
+    t_col: str = "event_id",
+) -> DataFrame:
+    """LRU result-cache hit-rate curve over a query log (Markatos, IPM
+    2001 "On caching search engine query results"): for each candidate
+    capacity k, the fraction of ALL queries served from a k-entry LRU
+    cache — repeats with stack distance < k hit; first occurrences are
+    compulsory misses. One pass over :func:`lru_stack_distances`; the
+    curve is how production picks the frontend cache size.
+
+    Output: (capacity, hits, total, hit_rate) — hit_rate rounded to 6
+    decimals, exact-oracle graded."""
+    sd = lru_stack_distances(log, q_col=q_col, t_col=t_col)
+    total = log.count()
+    caps = F.array([F.lit(int(k)) for k in capacities])
+    per_cap = (
+        sd.select(F.explode(caps).alias("capacity"), "reuse")
+        .groupBy("capacity")
+        .agg(
+            F.sum((F.col("reuse") < F.col("capacity")).cast("long")).alias(
+                "hits"
+            )
+        )
+    )
+    # capacities with zero hits still need a row
+    base = sd.sparkSession.createDataFrame(
+        [(int(k),) for k in capacities], "capacity long"
+    )
+    return (
+        base.join(per_cap, "capacity", "left")
+        .select(
+            "capacity",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.lit(int(total)).cast("long").alias("total"),
+            F.round(
+                F.coalesce("hits", F.lit(0)) / F.lit(int(total)), 6
+            ).alias("hit_rate"),
+        )
+    )
+
+
+def lru_hit_curve_oracle_sql(
+    log_cte: str, capacities: tuple[int, ...] = (1, 4, 16, 64)
+) -> str:
+    """DuckDB oracle for :func:`lru_hit_curve` — same lag window, same
+    strict-between distinct count, same rounded division.
+    ``log_cte`` must yield (t, q)."""
+    caps = ", ".join(f"({int(k)})" for k in capacities)
+    return f"""
+    WITH lg AS ({log_cte}),
+    occ AS (
+      SELECT t, q, lag(t) OVER (PARTITION BY q ORDER BY t) AS prev
+      FROM lg
+    ),
+    sd AS (
+      SELECT o.t, o.q, COUNT(DISTINCT x.q)::BIGINT AS reuse
+      FROM occ o LEFT JOIN lg x
+        ON x.t > o.prev AND x.t < o.t AND x.q != o.q
+      WHERE o.prev IS NOT NULL
+      GROUP BY o.t, o.q
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS total FROM lg),
+    caps AS (SELECT * FROM (VALUES {caps}) c(capacity)),
+    hits AS (
+      SELECT c.capacity::BIGINT AS capacity,
+             COALESCE(SUM(CASE WHEN sd.reuse < c.capacity
+                               THEN 1 ELSE 0 END), 0)::BIGINT AS hits
+      FROM caps c LEFT JOIN sd ON TRUE
+      GROUP BY c.capacity
+    )
+    SELECT h.capacity, h.hits, t.total,
+           round(h.hits / t.total, 6) AS hit_rate
+    FROM hits h CROSS JOIN tot t
     """

@@ -5375,3 +5375,47 @@ def _tdi_rankings(spark, sf_dir):
 )
 def q_search_eval_interleaving(spark, sf_dir):
     return ranking.team_draft_interleave(_tdi_rankings(spark, sf_dir))
+
+
+@register(
+    "click_graph_walk",
+    _ql.click_graph_walk_oracle_sql(
+        f"SELECT q, d FROM ({_CLICK_LOG_CTE}) WHERE c = 1", steps=3
+    ),
+    "Markov random walk on the bipartite click graph (Craswell & "
+    "Szummer SIGIR 2007), 3 half-steps q→d→q'→d': integer mass splits "
+    "evenly over click edges per half-step (mass div degree, the "
+    "pagerank fixed-point discipline), so docs co-clicked with q's "
+    "neighbors earn walk-smoothed relevance the raw click CTR can't "
+    "see. Bit-identical at any parallelism; exact 3-CTE join-agg "
+    "oracle. The degree-folded edge list shuffles once and every "
+    "half-step reuses it keyed alternately by q and d; a mass floor "
+    "(0 here) bounds per-query reachable-set growth at scale",
+)
+def q_click_graph_walk(spark, sf_dir):
+    clicks = _click_log(spark, sf_dir).filter(F.col("c") == 1)
+    return _ql.click_graph_walk(clicks, steps=3)
+
+
+@register(
+    "cache_lru_hit_curve",
+    _ql.lru_hit_curve_oracle_sql(
+        f"SELECT event_id AS t, q FROM ({_QUERYLOG_CTE})",
+        capacities=(1, 4, 16, 64),
+    ),
+    "LRU result-cache hit-rate curve (Markatos IPM 2001; Mattson stack "
+    "distances 1970) over the temporal query log: per capacity k in "
+    "{1,4,16,64}, the fraction of queries a k-entry LRU front cache "
+    "would serve — a repeat hits iff the number of DISTINCT other "
+    "queries since its previous occurrence is < k; first occurrences "
+    "are compulsory misses. One lag window per query partition + one "
+    "strict-between range join; the offline analysis that sizes the "
+    "serving tier's cache, run on a day's log or a sample (the "
+    "documented O(sum-of-gaps) shape), all-integer + one rounded "
+    "division so the curve grades exactly",
+)
+def q_cache_lru_hit_curve(spark, sf_dir):
+    lg = _query_log(spark, sf_dir).select(
+        F.col("event_id").alias("t"), "q"
+    )
+    return _ql.lru_hit_curve(lg, capacities=(1, 4, 16, 64), t_col="t")

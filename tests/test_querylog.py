@@ -140,3 +140,159 @@ def test_coclick_matches_python_reference(spark):
         ).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- click-graph walk
+
+
+from obp_search_engine_spark.operators.querylog import (  # noqa: E402
+    click_graph_walk,
+    click_graph_walk_oracle_sql,
+    lru_hit_curve,
+    lru_stack_distances,
+)
+
+
+def _py_walk(clicks, steps=3, scale=10**12, floor=0):
+    e = sorted(set(clicks))
+    qdeg, ddeg = {}, {}
+    for q, d in e:
+        qdeg[q] = qdeg.get(q, 0) + 1
+        ddeg[d] = ddeg.get(d, 0) + 1
+    m = {}
+    for q, d in e:
+        v = scale // qdeg[q]
+        if v > floor:
+            m[(q, d)] = m.get((q, d), 0) + v
+    for i in range(2, steps + 1):
+        nxt = {}
+        for (q0, node), mass in m.items():
+            for q, d in e:
+                if i % 2 == 0 and d == node:
+                    nxt[(q0, q)] = nxt.get((q0, q), 0) + mass // ddeg[d]
+                elif i % 2 == 1 and q == node:
+                    nxt[(q0, d)] = nxt.get((q0, d), 0) + mass // qdeg[q]
+        m = {k: v for k, v in nxt.items() if v > floor}
+    return m
+
+
+def _walk_clicks_df(spark, rows):
+    return spark.createDataFrame(rows, "q long, d long")
+
+
+def test_walk_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(17)
+    clicks = [(rng.randrange(6), rng.randrange(15)) for _ in range(60)]
+    got = {
+        (r.q, r.d): r.mass
+        for r in click_graph_walk(_walk_clicks_df(spark, clicks)).collect()
+    }
+    assert got == _py_walk(clicks)
+
+
+def test_walk_smooths_to_unclicked_docs(spark):
+    # q0 clicked d1 only; q1 clicked d1 and d2 -> after 3 half-steps q0
+    # holds mass on d2 it never clicked (the Craswell-Szummer point)
+    clicks = [(0, 1), (1, 1), (1, 2)]
+    got = {
+        (r.q, r.d): r.mass
+        for r in click_graph_walk(_walk_clicks_df(spark, clicks)).collect()
+    }
+    assert got[(0, 2)] > 0
+    assert got[(0, 1)] > got[(0, 2)]  # direct click still dominates
+
+
+def test_walk_floor_prunes(spark):
+    clicks = [(0, 1), (1, 1), (1, 2)]
+    full = click_graph_walk(_walk_clicks_df(spark, clicks), floor=0).count()
+    pruned = click_graph_walk(
+        _walk_clicks_df(spark, clicks), floor=10**12 // 3
+    ).count()
+    assert pruned < full
+
+
+def test_walk_even_steps_rejected(spark):
+    with pytest.raises(ValueError):
+        click_graph_walk(_walk_clicks_df(spark, [(0, 1)]), steps=2)
+    with pytest.raises(ValueError):
+        click_graph_walk_oracle_sql("SELECT 0 AS q, 1 AS d", steps=4)
+
+
+def test_walk_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(3)
+    clicks = [(rng.randrange(5), rng.randrange(10)) for _ in range(40)]
+    df = _walk_clicks_df(spark, clicks)
+    a = sorted(map(tuple, click_graph_walk(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, click_graph_walk(df.repartition(11)).collect()))
+    assert a == b
+
+
+# ------------------------------------------------- LRU hit curve
+
+
+def _py_lru_curve(log, capacities):
+    # log: [(t, q)] — exact LRU simulation (the ground truth the
+    # stack-distance formulation must reproduce)
+    from collections import OrderedDict
+
+    hits = {k: 0 for k in capacities}
+    caches = {k: OrderedDict() for k in capacities}
+    for t, q in sorted(log):
+        for k in capacities:
+            c = caches[k]
+            if q in c:
+                hits[k] += 1
+                c.move_to_end(q)
+            else:
+                c[q] = True
+                if len(c) > k:
+                    c.popitem(last=False)
+    total = len(log)
+    return {
+        k: (hits[k], total, round(hits[k] / total, 6)) for k in capacities
+    }
+
+
+def _lru_log_df(spark, log):
+    return spark.createDataFrame(log, "t long, q long")
+
+
+def test_lru_curve_matches_true_lru_simulation(spark):
+    import random
+
+    rng = random.Random(9)
+    log = [(t, rng.randrange(12)) for t in range(300)]
+    caps = (1, 4, 16, 64)
+    got = {
+        r.capacity: (r.hits, r.total, r.hit_rate)
+        for r in lru_hit_curve(_lru_log_df(spark, log), caps, t_col="t").collect()
+    }
+    assert got == _py_lru_curve(log, caps)
+
+
+def test_lru_stack_distance_hand_case(spark):
+    # log: a b c a b b -> a@t4 reuse {b,c}=2; b@t5 reuse {c,a}=2; b@t6 0
+    log = [(1, 0), (2, 1), (3, 2), (4, 0), (5, 1), (6, 1)]
+    got = {
+        (r.t, r.q): r.reuse
+        for r in lru_stack_distances(_lru_log_df(spark, log), t_col="t").collect()
+    }
+    assert got == {(4, 0): 2, (5, 1): 2, (6, 1): 0}
+
+
+def test_lru_curve_monotone_in_capacity(spark):
+    import random
+
+    rng = random.Random(2)
+    log = [(t, rng.randrange(30)) for t in range(400)]
+    rows = lru_hit_curve(
+        _lru_log_df(spark, log), (1, 2, 8, 32, 128), t_col="t"
+    ).collect()
+    by_cap = sorted((r.capacity, r.hits) for r in rows)
+    hits = [h for _, h in by_cap]
+    assert hits == sorted(hits)
+    assert by_cap[-1][1] == 400 - 30  # full-capacity: only compulsory miss
