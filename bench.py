@@ -146,6 +146,15 @@ BENCH_QUERIES = [
     "search_query_reformulations",
     "search_related_queries_coclick",
     "search_mmr_rerank",
+    # round-5 (cont.) additions: UBM click model, personalized PageRank,
+    # RFC 9309 robots gate, team-draft interleaving, click-graph walk,
+    # LRU cache curve
+    "click_model_ubm_ctr",
+    "link_ppr",
+    "robots_rules_eval",
+    "search_eval_interleaving",
+    "click_graph_walk",
+    "cache_lru_hit_curve",
 ]
 
 
