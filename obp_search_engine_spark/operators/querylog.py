@@ -41,6 +41,8 @@ __all__ = [
     "lru_stack_distances",
     "lru_hit_curve",
     "lru_hit_curve_oracle_sql",
+    "query_intent",
+    "query_intent_oracle_sql",
 ]
 
 
@@ -453,4 +455,105 @@ def lru_hit_curve_oracle_sql(
     SELECT h.capacity, h.hits, t.total,
            round(h.hits / t.total, 6) AS hit_rate
     FROM hits h CROSS JOIN tot t
+    """
+
+
+def query_intent(
+    clicks: DataFrame,
+    nav_share: float = 0.8,
+    nav_docs: int = 2,
+    q_col: str = "q",
+    d_col: str = "d",
+) -> DataFrame:
+    """Navigational-vs-informational query intent from click
+    concentration (Lee, Liu & Cho, WWW 2005 "Automatic identification
+    of user goals in web search"; Broder SIGIR Forum 2002 taxonomy):
+    a navigational query's clicks pile onto one result (low click
+    entropy, dominant top share), an informational query's spread out.
+    The router uses this to skip the expensive ranking stages for
+    navigational traffic and to pick snippet length.
+
+    Per query over clicked (q, d) rows:
+
+    * ``n_clicks``, ``n_docs`` (distinct clicked docs) — integers;
+    * ``entropy`` = -sum p_d * log2(p_d), folded in doc-id order and
+      rounded to 6 decimals (the repo's FP-portability discipline:
+      identical fold order on both engines);
+    * ``top_share`` = clicks on the modal doc / n_clicks, rounded 6;
+    * ``intent`` = 'navigational' iff top_share >= ``nav_share`` AND
+      n_docs <= ``nav_docs``, else 'informational' — the paper's
+      click-distribution rule with its standard thresholds.
+
+    100 TB shape: one map-side-combinable groupBy (q, d) then one
+    groupBy q whose sorted fold holds a single query's distinct-doc
+    histogram (bounded by the SERP depth, ~10^1-10^2 rows) — nothing
+    O(log) per key, no windows over the full log, no Python.
+    """
+    per_doc = (
+        clicks.select(
+            F.col(q_col).cast("long").alias("q"),
+            F.col(d_col).cast("long").alias("d"),
+        )
+        .groupBy("q", "d")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per_doc.groupBy("q").agg(
+        F.sum("c").cast("long").alias("n_clicks"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("c").cast("long").alias("_top"),
+        F.collect_list(F.struct("d", "c")).alias("_xs"),
+    )
+    p = lambda x: x["c"].cast("double") / F.col("n_clicks")  # noqa: E731
+    ent = F.round(
+        -F.aggregate(
+            F.array_sort("_xs"),
+            F.lit(0.0),
+            lambda acc, x: acc + p(x) * F.log2(p(x)),
+        ),
+        6,
+    )
+    share = F.round(F.col("_top") / F.col("n_clicks"), 6)
+    return agg.select(
+        "q",
+        "n_clicks",
+        "n_docs",
+        ent.alias("entropy"),
+        share.alias("top_share"),
+        F.when(
+            (share >= F.lit(float(nav_share)))
+            & (F.col("n_docs") <= F.lit(int(nav_docs))),
+            F.lit("navigational"),
+        )
+        .otherwise(F.lit("informational"))
+        .alias("intent"),
+    )
+
+
+def query_intent_oracle_sql(
+    clicks_cte: str, nav_share: float = 0.8, nav_docs: int = 2
+) -> str:
+    """DuckDB oracle for :func:`query_intent` — same doc-id-ordered
+    entropy fold, same rounded shares and thresholds. ``clicks_cte``
+    must yield (q, d) clicked rows."""
+    return f"""
+    WITH c0 AS ({clicks_cte}),
+    per_doc AS (
+      SELECT q, d, COUNT(*)::BIGINT AS c FROM c0 GROUP BY q, d
+    ),
+    agg AS (
+      SELECT q, SUM(c)::BIGINT AS n_clicks, COUNT(*)::BIGINT AS n_docs,
+             MAX(c)::BIGINT AS top,
+             list(c ORDER BY d) AS cs
+      FROM per_doc GROUP BY q
+    )
+    SELECT q, n_clicks, n_docs,
+      round(-list_reduce(
+          list_prepend(0.0, list_transform(cs,
+            x -> (x::DOUBLE / n_clicks) * log2(x::DOUBLE / n_clicks))),
+          (a, b) -> a + b), 6) AS entropy,
+      round(top / n_clicks, 6) AS top_share,
+      CASE WHEN round(top / n_clicks, 6) >= {float(nav_share)!r}
+             AND n_docs <= {int(nav_docs)}
+           THEN 'navigational' ELSE 'informational' END AS intent
+    FROM agg
     """

@@ -5419,3 +5419,34 @@ def q_cache_lru_hit_curve(spark, sf_dir):
         F.col("event_id").alias("t"), "q"
     )
     return _ql.lru_hit_curve(lg, capacities=(1, 4, 16, 64), t_col="t")
+
+
+# the md5 log spreads clicks evenly (every query reads informational), so
+# the intent entry unions a navigational block: queries 100..103 whose
+# every click lands on one target doc — both rule branches graded.
+_INTENT_CLICKS_CTE = f"""
+  SELECT q, d FROM ({_CLICK_LOG_CTE}) WHERE c = 1
+  UNION ALL
+  SELECT 100 + event_id % 4 AS q, 1000 + event_id % 4 AS d FROM events
+"""
+
+
+@register(
+    "query_intent_classes",
+    _ql.query_intent_oracle_sql(_INTENT_CLICKS_CTE),
+    "navigational-vs-informational intent from click concentration "
+    "(Lee, Liu & Cho WWW 2005; Broder taxonomy): per query the click "
+    "entropy (doc-id-ordered fold, 6dp), modal-doc share, and the "
+    "paper's threshold rule (share >= 0.8 AND <= 2 distinct docs -> "
+    "navigational) — the router signal that lets serving skip "
+    "expensive ranking for navigational traffic. Two map-side-"
+    "combinable groupBys; the per-query fold holds one SERP-bounded "
+    "histogram",
+)
+def q_query_intent_classes(spark, sf_dir):
+    clicks = _click_log(spark, sf_dir).filter(F.col("c") == 1).select("q", "d")
+    nav = _t(spark, sf_dir, "events").select(
+        (F.lit(100) + F.col("event_id") % 4).alias("q"),
+        (F.lit(1000) + F.col("event_id") % 4).alias("d"),
+    )
+    return _ql.query_intent(clicks.unionByName(nav))

@@ -296,3 +296,51 @@ def test_lru_curve_monotone_in_capacity(spark):
     hits = [h for _, h in by_cap]
     assert hits == sorted(hits)
     assert by_cap[-1][1] == 400 - 30  # full-capacity: only compulsory miss
+
+
+# ------------------------------------------------- query intent
+
+
+from obp_search_engine_spark.operators.querylog import query_intent  # noqa: E402
+
+
+def test_intent_hand_case(spark):
+    # q0: 10 clicks all on d5 -> navigational (share 1.0, 1 doc)
+    # q1: clicks on 4 docs evenly -> informational, entropy = 2.0 exactly
+    rows = [(0, 5)] * 10 + [(1, d) for d in (1, 2, 3, 4)] * 3
+    got = {
+        r.q: (r.n_clicks, r.n_docs, r.entropy, r.top_share, r.intent)
+        for r in query_intent(
+            spark.createDataFrame(rows, "q long, d long")
+        ).collect()
+    }
+    assert got[0] == (10, 1, -0.0, 1.0, "navigational")
+    assert got[1] == (12, 4, 2.0, 0.25, "informational")
+
+
+def test_intent_threshold_edges(spark):
+    # share 0.8 with 2 docs -> navigational (>= threshold, <= docs)
+    rows = [(0, 1)] * 8 + [(0, 2)] * 2
+    r = query_intent(
+        spark.createDataFrame(rows, "q long, d long")
+    ).first()
+    assert (r.top_share, r.n_docs, r.intent) == (0.8, 2, "navigational")
+    # share 0.8 but 3 distinct docs -> informational
+    rows = [(0, 1)] * 8 + [(0, 2), (0, 3)]
+    r = query_intent(
+        spark.createDataFrame(rows, "q long, d long")
+    ).first()
+    assert r.intent == "informational"
+
+
+def test_intent_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(77)
+    rows = [
+        (rng.randrange(6), rng.randrange(10)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "q long, d long")
+    a = sorted(map(tuple, query_intent(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, query_intent(df.repartition(9)).collect()))
+    assert a == b
