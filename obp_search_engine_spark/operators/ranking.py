@@ -4570,3 +4570,191 @@ def tdi_oracle_sql(
         "FROM cred"
     )
     return "\n".join(parts)
+
+
+def xquad_rerank(
+    cand: DataFrame,
+    aspects: DataFrame,
+    docasp: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """xQuAD explicit query diversification (Santos, Macdonald & Ounis,
+    WWW 2010 "Exploiting query reformulations for web search result
+    diversification") — the aspect-aware complement to MMR
+    (similarity.mmr_rerank): where MMR penalizes pairwise similarity,
+    xQuAD rewards covering the query's still-UNCOVERED interpretations.
+    Greedily pick ``k`` docs per query maximizing
+
+        (1 - lam) * rel(d|q)
+          + lam * sum_a P(a|q) * P(d|a) * prod_{d' in S} (1 - P(d'|a))
+
+    where S is the already-selected set — each pick multiplies the
+    covered aspects' uncovered mass down, so the next pick prefers
+    docs serving a different interpretation.
+
+    Inputs: ``cand`` (q, d, rel) — the bounded per-query candidate
+    pool (the ANN/BM25 top-pool upstream); ``aspects`` (q, a, paq);
+    ``docasp`` (d, a, pda). FP portability: with dyadic probabilities
+    (the registry feeds /8 and /16 grids) every product and sum here
+    is EXACT in doubles — k<=5 picks multiply <=5 four-bit factors,
+    far inside the 52-bit mantissa — so the greedy argmax (ties d ASC)
+    totally orders and the recursion unrolls into an exact DuckDB
+    oracle (:func:`xquad_oracle_sql`) with no rounding at all.
+
+    Output: (q, step, d, score) — k rows per query, step 1..k.
+
+    100 TB shape: corpus-sized work happened upstream (the pool); the
+    k greedy rounds operate on pool-bounded frames — per step one
+    aspect join + map-side-combined groupBy(q, d), one window rank per
+    q partition, one aspects-sized state update. No driver collect, no
+    Python; a million queries diversify in the same k rounds, all
+    partitioned by q.
+    """
+    if k < 1:
+        raise ValueError("xquad_rerank requires k >= 1")
+    lam = float(lam)
+    c0 = cand.select(
+        F.col("q").cast("long").alias("q"),
+        F.col("d").cast("long").alias("d"),
+        F.col("rel").cast("double").alias("rel"),
+    ).localCheckpoint(eager=False)
+    da = docasp.select(
+        F.col("d").cast("long").alias("d"),
+        F.col("a").cast("long").alias("a"),
+        F.col("pda").cast("double").alias("pda"),
+    ).localCheckpoint(eager=False)
+    unc = aspects.select(
+        F.col("q").cast("long").alias("q"),
+        F.col("a").cast("long").alias("a"),
+        F.col("paq").cast("double").alias("paq"),
+        F.lit(1.0).alias("u"),
+    )
+    sel = None
+    picks = []
+    w = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("d"))
+    for step in range(1, k + 1):
+        left = c0 if sel is None else c0.join(sel, ["q", "d"], "left_anti")
+        gain = (
+            left.alias("c")
+            .join(da.alias("da"), F.col("c.d") == F.col("da.d"), "left")
+            .join(
+                unc.alias("un"),
+                (F.col("un.q") == F.col("c.q"))
+                & (F.col("un.a") == F.col("da.a")),
+                "left",
+            )
+            .groupBy(F.col("c.q").alias("q"), F.col("c.d").alias("d"))
+            .agg(
+                F.first("c.rel").alias("rel"),
+                F.coalesce(
+                    F.sum(
+                        F.col("un.paq") * F.col("da.pda") * F.col("un.u")
+                    ),
+                    F.lit(0.0),
+                ).alias("div"),
+            )
+            .select(
+                "q",
+                "d",
+                (
+                    F.lit(1.0 - lam) * F.col("rel")
+                    + F.lit(lam) * F.col("div")
+                ).alias("score"),
+            )
+        )
+        p = (
+            gain.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("q", "d", F.lit(step).alias("step"), "score")
+            .localCheckpoint(eager=True)  # consumed by sel, unc, output
+        )
+        picks.append(p)
+        sel = p.select("q", "d") if sel is None else sel.unionByName(
+            p.select("q", "d")
+        )
+        pda_picked = (
+            p.alias("p")
+            .join(da.alias("da"), F.col("p.d") == F.col("da.d"))
+            .select(
+                F.col("p.q").alias("q"),
+                F.col("da.a").alias("a"),
+                F.col("da.pda").alias("pda"),
+            )
+        )
+        unc = (
+            unc.alias("un")
+            .join(pda_picked.alias("pp"), ["q", "a"], "left")
+            .select(
+                "q",
+                "a",
+                F.col("un.paq").alias("paq"),
+                (
+                    F.col("un.u")
+                    * (F.lit(1.0) - F.coalesce(F.col("pp.pda"), F.lit(0.0)))
+                ).alias("u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("q", "step", "d", "score")
+
+
+def xquad_oracle_sql(
+    cand_cte: str,
+    aspects_cte: str,
+    docasp_cte: str,
+    k: int = 5,
+    lam: float = 0.5,
+) -> str:
+    """DuckDB oracle for :func:`xquad_rerank` — the greedy recursion
+    unrolled one (gain, pick, state) CTE triple per step; identical
+    joins, products, and d-ASC tie-break."""
+    lam = float(lam)
+    parts = [
+        f"WITH cand AS ({cand_cte}),",
+        f"asp AS ({aspects_cte}),",
+        f"docasp AS ({docasp_cte}),",
+        "sel0 AS (SELECT NULL::BIGINT AS q, NULL::BIGINT AS d,"
+        " NULL::INT AS step, NULL::DOUBLE AS score WHERE FALSE),",
+        "unc0 AS (SELECT q, a, paq, 1.0::DOUBLE AS u FROM asp),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"g{i} AS (\n"
+            f"  SELECT c.q, c.d, {1.0 - lam!r} * c.rel\n"
+            f"    + {lam!r} * COALESCE(SUM(un.paq * da.pda * un.u), 0.0)\n"
+            "      AS score\n"
+            "  FROM cand c\n"
+            f"  LEFT JOIN sel{i - 1} s ON s.q = c.q AND s.d = c.d\n"
+            "  LEFT JOIN docasp da ON da.d = c.d\n"
+            f"  LEFT JOIN unc{i - 1} un ON un.q = c.q AND un.a = da.a\n"
+            "  WHERE s.d IS NULL\n"
+            "  GROUP BY c.q, c.d, c.rel\n"
+            "),"
+        )
+        parts.append(
+            f"p{i} AS (SELECT q, d, {i} AS step, score FROM (\n"
+            "  SELECT *, row_number() OVER (\n"
+            "    PARTITION BY q ORDER BY score DESC, d) AS rn\n"
+            f"  FROM g{i}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"sel{i} AS (SELECT q, d, step, score FROM sel{i - 1}\n"
+            f"  UNION ALL SELECT q, d, step, score FROM p{i}),"
+        )
+        parts.append(
+            f"unc{i} AS (\n"
+            "  SELECT un.q, un.a, un.paq,\n"
+            "    un.u * (1.0 - COALESCE(x.pda, 0.0)) AS u\n"
+            f"  FROM unc{i - 1} un LEFT JOIN (\n"
+            "    SELECT da.a, p.q, da.pda FROM docasp da\n"
+            f"    JOIN p{i} p ON p.d = da.d\n"
+            "  ) x ON x.q = un.q AND x.a = un.a\n"
+            "),"
+        )
+    parts.append(f"fin AS (SELECT * FROM sel{k})")
+    parts.append("SELECT q, step, d, score FROM fin")
+    return "\n".join(parts)

@@ -5450,3 +5450,108 @@ def q_query_intent_classes(spark, sf_dir):
         (F.lit(1000) + F.col("event_id") % 4).alias("d"),
     )
     return _ql.query_intent(clicks.unionByName(nav))
+
+
+# ----------------------------------------------------------- xQuAD
+
+# Dyadic md5 grids (all probabilities on /8 and /16 grids, so every
+# xQuAD product/sum is EXACT in doubles — no rounding anywhere):
+# candidates d = (5i + h(q)) mod 41 (injective per q), rel on /16;
+# aspect importance paq on /8; doc-aspect relevance pda on /16.
+_XQUAD_CAND_CTE = """
+  SELECT q, d,
+    (1 + ('0x'||substr(md5(q::VARCHAR||'-'||d::VARCHAR||'#r'),1,6))::BIGINT
+       % 15) / 16.0 AS rel
+  FROM (
+    SELECT r1.range AS q,
+      (5 * r2.range +
+       ('0x'||substr(md5(r1.range::VARCHAR||'#c'),1,6))::BIGINT % 41) % 41
+        AS d
+    FROM range(8) r1, range(8) r2
+  )
+"""
+
+_XQUAD_ASP_CTE = """
+  SELECT r1.range AS q, r2.range AS a,
+    (1 + ('0x'||substr(md5(r1.range::VARCHAR||'-'||r2.range::VARCHAR
+       ||'#pa'),1,6))::BIGINT % 4) / 8.0 AS paq
+  FROM range(8) r1, range(4) r2
+"""
+
+_XQUAD_DOCASP_CTE = """
+  SELECT r1.range AS d, r2.range AS a,
+    (('0x'||substr(md5(r1.range::VARCHAR||'-'||r2.range::VARCHAR
+       ||'#da'),1,6))::BIGINT % 8) / 16.0 AS pda
+  FROM range(41) r1, range(4) r2
+"""
+
+
+def _xquad_inputs(spark, sf_dir):
+    """Spark twins of the three xQuAD CTEs."""
+
+    def h(cols, tag):
+        parts = []
+        for j, c in enumerate(cols):
+            if j:
+                parts.append(F.lit("-"))
+            parts.append(c.cast("string"))
+        parts.append(F.lit(tag))
+        return F.conv(
+            F.substring(F.md5(F.concat(*parts)), 1, 6), 16, 10
+        ).cast("long")
+
+    q8 = spark.range(8).select(F.col("id").alias("q"))
+    i8 = spark.range(8).select(F.col("id").alias("i"))
+    cand = (
+        q8.crossJoin(i8)
+        .select(
+            "q",
+            (
+                (F.lit(5) * F.col("i") + h([F.col("q")], "#c") % 41) % 41
+            ).alias("d"),
+        )
+        .select(
+            "q",
+            "d",
+            (
+                (1 + h([F.col("q"), F.col("d")], "#r") % 15) / F.lit(16.0)
+            ).alias("rel"),
+        )
+    )
+    a4 = spark.range(4).select(F.col("id").alias("a"))
+    asp = q8.crossJoin(a4).select(
+        "q",
+        "a",
+        ((1 + h([F.col("q"), F.col("a")], "#pa") % 4) / F.lit(8.0)).alias(
+            "paq"
+        ),
+    )
+    d41 = spark.range(41).select(F.col("id").alias("d"))
+    docasp = d41.crossJoin(a4).select(
+        "d",
+        "a",
+        ((h([F.col("d"), F.col("a")], "#da") % 8) / F.lit(16.0)).alias(
+            "pda"
+        ),
+    )
+    return cand, asp, docasp
+
+
+@register(
+    "search_xquad_rerank",
+    ranking.xquad_oracle_sql(
+        _XQUAD_CAND_CTE, _XQUAD_ASP_CTE, _XQUAD_DOCASP_CTE, k=5, lam=0.5
+    ),
+    "xQuAD explicit diversification (Santos et al. WWW 2010): greedy "
+    "top-5 per query rewarding docs that cover still-uncovered query "
+    "aspects — (1-l)*rel + l*sum_a P(a|q)P(d|a)*prod(1-P(d'|a)) over "
+    "the selected set. All probabilities on dyadic /8-/16 md5 grids so "
+    "every product is EXACT in doubles (no rounding; ties d ASC), and "
+    "the greedy recursion grades via a 5-step unrolled oracle. "
+    "Completes the diversification family next to MMR: implicit "
+    "pairwise-similarity penalty there, explicit aspect coverage here. "
+    "Pool-bounded per-step work, one window rank per q partition",
+)
+def q_search_xquad_rerank(spark, sf_dir):
+    cand, asp, docasp = _xquad_inputs(spark, sf_dir)
+    return ranking.xquad_rerank(cand, asp, docasp, k=5, lam=0.5)

@@ -1416,3 +1416,133 @@ def test_tdi_partitioning_invariant(spark):
         map(tuple, team_draft_interleave(df.repartition(7)).collect())
     )
     assert one == many
+
+
+# ---------------------------------------------------------- xQuAD
+
+
+from obp_search_engine_spark.operators.ranking import xquad_rerank  # noqa: E402
+
+
+def _py_xquad(cand, asp, docasp, k=5, lam=0.5):
+    # cand: {(q,d): rel}; asp: {(q,a): paq}; docasp: {(d,a): pda}
+    qs = sorted({q for q, _ in cand})
+    out = []
+    for q in qs:
+        u = {a: 1.0 for (qq, a) in asp if qq == q}
+        sel = set()
+        for step in range(1, k + 1):
+            best = None
+            for (qq, d), rel in sorted(cand.items()):
+                if qq != q or d in sel:
+                    continue
+                div = sum(
+                    asp[(q, a)] * docasp.get((d, a), 0.0) * u[a]
+                    for a in u
+                )
+                score = (1 - lam) * rel + lam * div
+                if best is None or score > best[1] or (
+                    score == best[1] and d < best[0]
+                ):
+                    best = (d, score)
+            if best is None:
+                break
+            d, score = best
+            sel.add(d)
+            out.append((q, step, d, score))
+            for a in u:
+                u[a] *= 1.0 - docasp.get((d, a), 0.0)
+    return out
+
+
+def test_xquad_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(19)
+    cand, asp, docasp = {}, {}, {}
+    for q in range(4):
+        for d in rng.sample(range(30), 8):
+            cand[(q, d)] = (1 + rng.randrange(15)) / 16.0
+        for a in range(3):
+            asp[(q, a)] = (1 + rng.randrange(4)) / 8.0
+    for d in range(30):
+        for a in range(3):
+            docasp[(d, a)] = rng.randrange(8) / 16.0
+    cdf = spark.createDataFrame(
+        [(q, d, r) for (q, d), r in cand.items()], "q long, d long, rel double"
+    )
+    adf = spark.createDataFrame(
+        [(q, a, p) for (q, a), p in asp.items()], "q long, a long, paq double"
+    )
+    ddf = spark.createDataFrame(
+        [(d, a, p) for (d, a), p in docasp.items()],
+        "d long, a long, pda double",
+    )
+    got = sorted(
+        (r.q, r.step, r.d, r.score)
+        for r in xquad_rerank(cdf, adf, ddf, k=5).collect()
+    )
+    assert got == sorted(_py_xquad(cand, asp, docasp, k=5))
+
+
+def test_xquad_prefers_uncovered_aspect(spark):
+    # d1 higher rel but same aspect as the first pick d0; d2 lower rel
+    # but covers the untouched aspect -> step-2 must pick d2
+    cdf = spark.createDataFrame(
+        [(0, 0, 0.9375), (0, 1, 0.5625), (0, 2, 0.5)],
+        "q long, d long, rel double",
+    )
+    adf = spark.createDataFrame(
+        [(0, 0, 0.5), (0, 1, 0.5)], "q long, a long, paq double"
+    )
+    ddf = spark.createDataFrame(
+        [(0, 0, 0.4375), (1, 0, 0.4375), (2, 1, 0.4375)],
+        "d long, a long, pda double",
+    )
+    picks = {
+        r.step: r.d for r in xquad_rerank(cdf, adf, ddf, k=3).collect()
+    }
+    assert picks[1] == 0 and picks[2] == 2
+
+
+def test_xquad_no_aspects_degrades_to_rel_order(spark):
+    cdf = spark.createDataFrame(
+        [(0, d, (10 - d) / 16.0) for d in range(5)],
+        "q long, d long, rel double",
+    )
+    adf = spark.createDataFrame([], "q long, a long, paq double")
+    ddf = spark.createDataFrame([], "d long, a long, pda double")
+    rows = sorted(
+        (r.step, r.d) for r in xquad_rerank(cdf, adf, ddf, k=5).collect()
+    )
+    assert rows == [(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)]
+
+
+def test_xquad_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(4)
+    rows = [
+        (q, d, (1 + rng.randrange(15)) / 16.0)
+        for q in range(4)
+        for d in rng.sample(range(20), 6)
+    ]
+    cdf = spark.createDataFrame(rows, "q long, d long, rel double")
+    adf = spark.createDataFrame(
+        [(q, a, 0.25) for q in range(4) for a in range(2)],
+        "q long, a long, paq double",
+    )
+    ddf = spark.createDataFrame(
+        [(d, a, (d + a) % 8 / 16.0) for d in range(20) for a in range(2)],
+        "d long, a long, pda double",
+    )
+    one = sorted(
+        map(tuple, xquad_rerank(cdf.coalesce(1), adf, ddf, k=4).collect())
+    )
+    many = sorted(
+        map(
+            tuple,
+            xquad_rerank(cdf.repartition(7), adf, ddf, k=4).collect(),
+        )
+    )
+    assert one == many
