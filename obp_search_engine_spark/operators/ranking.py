@@ -4758,3 +4758,203 @@ def xquad_oracle_sql(
     parts.append(f"fin AS (SELECT * FROM sel{k})")
     parts.append("SELECT q, step, d, score FROM fin")
     return "\n".join(parts)
+
+
+def alpha_ndcg_at_k(
+    run: DataFrame,
+    judgments: DataFrame,
+    k: int = 5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """alpha-nDCG@k diversity evaluation (Clarke et al., SIGIR 2008
+    "Novelty and diversity in information retrieval evaluation") — the
+    metric xQuAD-style diversification (:func:`xquad_rerank`) is tuned
+    against: a doc's gain at rank i is sum over its covered aspects of
+    ``(1 - alpha)^(#earlier docs covering that aspect)``, so redundant
+    coverage decays geometrically; DCG discounts by log2(rank + 1); the
+    ideal ranking is the STANDARD greedy approximation (the exact ideal
+    is NP-hard — Clarke et al. §5), ties broken d ASC.
+
+    Inputs: ``run`` (q, d, rank) — rank 1..n per query; ``judgments``
+    (q, a, d) — binary aspect-coverage rows (present = covers).
+
+    FP portability: alpha = 0.5 (the paper's default) makes every decay
+    factor an exact power of two, gains exact dyadics, and the greedy
+    argmax a total order; the only irrational step is the shared
+    ``/ log2(rank + 1)`` discount, computed by the identical expression
+    on both engines and rounded to 6 decimals at the end (the
+    nDCG-entry discipline). Exact-oracle graded
+    (:func:`alpha_ndcg_oracle_sql`).
+
+    Output: (q, dcg, idcg, alpha_ndcg) — one row per query with >= 1
+    judged doc in the pool; alpha_ndcg rounded 6.
+
+    100 TB shape: the realized-DCG side is one window per (q, aspect)
+    partition over the top-k slice; the greedy ideal is k rounds over
+    the JUDGED pool only (qrels-bounded, not corpus-bounded) with one
+    map-side-combined groupBy per round — the xQuAD loop shape.
+    """
+    if k < 1:
+        raise ValueError("alpha_ndcg_at_k requires k >= 1")
+    if abs(alpha - 0.5) > 1e-12:
+        raise ValueError(
+            "alpha must be 0.5 (dyadic decay — the exact-oracle contract)"
+        )
+    r = run.select(
+        F.col("q").cast("long").alias("q"),
+        F.col("d").cast("long").alias("d"),
+        F.col("rank").cast("long").alias("rank"),
+    ).filter(F.col("rank") <= k)
+    j = judgments.select(
+        F.col("q").cast("long").alias("q"),
+        F.col("a").cast("long").alias("a"),
+        F.col("d").cast("long").alias("d"),
+    ).distinct().localCheckpoint(eager=False)
+    # realized gains: nth covering doc of (q, a) earns 0.5^(n-1)
+    wa = Window.partitionBy("q", "a").orderBy("rank")
+    gains = (
+        r.join(j, ["q", "d"])
+        .withColumn("_n", F.row_number().over(wa))
+        .groupBy("q", "rank")
+        .agg(F.sum(F.pow(F.lit(0.5), F.col("_n") - 1)).alias("_g"))
+    )
+    dcg = gains.groupBy("q").agg(
+        F.sum(F.col("_g") / F.log2(F.col("rank") + 1)).alias("dcg")
+    )
+    # greedy ideal over the judged pool (all judged docs of q)
+    pool = j.select("q", "d").distinct().localCheckpoint(eager=False)
+    unc = (
+        j.select("q", "a")
+        .distinct()
+        .withColumn("u", F.lit(1.0))
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("gain"), F.asc("d"))
+    sel = None
+    ideal = []
+    for step in range(1, k + 1):
+        left = (
+            pool if sel is None else pool.join(sel, ["q", "d"], "left_anti")
+        )
+        g = (
+            left.join(j, ["q", "d"])
+            .join(unc, ["q", "a"])
+            .groupBy("q", "d")
+            .agg(F.sum("u").alias("gain"))
+        )
+        p = (
+            g.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("gain") > 0))
+            .select("q", "d", F.lit(step).alias("step"), "gain")
+            .localCheckpoint(eager=True)
+        )
+        ideal.append(p)
+        sel = p.select("q", "d") if sel is None else sel.unionByName(
+            p.select("q", "d")
+        )
+        covered = p.join(j, ["q", "d"]).select("q", "a")
+        unc = (
+            unc.alias("un")
+            .join(
+                covered.withColumn("_hit", F.lit(1)).alias("cv"),
+                ["q", "a"],
+                "left",
+            )
+            .select(
+                "q",
+                "a",
+                F.when(
+                    F.col("cv._hit").isNotNull(), F.col("un.u") * 0.5
+                )
+                .otherwise(F.col("un.u"))
+                .alias("u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    ip = ideal[0]
+    for p in ideal[1:]:
+        ip = ip.unionByName(p)
+    idcg = ip.groupBy("q").agg(
+        F.sum(F.col("gain") / F.log2(F.col("step") + 1)).alias("idcg")
+    )
+    return (
+        dcg.join(idcg, "q", "right")
+        .select(
+            "q",
+            F.round(F.coalesce("dcg", F.lit(0.0)), 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(
+                F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"), 6
+            ).alias("alpha_ndcg"),
+        )
+    )
+
+
+def alpha_ndcg_oracle_sql(
+    run_cte: str, judgments_cte: str, k: int = 5
+) -> str:
+    """DuckDB oracle for :func:`alpha_ndcg_at_k` (alpha = 0.5) — same
+    per-(q, aspect) coverage windows, same k-step unrolled greedy
+    ideal, same rounded divisions."""
+    parts = [
+        f"WITH run0 AS ({run_cte}),",
+        f"run AS (SELECT q, d, rank FROM run0 WHERE rank <= {k}),",
+        f"j AS (SELECT DISTINCT q, a, d FROM ({judgments_cte})),",
+        "gains AS (\n"
+        "  SELECT q, rank, SUM(power(0.5, n - 1)) AS g FROM (\n"
+        "    SELECT r.q, r.rank,\n"
+        "      row_number() OVER (PARTITION BY r.q, j.a ORDER BY r.rank)\n"
+        "        AS n\n"
+        "    FROM run r JOIN j ON j.q = r.q AND j.d = r.d\n"
+        "  ) GROUP BY q, rank\n"
+        "),",
+        "dcg AS (SELECT q, SUM(g / log2(rank + 1)) AS dcg\n"
+        "  FROM gains GROUP BY q),",
+        "pool AS (SELECT DISTINCT q, d FROM j),",
+        "sel0 AS (SELECT NULL::BIGINT AS q, NULL::BIGINT AS d,"
+        " NULL::INT AS step, NULL::DOUBLE AS gain WHERE FALSE),",
+        "unc0 AS (SELECT DISTINCT q, a, 1.0::DOUBLE AS u FROM j),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"g{i} AS (\n"
+            "  SELECT p.q, p.d, SUM(un.u) AS gain\n"
+            "  FROM pool p\n"
+            f"  LEFT JOIN sel{i - 1} s ON s.q = p.q AND s.d = p.d\n"
+            "  JOIN j ON j.q = p.q AND j.d = p.d\n"
+            f"  JOIN unc{i - 1} un ON un.q = j.q AND un.a = j.a\n"
+            "  WHERE s.d IS NULL\n"
+            "  GROUP BY p.q, p.d\n"
+            "),"
+        )
+        parts.append(
+            f"p{i} AS (SELECT q, d, {i} AS step, gain FROM (\n"
+            "  SELECT *, row_number() OVER (\n"
+            "    PARTITION BY q ORDER BY gain DESC, d) AS rn\n"
+            f"  FROM g{i} WHERE gain > 0) WHERE rn = 1),"
+        )
+        parts.append(
+            f"sel{i} AS (SELECT q, d, step, gain FROM sel{i - 1}\n"
+            f"  UNION ALL SELECT q, d, step, gain FROM p{i}),"
+        )
+        parts.append(
+            f"unc{i} AS (\n"
+            "  SELECT un.q, un.a,\n"
+            "    CASE WHEN cv.a IS NOT NULL THEN un.u * 0.5\n"
+            "         ELSE un.u END AS u\n"
+            f"  FROM unc{i - 1} un LEFT JOIN (\n"
+            f"    SELECT j.q, j.a FROM j JOIN p{i} p"
+            " ON p.q = j.q AND p.d = j.d\n"
+            "  ) cv ON cv.q = un.q AND cv.a = un.a\n"
+            "),"
+        )
+    parts.append(
+        f"idcg AS (SELECT q, SUM(gain / log2(step + 1)) AS idcg\n"
+        f"  FROM sel{k} GROUP BY q)"
+    )
+    parts.append(
+        "SELECT i.q, round(COALESCE(dcg.dcg, 0.0), 6) AS dcg,\n"
+        "  round(i.idcg, 6) AS idcg,\n"
+        "  round(COALESCE(dcg.dcg, 0.0) / i.idcg, 6) AS alpha_ndcg\n"
+        "FROM idcg i LEFT JOIN dcg ON dcg.q = i.q"
+    )
+    return "\n".join(parts)

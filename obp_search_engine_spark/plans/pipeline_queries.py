@@ -5555,3 +5555,74 @@ def _xquad_inputs(spark, sf_dir):
 def q_search_xquad_rerank(spark, sf_dir):
     cand, asp, docasp = _xquad_inputs(spark, sf_dir)
     return ranking.xquad_rerank(cand, asp, docasp, k=5, lam=0.5)
+
+
+_ANDCG_RUN_CTE = f"""
+  SELECT q, d, row_number() OVER (
+    PARTITION BY q ORDER BY rel DESC, d) AS rank
+  FROM ({_XQUAD_CAND_CTE})
+"""
+
+# binary aspect coverage over the candidate grid: ~1/3 of (q, a, d)
+# triples judged covering
+_ANDCG_JUDG_CTE = f"""
+  SELECT c.q, r.range AS a, c.d
+  FROM ({_XQUAD_CAND_CTE}) c, range(4) r
+  WHERE ('0x'||substr(md5(c.q::VARCHAR||'-'||r.range::VARCHAR||'-'
+        ||c.d::VARCHAR||'#j'),1,6))::BIGINT % 3 = 0
+"""
+
+
+def _andcg_inputs(spark, sf_dir):
+    """Spark twins of _ANDCG_RUN_CTE / _ANDCG_JUDG_CTE."""
+    from pyspark.sql import Window
+
+    cand, _, _ = _xquad_inputs(spark, sf_dir)
+    w = Window.partitionBy("q").orderBy(F.desc("rel"), F.asc("d"))
+    run = cand.select(
+        "q", "d", F.row_number().over(w).cast("long").alias("rank")
+    )
+    a4 = spark.range(4).select(F.col("id").alias("a"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("q").cast("string"),
+                    F.lit("-"),
+                    F.col("a").cast("string"),
+                    F.lit("-"),
+                    F.col("d").cast("string"),
+                    F.lit("#j"),
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    judg = (
+        cand.select("q", "d")
+        .crossJoin(a4)
+        .filter(h % 3 == 0)
+        .select("q", "a", "d")
+    )
+    return run, judg
+
+
+@register(
+    "search_eval_alpha_ndcg",
+    ranking.alpha_ndcg_oracle_sql(_ANDCG_RUN_CTE, _ANDCG_JUDG_CTE, k=5),
+    "alpha-nDCG@5 diversity evaluation (Clarke et al. SIGIR 2008), the "
+    "metric xQuAD optimizes: a doc's gain halves per earlier doc "
+    "covering the same aspect (alpha=0.5 -> exact dyadic decay), DCG "
+    "discounts by log2, and the ideal is the paper's greedy "
+    "approximation (exact ideal is NP-hard) unrolled 5 steps in the "
+    "oracle with d-ASC ties. Realized side is one window per (q, "
+    "aspect); the greedy ideal runs over the qrels-bounded judged "
+    "pool only — the xQuAD loop shape. Completes the evaluator "
+    "family with its diversity member next to nDCG/ERR/RBP/MAP/MRR",
+)
+def q_search_eval_alpha_ndcg(spark, sf_dir):
+    run, judg = _andcg_inputs(spark, sf_dir)
+    return ranking.alpha_ndcg_at_k(run, judg, k=5)

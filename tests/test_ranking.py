@@ -1546,3 +1546,123 @@ def test_xquad_partitioning_invariant(spark):
         )
     )
     assert one == many
+
+
+# ------------------------------------------------------ alpha-nDCG
+
+
+from obp_search_engine_spark.operators.ranking import (  # noqa: E402
+    alpha_ndcg_at_k,
+)
+import math  # noqa: E402
+
+
+def _py_alpha_ndcg(run, judg, k=5):
+    # run: {(q,d): rank}; judg: set of (q,a,d)
+    qs = sorted({q for q, _, _ in judg})
+    out = {}
+    for q in qs:
+        aspects = sorted({a for qq, a, _ in judg if qq == q})
+        cover = {
+            d: {a for qq, a, dd in judg if qq == q and dd == d}
+            for qq, d in run
+            if qq == q
+        }
+        # realized
+        seen = {a: 0 for a in aspects}
+        dcg = 0.0
+        ranked = sorted(
+            ((r, d) for (qq, d), r in run.items() if qq == q and r <= k)
+        )
+        for r, d in ranked:
+            g = sum(0.5 ** seen[a] for a in cover.get(d, ()))
+            for a in cover.get(d, ()):
+                seen[a] += 1
+            dcg += g / math.log2(r + 1)
+        # greedy ideal over judged pool
+        pool = sorted({d for qq, a, d in judg if qq == q})
+        u = {a: 1.0 for a in aspects}
+        chosen = set()
+        idcg = 0.0
+        for step in range(1, k + 1):
+            best = None
+            for d in pool:
+                if d in chosen:
+                    continue
+                g = sum(u[a] for a in cover.get(d, set()) | {
+                    a for qq, a, dd in judg if qq == q and dd == d
+                })
+                if g <= 0:
+                    continue
+                if best is None or g > best[1]:
+                    best = (d, g)
+            if best is None:
+                break
+            d, g = best
+            chosen.add(d)
+            idcg += g / math.log2(step + 1)
+            for qq, a, dd in judg:
+                if qq == q and dd == d:
+                    u[a] *= 0.5
+        out[q] = (round(dcg, 6), round(idcg, 6), round(dcg / idcg, 6))
+    return out
+
+
+def test_alpha_ndcg_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(8)
+    run, judg = {}, set()
+    for q in range(4):
+        docs = rng.sample(range(25), 8)
+        for r, d in enumerate(docs, start=1):
+            run[(q, d)] = r
+        for d in docs:
+            for a in range(3):
+                if rng.random() < 0.4:
+                    judg.add((q, a, d))
+    rdf = spark.createDataFrame(
+        [(q, d, r) for (q, d), r in run.items()],
+        "q long, d long, rank long",
+    )
+    jdf = spark.createDataFrame(
+        sorted(judg), "q long, a long, d long"
+    )
+    got = {
+        r.q: (r.dcg, r.idcg, r.alpha_ndcg)
+        for r in alpha_ndcg_at_k(rdf, jdf, k=5).collect()
+    }
+    assert got == _py_alpha_ndcg(run, judg, k=5)
+
+
+def test_alpha_ndcg_perfect_run_scores_one(spark):
+    # run = the greedy ideal itself -> alpha_ndcg == 1
+    run = [(0, 1, 1), (0, 2, 2)]
+    judg = [(0, 0, 1), (0, 1, 2)]
+    rdf = spark.createDataFrame(run, "q long, d long, rank long")
+    jdf = spark.createDataFrame(judg, "q long, a long, d long")
+    r = alpha_ndcg_at_k(rdf, jdf, k=5).first()
+    assert r.alpha_ndcg == 1.0
+
+
+def test_alpha_ndcg_redundancy_penalized(spark):
+    # both runs rank 2 judged docs; run B's second doc repeats the
+    # first's aspect -> lower alpha-ndcg than diverse run A
+    judg = [(0, 0, 1), (0, 1, 2), (0, 0, 3)]
+    jdf = spark.createDataFrame(judg, "q long, a long, d long")
+    run_a = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "q long, d long, rank long"
+    )
+    run_b = spark.createDataFrame(
+        [(0, 1, 1), (0, 3, 2)], "q long, d long, rank long"
+    )
+    sa = alpha_ndcg_at_k(run_a, jdf, k=5).first().alpha_ndcg
+    sb = alpha_ndcg_at_k(run_b, jdf, k=5).first().alpha_ndcg
+    assert sa > sb
+
+
+def test_alpha_ndcg_rejects_nondyadic_alpha(spark):
+    rdf = spark.createDataFrame([(0, 1, 1)], "q long, d long, rank long")
+    jdf = spark.createDataFrame([(0, 0, 1)], "q long, a long, d long")
+    with pytest.raises(ValueError):
+        alpha_ndcg_at_k(rdf, jdf, alpha=0.3)
