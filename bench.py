@@ -155,6 +155,10 @@ BENCH_QUERIES = [
     "search_eval_interleaving",
     "click_graph_walk",
     "cache_lru_hit_curve",
+    "query_intent_classes",
+    "search_xquad_rerank",
+    "search_eval_alpha_ndcg",
+    "search_rank_fusion_borda",
 ]
 
 

@@ -4958,3 +4958,52 @@ def alpha_ndcg_oracle_sql(
         "FROM idcg i LEFT JOIN dcg ON dcg.q = i.q"
     )
     return "\n".join(parts)
+
+
+def borda_fuse(
+    rankings: dict[str, DataFrame],
+    k: int = 10,
+    id_col: str = "doc",
+    score_col: str = "score",
+) -> DataFrame:
+    """Borda-count rank fusion (Aslam & Montague, SIGIR 2001 "Models
+    for metasearch") — the positional-voting complement to
+    :func:`rrf_fuse`: each system awards a candidate
+    ``len(system's list) - rank + 1`` points (its top doc gets N, the
+    last gets 1; docs a system never returned get 0), and candidates
+    are ordered by total points. Where RRF's 1/(k0+rank) damps head
+    impact, Borda's linear points preserve it — the two fusions bracket
+    the standard metasearch design space, and Borda is ALL-INTEGER, so
+    the fused score is exact with no fold-order discipline at all.
+
+    Input/contract identical to :func:`rrf_fuse`: bounded candidate
+    lists per system (fusion is per-query over the top-N each system
+    already returned — nothing O(corpus)); ranks are dense row_numbers
+    over (score DESC, id ASC).
+
+    Output: (id_col, borda BIGINT) ordered borda DESC, id ASC, LIMIT k.
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for name in sorted(rankings):
+        df = rankings[name]
+        n = df.count()  # bounded list by contract; scalar per system
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        parts.append(
+            df.select(
+                F.col(id_col).alias("_id"),
+                (
+                    F.lit(int(n) + 1) - F.row_number().over(w)
+                ).cast("long").alias("_pts"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("_id").agg(F.sum("_pts").cast("long").alias("borda"))
+    return (
+        fused.select(F.col("_id").alias(id_col), "borda")
+        .orderBy(F.col("borda").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -5626,3 +5626,55 @@ def _andcg_inputs(spark, sf_dir):
 def q_search_eval_alpha_ndcg(spark, sf_dir):
     run, judg = _andcg_inputs(spark, sf_dir)
     return ranking.alpha_ndcg_at_k(run, judg, k=5)
+
+
+@register(
+    "search_rank_fusion_borda",
+    rf"""
+    WITH bm AS MATERIALIZED (
+      {ranking.bm25_oracle_sql(_BM25_TERMS, k=50)}
+    ),
+    pr0 AS MATERIALIZED (
+      {graph.pagerank_oracle_sql(_PAGERANK_EDGES_CTE, iters=5)}
+    ),
+    pr AS (SELECT node, rank FROM pr0 ORDER BY rank DESC, node ASC LIMIT 50),
+    bmn AS (SELECT COUNT(*) AS n FROM bm),
+    prn AS (SELECT COUNT(*) AS n FROM pr),
+    bmr AS (SELECT doc_id AS doc,
+                   (SELECT n FROM bmn) + 1
+                     - row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS pts
+            FROM bm),
+    prr AS (SELECT node AS doc,
+                   (SELECT n FROM prn) + 1
+                     - row_number() OVER (ORDER BY rank DESC, node ASC)
+                     AS pts
+            FROM pr),
+    u AS (SELECT * FROM bmr UNION ALL SELECT * FROM prr),
+    f AS (SELECT doc, SUM(pts)::BIGINT AS borda FROM u GROUP BY doc)
+    SELECT doc AS doc_id, borda FROM f ORDER BY borda DESC, doc_id ASC
+    LIMIT 10
+    """,
+    "Borda-count fusion (Aslam & Montague SIGIR 2001) over the same "
+    "BM25-top-50 + integer-PageRank-top-50 pair as the RRF entry: each "
+    "system awards N+1-rank points, absent docs get 0, totals are pure "
+    "BIGINT sums — the linear positional-voting bracket to RRF's "
+    "reciprocal damping, exact with no FP discipline at all. The "
+    "oracle nests both upstream chains as scoped CTEs like the RRF "
+    "entry, so the pair re-verifies text scoring and link ranking "
+    "under a second fusion rule",
+)
+def q_search_rank_fusion_borda(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bm = ranking.bm25_topk(d, _BM25_TERMS, k=50)
+    pr = (
+        graph.pagerank(_pagerank_edges(spark, sf_dir), iters=5)
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(50)
+        .select(F.col("node").alias("doc_id"), F.col("rank").alias("score"))
+    )
+    return ranking.borda_fuse(
+        {"bm25": bm.select("doc_id", "score"), "pagerank": pr},
+        k=10,
+        id_col="doc_id",
+    )

@@ -1666,3 +1666,56 @@ def test_alpha_ndcg_rejects_nondyadic_alpha(spark):
     jdf = spark.createDataFrame([(0, 0, 1)], "q long, a long, d long")
     with pytest.raises(ValueError):
         alpha_ndcg_at_k(rdf, jdf, alpha=0.3)
+
+
+# ------------------------------------------------------ Borda fusion
+
+
+from obp_search_engine_spark.operators.ranking import borda_fuse  # noqa: E402
+
+
+def test_borda_hand_case(spark):
+    # sys1 ranks a>b>c (3/2/1 pts), sys2 ranks b>a (2/1 pts)
+    # totals: a=3+1=4, b=2+2=4, c=1 -> tie broken id ASC
+    s1 = spark.createDataFrame(
+        [(0, 3.0), (1, 2.0), (2, 1.0)], "doc long, score double"
+    )
+    s2 = spark.createDataFrame([(1, 9.0), (0, 5.0)], "doc long, score double")
+    rows = borda_fuse({"s1": s1, "s2": s2}, k=10).collect()
+    assert [(r.doc, r.borda) for r in rows] == [(0, 4), (1, 4), (2, 1)]
+
+
+def test_borda_absent_docs_score_zero_points(spark):
+    s1 = spark.createDataFrame([(7, 1.0)], "doc long, score double")
+    s2 = spark.createDataFrame(
+        [(8, 2.0), (9, 1.0)], "doc long, score double"
+    )
+    rows = {r.doc: r.borda for r in borda_fuse({"a": s1, "b": s2}).collect()}
+    assert rows == {7: 1, 8: 2, 9: 1}
+
+
+def test_borda_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(6)
+    s1 = spark.createDataFrame(
+        [(d, float(rng.randrange(100))) for d in range(30)],
+        "doc long, score double",
+    )
+    s2 = spark.createDataFrame(
+        [(d, float(rng.randrange(100))) for d in range(10, 40)],
+        "doc long, score double",
+    )
+    a = [
+        (r.doc, r.borda)
+        for r in borda_fuse(
+            {"x": s1.coalesce(1), "y": s2.coalesce(1)}, k=15
+        ).collect()
+    ]
+    b = [
+        (r.doc, r.borda)
+        for r in borda_fuse(
+            {"x": s1.repartition(8), "y": s2.repartition(5)}, k=15
+        ).collect()
+    ]
+    assert a == b
