@@ -5007,3 +5007,165 @@ def borda_fuse(
         .orderBy(F.col("borda").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def paired_bootstrap_test(
+    metrics: DataFrame,
+    n_boot: int = 64,
+    seed_tag: str = "#bs",
+) -> DataFrame:
+    """Paired bootstrap significance test for ranker comparison
+    (Sakai, SIGIR 2006 "Evaluating evaluation metrics based on the
+    bootstrap"; Smucker, Allan & Carterette, CIKM 2007) — the decision
+    layer above the per-query evaluators (ndcg/err/rbp/map/mrr/
+    alpha-ndcg): given per-query paired metric values for systems A
+    and B, resample queries with replacement ``n_boot`` times and
+    report the one-sided achieved significance level of "A beats B".
+
+    Determinism (exact-oracle graded): resample ``b`` draws its j-th
+    query as ``md5(b || '-' || j || seed_tag) % n_queries`` — the
+    repo's standard md5 randomness, identical on both engines — and
+    each resample's mean delta folds in j order, rounded to 6
+    decimals; the p-value is a count over the n_boot rounded means
+    divided by n_boot (exact dyadic at the default 64).
+
+    Input: ``metrics`` (q, m_a, m_b) — one row per query.
+
+    Output: one row (n_q, n_boot, mean_delta, wins, losses, ties,
+    p_value) where wins/losses/ties count per-query delta signs and
+    p_value = fraction of resamples whose mean delta <= 0.
+
+    100 TB shape: the qrels set is bounded by construction (evaluation
+    topics are 10^1-10^4, never corpus-sized), so the per-query deltas
+    collapse to ONE array row; the n_boot x n_q resample grid is a
+    map-only fold over that broadcast-sized array — no shuffle at any
+    corpus scale. The corpus-sized work happened upstream in the
+    evaluators that produced the per-query metrics.
+    """
+    if n_boot < 1:
+        raise ValueError("paired_bootstrap_test requires n_boot >= 1")
+    m = metrics.select(
+        F.col("q").cast("long").alias("q"),
+        F.col("m_a").cast("double").alias("m_a"),
+        F.col("m_b").cast("double").alias("m_b"),
+    )
+    base = m.select(
+        F.col("q"),
+        (F.col("m_a") - F.col("m_b")).alias("d"),
+    )
+    one = base.groupBy().agg(
+        F.count("*").cast("long").alias("n_q"),
+        F.sum((F.col("d") > 0).cast("long")).alias("wins"),
+        F.sum((F.col("d") < 0).cast("long")).alias("losses"),
+        F.sum((F.col("d") == 0).cast("long")).alias("ties"),
+        F.collect_list(F.struct("q", "d")).alias("_xs"),
+    ).select(
+        "n_q",
+        "wins",
+        "losses",
+        "ties",
+        F.round(
+            F.aggregate(
+                F.array_sort("_xs"), F.lit(0.0), lambda a, x: a + x["d"]
+            )
+            / F.col("n_q"),
+            6,
+        ).alias("mean_delta"),
+        F.transform(
+            F.array_sort("_xs"), lambda x: x["d"]
+        ).alias("_ds"),
+    )
+    boots = one.crossJoin(
+        F.broadcast(
+            m.sparkSession.range(n_boot).select(F.col("id").alias("_b"))
+        )
+    )
+
+    def pick(b, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            b.cast("string"),
+                            F.lit("-"),
+                            j.cast("string"),
+                            F.lit(seed_tag),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n_q")
+        )
+
+    mean_b = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.col("n_q") - 1),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(F.col("_ds"), (pick(F.col("_b"), j) + 1).cast("int")),
+        )
+        / F.col("n_q"),
+        6,
+    )
+    return (
+        boots.select(
+            "n_q", "wins", "losses", "ties", "mean_delta",
+            mean_b.alias("_mb"),
+        )
+        .groupBy("n_q", "wins", "losses", "ties", "mean_delta")
+        .agg(
+            F.count("*").cast("long").alias("n_boot"),
+            F.round(
+                F.sum((F.col("_mb") <= 0).cast("long"))
+                / F.count("*"),
+                6,
+            ).alias("p_value"),
+        )
+        .select(
+            "n_q", "n_boot", "mean_delta", "wins", "losses", "ties",
+            "p_value",
+        )
+    )
+
+
+def paired_bootstrap_oracle_sql(
+    metrics_cte: str, n_boot: int = 64, seed_tag: str = "#bs"
+) -> str:
+    """DuckDB oracle for :func:`paired_bootstrap_test` — same q-ordered
+    delta array, same md5 resample picks, same j-ordered folds and
+    roundings. ``metrics_cte`` must yield (q, m_a, m_b)."""
+    return f"""
+    WITH m AS ({metrics_cte}),
+    base AS (SELECT q, m_a - m_b AS d FROM m),
+    one AS (
+      SELECT COUNT(*)::BIGINT AS n_q,
+             SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS wins,
+             SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END)::BIGINT AS losses,
+             SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END)::BIGINT AS ties,
+             round(list_reduce(list_prepend(0.0, list(d ORDER BY q)),
+                   (a, b) -> a + b) / COUNT(*), 6) AS mean_delta,
+             list(d ORDER BY q) AS ds
+      FROM base
+    ),
+    boots AS (
+      SELECT o.n_q, o.wins, o.losses, o.ties, o.mean_delta,
+        round(list_reduce(list_prepend(0.0,
+          list_transform(range(0, o.n_q::INT),
+            j -> o.ds[(('0x'||substr(md5(b.range::VARCHAR||'-'
+                 ||j::VARCHAR||'{seed_tag}'),1,6))::BIGINT % o.n_q)::INT
+                 + 1])),
+          (a, x) -> a + x) / o.n_q, 6) AS mb
+      FROM one o, range({n_boot}) b
+    )
+    SELECT n_q, COUNT(*)::BIGINT AS n_boot, mean_delta, wins, losses,
+           ties,
+           round(SUM(CASE WHEN mb <= 0 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS p_value
+    FROM boots
+    GROUP BY n_q, mean_delta, wins, losses, ties
+    """

@@ -5678,3 +5678,57 @@ def q_search_rank_fusion_borda(spark, sf_dir):
         k=10,
         id_col="doc_id",
     )
+
+
+# Per-query paired metric values on a dyadic /16 grid — the bootstrap
+# operates on whatever per-query evaluator output is fed in; the grid
+# makes every delta and fold step exact.
+_BOOT_METRICS_CTE = """
+  SELECT range AS q,
+    (('0x'||substr(md5(range::VARCHAR||'#ma'),1,6))::BIGINT % 17) / 16.0
+      AS m_a,
+    (('0x'||substr(md5(range::VARCHAR||'#mb'),1,6))::BIGINT % 17) / 16.0
+      AS m_b
+  FROM range(40)
+"""
+
+
+def _boot_metrics(spark, sf_dir):
+    """Spark twin of _BOOT_METRICS_CTE."""
+
+    def h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("q").cast("string"), F.lit(tag))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    return spark.range(40).select(
+        F.col("id").alias("q")
+    ).select(
+        "q",
+        ((h("#ma") % 17) / F.lit(16.0)).alias("m_a"),
+        ((h("#mb") % 17) / F.lit(16.0)).alias("m_b"),
+    )
+
+
+@register(
+    "search_eval_bootstrap",
+    ranking.paired_bootstrap_oracle_sql(_BOOT_METRICS_CTE, n_boot=64),
+    "paired bootstrap significance test (Sakai SIGIR 2006; Smucker et "
+    "al. CIKM 2007) — the decision layer above the per-query "
+    "evaluators: 64 deterministic md5-drawn resamples (with "
+    "replacement) of the 40-query paired metric deltas, one-sided "
+    "p = fraction of resample means <= 0 (exact dyadic at /64), plus "
+    "win/loss/tie counts and the observed mean delta. Deltas on a "
+    "dyadic grid and j-ordered 6dp folds make the whole resampling "
+    "chain exact-oracle-checkable. The qrels set is bounded by "
+    "construction, so the resample grid is a map-only fold over one "
+    "broadcast-sized array — no shuffle at any corpus scale",
+)
+def q_search_eval_bootstrap(spark, sf_dir):
+    return ranking.paired_bootstrap_test(_boot_metrics(spark, sf_dir))

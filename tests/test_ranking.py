@@ -1719,3 +1719,72 @@ def test_borda_partitioning_invariant(spark):
         ).collect()
     ]
     assert a == b
+
+
+# ------------------------------------------------ paired bootstrap
+
+
+from obp_search_engine_spark.operators.ranking import (  # noqa: E402
+    paired_bootstrap_test,
+)
+
+
+def _py_bootstrap(pairs, n_boot=64, seed_tag="#bs"):
+    ds = [a - b for _, a, b in sorted(pairs)]
+    n = len(ds)
+    mean_delta = round(sum(ds) / n, 6)
+    wins = sum(1 for d in ds if d > 0)
+    losses = sum(1 for d in ds if d < 0)
+    ties = n - wins - losses
+    le = 0
+    for b in range(n_boot):
+        acc = 0.0
+        for j in range(n):
+            acc += ds[_h6(f"{b}-{j}{seed_tag}") % n]
+        if round(acc / n, 6) <= 0:
+            le += 1
+    return (n, n_boot, mean_delta, wins, losses, ties, round(le / n_boot, 6))
+
+
+def test_bootstrap_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(12)
+    pairs = [
+        (q, rng.randrange(17) / 16.0, rng.randrange(17) / 16.0)
+        for q in range(25)
+    ]
+    df = spark.createDataFrame(pairs, "q long, m_a double, m_b double")
+    r = paired_bootstrap_test(df, n_boot=64).first()
+    assert (
+        r.n_q, r.n_boot, r.mean_delta, r.wins, r.losses, r.ties, r.p_value
+    ) == _py_bootstrap(pairs)
+
+
+def test_bootstrap_dominant_system_significant(spark):
+    # A beats B on every query by a wide margin -> p ~ 0
+    pairs = [(q, 0.9375, 0.0625) for q in range(20)]
+    df = spark.createDataFrame(pairs, "q long, m_a double, m_b double")
+    r = paired_bootstrap_test(df, n_boot=64).first()
+    assert r.p_value == 0.0 and r.wins == 20 and r.mean_delta == 0.875
+
+
+def test_bootstrap_identical_systems_insignificant(spark):
+    pairs = [(q, 0.5, 0.5) for q in range(20)]
+    df = spark.createDataFrame(pairs, "q long, m_a double, m_b double")
+    r = paired_bootstrap_test(df, n_boot=32).first()
+    assert r.p_value == 1.0 and r.ties == 20
+
+
+def test_bootstrap_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(14)
+    pairs = [
+        (q, rng.randrange(17) / 16.0, rng.randrange(17) / 16.0)
+        for q in range(30)
+    ]
+    df = spark.createDataFrame(pairs, "q long, m_a double, m_b double")
+    a = paired_bootstrap_test(df.coalesce(1)).first()
+    b = paired_bootstrap_test(df.repartition(9)).first()
+    assert tuple(a) == tuple(b)
