@@ -5169,3 +5169,159 @@ def paired_bootstrap_oracle_sql(
     FROM boots
     GROUP BY n_q, mean_delta, wins, losses, ties
     """
+
+
+def docid_assignment_benefit(
+    docs: DataFrame,
+    cluster_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-identifier assignment for index compression (Silvestri,
+    ECIR 2007 "Sorting out the document identifier assignment problem";
+    Boldi & Vigna's locality argument applied to postings): similar
+    docs share terms, so numbering docs in a similarity-clustering
+    order (here: URL/source lexicographic order — Silvestri's
+    'sort-by-URL' baseline that captures most of the win at zero
+    clustering cost) makes postings gaps small and varint bytes drop
+    versus an arbitrary id space. This operator MEASURES that benefit
+    on the corpus itself: it encodes every term's postings under both
+    id assignments with the repo's varint cost model
+    (graph.webgraph_gap_encode's integer CASE — no log2) and reports
+    the totals side by side.
+
+    Output: one row per assignment ('original', 'clustered') with
+    (assignment, n_terms, n_postings, varint_bytes, bytes_per_posting
+    rounded 6).
+
+    100 TB shape: the clustered id is one row_number over the
+    (cluster_cols, id) sort — a total order the ingest already has if
+    the corpus is URL-partitioned (at true scale this is a zipWithIndex
+    over sorted partition bounds, one pass); the per-term gap encode is
+    one shuffle keyed by term with per-term lag windows (postings are
+    the partition), and the final rollup is a 2-row aggregate. Nothing
+    holds a term's postings in memory beyond the window frame.
+    """
+    from ..functions.textstats import nonempty_tokens_col
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("doc"),
+        *[F.col(c) for c in cluster_cols],
+        F.explode(
+            F.array_distinct(nonempty_tokens_col(F.lower(F.col(text_col))))
+        ).alias("term"),
+    )
+    wc = Window.orderBy(
+        *[F.col(c) for c in cluster_cols], F.col("doc")
+    )
+    ids = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("doc"),
+            *[F.col(c) for c in cluster_cols],
+        )
+        .withColumn("newid", F.row_number().over(wc).cast("long"))
+        .select("doc", "newid")
+    )
+    both = (
+        base.join(ids, "doc")
+        .select(
+            "term",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("original").alias("assignment"),
+                        F.col("doc").alias("id"),
+                    ),
+                    F.struct(
+                        F.lit("clustered").alias("assignment"),
+                        F.col("newid").alias("id"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select("term", F.col("x.assignment").alias("assignment"),
+                F.col("x.id").alias("id"))
+    )
+    wg = Window.partitionBy("assignment", "term").orderBy("id")
+    g = both.withColumn(
+        "gap", (F.col("id") - F.lag("id", 1, 0).over(wg)).cast("long")
+    )
+    vb = (
+        F.when(F.col("gap") < (1 << 7), 1)
+        .when(F.col("gap") < (1 << 14), 2)
+        .when(F.col("gap") < (1 << 21), 3)
+        .when(F.col("gap") < (1 << 28), 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    return (
+        g.groupBy("assignment")
+        .agg(
+            F.count_distinct("term").alias("n_terms"),
+            F.count("*").cast("long").alias("n_postings"),
+            F.sum(vb).cast("long").alias("varint_bytes"),
+        )
+        .select(
+            "assignment",
+            "n_terms",
+            "n_postings",
+            "varint_bytes",
+            F.round(
+                F.col("varint_bytes") / F.col("n_postings"), 6
+            ).alias("bytes_per_posting"),
+        )
+    )
+
+
+def docid_assignment_oracle_sql(
+    docs_table: str = "documents",
+    cluster_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`docid_assignment_benefit` — same
+    row_number order, same lag windows, same integer varint CASE."""
+    order = ", ".join(cluster_cols)
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc, {order},
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    ids AS (
+      SELECT doc,
+             row_number() OVER (ORDER BY {order}, doc)::BIGINT AS newid
+      FROM corpus
+    ),
+    posts AS (
+      SELECT DISTINCT doc, unnest(t) AS term FROM corpus
+    ),
+    u AS (
+      SELECT term, 'original' AS assignment, p.doc AS id
+      FROM posts p
+      UNION ALL
+      SELECT term, 'clustered' AS assignment, i.newid AS id
+      FROM posts p JOIN ids i ON i.doc = p.doc
+    ),
+    g AS (
+      SELECT assignment, term,
+             (id - lag(id, 1, 0) OVER (
+                PARTITION BY assignment, term ORDER BY id))::BIGINT AS gap
+      FROM u
+    )
+    SELECT assignment, COUNT(DISTINCT term)::BIGINT AS n_terms,
+           COUNT(*)::BIGINT AS n_postings,
+           SUM(CASE WHEN gap < 128 THEN 1
+                    WHEN gap < 16384 THEN 2
+                    WHEN gap < 2097152 THEN 3
+                    WHEN gap < 268435456 THEN 4
+                    ELSE 5 END)::BIGINT AS varint_bytes,
+           round(SUM(CASE WHEN gap < 128 THEN 1
+                    WHEN gap < 16384 THEN 2
+                    WHEN gap < 2097152 THEN 3
+                    WHEN gap < 268435456 THEN 4
+                    ELSE 5 END)::DOUBLE / COUNT(*), 6) AS bytes_per_posting
+    FROM g GROUP BY assignment
+    """

@@ -5732,3 +5732,47 @@ def _boot_metrics(spark, sf_dir):
 )
 def q_search_eval_bootstrap(spark, sf_dir):
     return ranking.paired_bootstrap_test(_boot_metrics(spark, sf_dir))
+
+
+# production doc ids are sparse url hashes — scatter the test ids into a
+# 32-bit space so the original assignment pays real multi-byte gaps and
+# the dense renumbering shows Silvestri's win
+_SCATTERED_DOCS = """(
+  SELECT ('0x'||substr(md5(doc_id::VARCHAR||'#sid'),1,8))::BIGINT AS doc_id,
+         text, lang, source
+  FROM documents
+)"""
+
+
+@register(
+    "index_docid_assignment",
+    ranking.docid_assignment_oracle_sql(docs_table=_SCATTERED_DOCS),
+    "document-identifier assignment for index compression (Silvestri "
+    "ECIR 2007): re-number docs in (source, lang) lexicographic order "
+    "— the sort-by-URL baseline that captures most of the clustering "
+    "win at zero cost — and measure every term's postings under both "
+    "id spaces with the integer varint cost model "
+    "(webgraph_gap_encode's CASE thresholds, no log2). Output: "
+    "original-vs-clustered total varint bytes and bytes/posting. One "
+    "term-keyed shuffle with per-term lag windows; the renumbering is "
+    "one total-order row_number the ingest's URL partitioning already "
+    "provides at scale",
+)
+def q_index_docid_assignment(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#sid"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+    )
+    return ranking.docid_assignment_benefit(d)

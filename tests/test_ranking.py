@@ -1788,3 +1788,69 @@ def test_bootstrap_partitioning_invariant(spark):
     a = paired_bootstrap_test(df.coalesce(1)).first()
     b = paired_bootstrap_test(df.repartition(9)).first()
     assert tuple(a) == tuple(b)
+
+
+# ---------------------------------------------- docid assignment
+
+
+from obp_search_engine_spark.operators.ranking import (  # noqa: E402
+    docid_assignment_benefit,
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_docid_assignment_hand_case(spark):
+    # 3 docs sharing one term; original ids 1000 apart (2-byte gaps),
+    # clustered renumbering 1,2,3 (1-byte gaps)
+    rows = [
+        (1000, "x", "en", "a"),
+        (2000, "x", "en", "a"),
+        (3000, "x", "en", "a"),
+    ]
+    got = {
+        r.assignment: (r.n_terms, r.n_postings, r.varint_bytes)
+        for r in docid_assignment_benefit(_docs_df(spark, rows)).collect()
+    }
+    # original gaps: 1000,1000,1000 -> 2 bytes each = 6
+    assert got["original"] == (1, 3, 6)
+    assert got["clustered"] == (1, 3, 3)
+
+
+def test_docid_assignment_clustered_never_worse(spark):
+    import random
+
+    rng = random.Random(21)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    rows = [
+        (
+            rng.randrange(1 << 30),
+            " ".join(rng.choice(vocab) for _ in range(5)),
+            rng.choice(["en", "de"]),
+            rng.choice(["a", "b"]),
+        )
+        for _ in range(60)
+    ]
+    got = {
+        r.assignment: r.varint_bytes
+        for r in docid_assignment_benefit(_docs_df(spark, rows)).collect()
+    }
+    assert got["clustered"] <= got["original"]
+
+
+def test_docid_assignment_partitioning_invariant(spark):
+    rows = [
+        (i * 977, f"t{i % 7} shared", "en", f"s{i % 3}") for i in range(40)
+    ]
+    df = _docs_df(spark, rows)
+    a = sorted(
+        map(tuple, docid_assignment_benefit(df.coalesce(1)).collect())
+    )
+    b = sorted(
+        map(tuple, docid_assignment_benefit(df.repartition(9)).collect())
+    )
+    assert a == b
