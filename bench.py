@@ -159,6 +159,10 @@ BENCH_QUERIES = [
     "search_xquad_rerank",
     "search_eval_alpha_ndcg",
     "search_rank_fusion_borda",
+    "search_eval_bootstrap",
+    "index_docid_assignment",
+    "crawl_cloaking_detect",
+    "sitemap_coverage_audit",
 ]
 
 

@@ -346,3 +346,102 @@ def dust_rules_oracle_sql(
     FROM pairs GROUP BY host, rule
     HAVING COUNT(*) >= {min_support}
     """
+
+
+def sitemap_coverage_audit(
+    listed: DataFrame,
+    crawled: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit (Schonfeld & Shivakumar, WWW
+    2009 "Sitemaps: above and beyond the crawl of duty" — the paper's
+    two central metrics, per host): how much of what the site DECLARES
+    did we fetch (coverage), and how much did we fetch that the site
+    never declared (orphans — discovery-only pages, often the
+    duplicate/parameter junk the DUST family mines). The audit is what
+    decides, per host, whether the crawler should trust the sitemap
+    channel (high coverage, few orphans) or keep link-discovery
+    spending (many orphans).
+
+    Inputs: ``listed`` (host, url) from :func:`sitemap_loc_urls`;
+    ``crawled`` (host, url) from the crawl's visited set. Both
+    deduplicated here.
+
+    Output: (host, n_listed, n_crawled_listed, n_orphans,
+    coverage_pct) — integer percent, ``(100 * crawled_listed) div
+    listed`` (0 for hosts that published no sitemap), one row per host
+    appearing on either side.
+
+    100 TB shape: two distincts and one left-semi/anti pair, all
+    keyed (host, url) — the partitioning both inputs already carry;
+    rollup is map-side-combined per host. Nothing is O(corpus) on any
+    single key.
+    """
+    L = listed.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    ).distinct()
+    C = crawled.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    ).distinct()
+    n_listed = L.groupBy("host").agg(F.count("*").alias("n_listed"))
+    hit = C.join(L, ["host", "url"], "left_semi").groupBy("host").agg(
+        F.count("*").alias("n_crawled_listed")
+    )
+    orphans = C.join(L, ["host", "url"], "left_anti").groupBy("host").agg(
+        F.count("*").alias("n_orphans")
+    )
+    hosts = L.select("host").union(C.select("host")).distinct()
+    return (
+        hosts.join(n_listed, "host", "left")
+        .join(hit, "host", "left")
+        .join(orphans, "host", "left")
+        .select(
+            "host",
+            F.coalesce("n_listed", F.lit(0)).cast("long").alias("n_listed"),
+            F.coalesce("n_crawled_listed", F.lit(0))
+            .cast("long")
+            .alias("n_crawled_listed"),
+            F.coalesce("n_orphans", F.lit(0)).cast("long").alias("n_orphans"),
+            F.when(F.coalesce("n_listed", F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "(100 * coalesce(n_crawled_listed, 0)) div n_listed"
+                )
+            )
+            .cast("long")
+            .alias("coverage_pct"),
+        )
+    )
+
+
+def sitemap_coverage_oracle_sql(listed_cte: str, crawled_cte: str) -> str:
+    """DuckDB oracle for :func:`sitemap_coverage_audit`; both CTEs must
+    yield (host, url)."""
+    return f"""
+    WITH L AS (SELECT DISTINCT host, url FROM ({listed_cte})),
+    C AS (SELECT DISTINCT host, url FROM ({crawled_cte})),
+    nl AS (SELECT host, COUNT(*)::BIGINT AS n_listed FROM L GROUP BY host),
+    hit AS (
+      SELECT c.host, COUNT(*)::BIGINT AS n_crawled_listed
+      FROM C c JOIN L l ON l.host = c.host AND l.url = c.url
+      GROUP BY c.host
+    ),
+    orph AS (
+      SELECT c.host, COUNT(*)::BIGINT AS n_orphans
+      FROM C c LEFT JOIN L l ON l.host = c.host AND l.url = c.url
+      WHERE l.url IS NULL GROUP BY c.host
+    ),
+    hosts AS (SELECT host FROM L UNION SELECT host FROM C)
+    SELECT h.host,
+           COALESCE(nl.n_listed, 0)::BIGINT AS n_listed,
+           COALESCE(hit.n_crawled_listed, 0)::BIGINT AS n_crawled_listed,
+           COALESCE(orph.n_orphans, 0)::BIGINT AS n_orphans,
+           CASE WHEN COALESCE(nl.n_listed, 0) = 0 THEN 0
+                ELSE (100 * COALESCE(hit.n_crawled_listed, 0))
+                     // nl.n_listed END::BIGINT AS coverage_pct
+    FROM hosts h
+    LEFT JOIN nl ON nl.host = h.host
+    LEFT JOIN hit ON hit.host = h.host
+    LEFT JOIN orph ON orph.host = h.host
+    """

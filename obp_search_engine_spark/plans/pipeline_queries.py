@@ -5776,3 +5776,115 @@ def q_index_docid_assignment(spark, sf_dir):
         "source",
     )
     return ranking.docid_assignment_benefit(d)
+
+
+# --------------------------------------- crawl integrity: cloaking
+
+# Dual-fetch log over documents: the bot fetch serves the real text;
+# the browser fetch serves the same text except every 17th doc, which
+# cloaks to a constant spam payload.
+_CLOAK_SPAM = "buy cheap pills now best prices guaranteed click here today"
+
+_CLOAK_FETCHES_CTE = f"""
+  SELECT doc_id AS url, 'bot' AS ua, text FROM documents
+  UNION ALL
+  SELECT doc_id AS url, 'browser' AS ua,
+         CASE WHEN doc_id % 17 = 0 THEN '{_CLOAK_SPAM}' ELSE text END
+           AS text
+  FROM documents
+"""
+
+
+@register(
+    "crawl_cloaking_detect",
+    mirrors.cloaking_oracle_sql(_CLOAK_FETCHES_CTE),
+    "cloaking detection by dual-fetch comparison (Wu & Davison AIRWeb "
+    "2005): every URL fetched under a crawler UA and a browser UA, "
+    "3-token shingle sets compared by integer milli-Jaccard, flagged "
+    "under 500 — the spam signal robots compliance can't see (the "
+    "synthetic log cloaks every 17th doc to a constant payload, so "
+    "both flag branches grade). Shingling is in-scan JVM expression "
+    "work; the compare is one url-keyed join of distinct shingles, "
+    "co-partitioned on the dual-fetch log's native key",
+)
+def q_crawl_cloaking_detect(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bot = d.select(
+        F.col("doc_id").alias("url"), F.lit("bot").alias("ua"), "text"
+    )
+    browser = d.select(
+        F.col("doc_id").alias("url"),
+        F.lit("browser").alias("ua"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(_CLOAK_SPAM))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return mirrors.cloaking_detect(bot.unionByName(browser))
+
+
+# ------------------------------------- sitemap coverage audit
+
+# Crawled set: two-thirds of the listed urls (md5 gate) plus orphan
+# /extra/ pages for every 13th doc — both coverage and orphan branches
+# grade.
+_SITEMAP_CRAWLED_CTE = """
+  SELECT source AS host, 'https://' || source || '/doc/' || doc_id AS url
+  FROM documents
+  WHERE ('0x'||substr(md5(doc_id::VARCHAR||'#cr'),1,6))::BIGINT % 3 != 0
+  UNION ALL
+  SELECT source AS host, 'https://' || source || '/extra/' || doc_id AS url
+  FROM documents WHERE doc_id % 13 = 0
+"""
+
+_SITEMAP_LISTED_CTE = """
+  SELECT source AS host, 'https://' || source || '/doc/' || doc_id AS url
+  FROM documents
+"""
+
+
+@register(
+    "sitemap_coverage_audit",
+    urlmine.sitemap_coverage_oracle_sql(
+        _SITEMAP_LISTED_CTE, _SITEMAP_CRAWLED_CTE
+    ),
+    "sitemap-vs-crawl coverage audit (Schonfeld & Shivakumar WWW 2009) "
+    "per host: coverage_pct = integer percent of sitemap-declared urls "
+    "actually crawled, plus the orphan count (crawled but never "
+    "declared — the discovery-only tail the DUST family mines). The "
+    "audit decides per host whether to trust the sitemap channel or "
+    "keep link-discovery spending. Two distincts + one "
+    "left-semi/left-anti pair keyed (host, url), map-side-combined "
+    "rollup",
+)
+def q_sitemap_coverage_audit(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    listed = d.select(F.col("source").alias("host"), url.alias("url"))
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#cr"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+        != 0
+    )
+    crawled = d.filter(gate).select(
+        F.col("source").alias("host"), url.alias("url")
+    ).unionByName(
+        d.filter(F.col("doc_id") % 13 == 0).select(
+            F.col("source").alias("host"),
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit("/extra/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+    )
+    return urlmine.sitemap_coverage_audit(listed, crawled)

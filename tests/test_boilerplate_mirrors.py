@@ -206,3 +206,79 @@ def test_mirror_matches_duckdb_oracle(spark):
     con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
     sql = mirror_oracle_sql("SELECT * FROM docs", min_jaccard_pct=30)
     assert got == sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+# ------------------------------------------------ cloaking detection
+
+
+from obp_search_engine_spark.operators.mirrors import cloaking_detect  # noqa: E402
+
+
+def _fetch_df(spark, rows):
+    return spark.createDataFrame(rows, "url long, ua string, text string")
+
+
+def test_cloaking_identical_texts_not_flagged(spark):
+    rows = [
+        (1, "bot", "the quick brown fox jumps over the lazy dog"),
+        (1, "browser", "the quick brown fox jumps over the lazy dog"),
+    ]
+    r = cloaking_detect(_fetch_df(spark, rows)).first()
+    assert (r.jaccard_milli, bool(r.cloaked)) == (1000, False)
+
+
+def test_cloaking_divergent_texts_flagged(spark):
+    rows = [
+        (1, "bot", "serious academic content about information retrieval"),
+        (1, "browser", "buy cheap pills now best prices guaranteed here"),
+    ]
+    r = cloaking_detect(_fetch_df(spark, rows)).first()
+    assert r.n_common == 0 and bool(r.cloaked)
+
+
+def test_cloaking_partial_overlap_jaccard(spark):
+    # texts share exactly their first 3-shingle
+    rows = [
+        (1, "bot", "a b c x y z"),
+        (1, "browser", "a b c p q r"),
+    ]
+    r = cloaking_detect(_fetch_df(spark, rows)).first()
+    # 4 shingles each, 1 common -> 1000*1 // 7 = 142
+    assert (r.n_a, r.n_b, r.n_common, r.jaccard_milli) == (4, 4, 1, 142)
+    assert bool(r.cloaked)
+
+
+def test_cloaking_short_texts_identical(spark):
+    rows = [(1, "bot", "hi there"), (1, "browser", "bye now")]
+    r = cloaking_detect(_fetch_df(spark, rows)).first()
+    assert (r.n_a, r.n_b, r.jaccard_milli, bool(r.cloaked)) == (
+        0,
+        0,
+        1000,
+        False,
+    )
+
+
+def test_cloaking_one_sided_empty_flagged(spark):
+    rows = [
+        (1, "bot", "one two three four five"),
+        (1, "browser", ""),
+    ]
+    r = cloaking_detect(_fetch_df(spark, rows)).first()
+    assert r.n_b == 0 and r.jaccard_milli == 0 and bool(r.cloaked)
+
+
+def test_cloaking_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(13)
+    words = ["w%d" % i for i in range(12)]
+    rows = []
+    for u in range(20):
+        ta = " ".join(rng.choice(words) for _ in range(10))
+        tb = " ".join(rng.choice(words) for _ in range(10))
+        rows += [(u, "bot", ta), (u, "browser", tb)]
+    df = _fetch_df(spark, rows)
+    a = sorted(map(tuple, cloaking_detect(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, cloaking_detect(df.repartition(7)).collect()))
+    assert a == b

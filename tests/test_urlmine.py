@@ -164,3 +164,78 @@ def test_dust_rules_support_and_group_cap(spark):
         for r in dust_rules(df, max_group=4, min_support=2).collect()
     }
     assert got == {("a.com", "strip_query"): 3}
+
+
+
+
+# ------------------------------------------- sitemap coverage audit
+
+
+from obp_search_engine_spark.operators.urlmine import (  # noqa: E402
+    sitemap_coverage_audit,
+)
+
+
+def _hu_df(spark, rows):
+    return spark.createDataFrame(rows, "host string, url string")
+
+
+def test_coverage_hand_case(spark):
+    listed = _hu_df(
+        spark, [("h1", "a"), ("h1", "b"), ("h1", "c"), ("h2", "x")]
+    )
+    crawled = _hu_df(
+        spark, [("h1", "a"), ("h1", "b"), ("h1", "z"), ("h3", "q")]
+    )
+    got = {
+        r.host: (r.n_listed, r.n_crawled_listed, r.n_orphans, r.coverage_pct)
+        for r in sitemap_coverage_audit(listed, crawled).collect()
+    }
+    assert got == {
+        "h1": (3, 2, 1, 66),
+        "h2": (1, 0, 0, 0),
+        "h3": (0, 0, 1, 0),
+    }
+
+
+def test_coverage_dedup_inputs(spark):
+    listed = _hu_df(spark, [("h", "a"), ("h", "a")])
+    crawled = _hu_df(spark, [("h", "a"), ("h", "a")])
+    r = sitemap_coverage_audit(listed, crawled).first()
+    assert (r.n_listed, r.n_crawled_listed, r.n_orphans, r.coverage_pct) == (
+        1,
+        1,
+        0,
+        100,
+    )
+
+
+def test_coverage_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(5)
+    listed = _hu_df(
+        spark,
+        [(f"h{rng.randrange(4)}", f"u{rng.randrange(50)}") for _ in range(80)],
+    )
+    crawled = _hu_df(
+        spark,
+        [(f"h{rng.randrange(4)}", f"u{rng.randrange(60)}") for _ in range(80)],
+    )
+    a = sorted(
+        map(
+            tuple,
+            sitemap_coverage_audit(
+                listed.coalesce(1), crawled.coalesce(1)
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            sitemap_coverage_audit(
+                listed.repartition(7), crawled.repartition(9)
+            ).collect(),
+        )
+    )
+    assert a == b
