@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "index_docid_assignment",
     "crawl_cloaking_detect",
     "sitemap_coverage_audit",
+    "crawl_makespan_plan",
+    "link_assortativity",
 ]
 
 

@@ -2639,3 +2639,94 @@ def personalized_pagerank_oracle_sql(
     parts.append(f"fin AS (SELECT * FROM r{iters})")
     parts.append("SELECT node, rank FROM fin")
     return "\n".join(parts)
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient of the directed link graph
+    (Newman, PRL 2002 "Assortative mixing in networks"): the Pearson
+    correlation between out-degree(src) and in-degree(dst) over edges —
+    the one-number structural signature separating social graphs
+    (assortative, r > 0) from the web (disassortative, r < 0: hubs
+    link to low-degree pages). A crawl monitors it per snapshot: a
+    sudden assortativity jump flags link-farm growth (farms wire hubs
+    to hubs).
+
+    Exactness: all five moment sums (Sx, Sy, Sxy, Sxx, Syy) and m are
+    BIGINT over integer degrees — associative, bit-identical at any
+    parallelism; the single FP step is the final Pearson expression,
+    computed identically on both engines from the six exact integers
+    and rounded to 6 decimals.
+
+    Output: one row (m, r) — edge count and the coefficient (r = 0.0
+    reported when either variance term is zero).
+
+    100 TB shape: two map-side-combined degree aggregates folded onto
+    the edge list (the same degree-join every other graph operator
+    here pays), then ONE global aggregate of six integer sums — no
+    window, no driver state, nothing O(nodes) on a key.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outd = e.groupBy("src").agg(F.count("*").alias("x"))
+    ind = e.groupBy("dst").agg(F.count("*").alias("y"))
+    ej = e.join(outd, "src").join(ind, "dst")
+    s = ej.groupBy().agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "m",
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(
+            F.round(
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            )
+        )
+        .alias("r"),
+    )
+
+
+def assortativity_oracle_sql(edges_cte: str) -> str:
+    """DuckDB oracle for :func:`degree_assortativity` — same integer
+    moment sums, same final Pearson expression and rounding."""
+    return f"""
+    WITH e0 AS ({edges_cte}),
+    e AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+    outd AS (SELECT src, COUNT(*)::BIGINT AS x FROM e GROUP BY src),
+    ind AS (SELECT dst, COUNT(*)::BIGINT AS y FROM e GROUP BY dst),
+    ej AS (
+      SELECT o.x, i.y FROM e
+      JOIN outd o ON o.src = e.src JOIN ind i ON i.dst = e.dst
+    ),
+    s AS (
+      SELECT COUNT(*)::BIGINT AS m, SUM(x)::BIGINT AS sx,
+             SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
+             SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy
+      FROM ej
+    )
+    SELECT m,
+           CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+                THEN 0.0
+                ELSE round((m * sxy - sx * sy)::DOUBLE
+                     / (sqrt((m * sxx - sx * sx)::DOUBLE)
+                        * sqrt((m * syy - sy * sy)::DOUBLE)), 6)
+           END AS r
+    FROM s
+    """

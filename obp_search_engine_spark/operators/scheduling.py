@@ -519,3 +519,87 @@ def ucb1_oracle_sql(rewards_cte: str, rounds: int, batch: int) -> str:
         "SELECT t, host, pull, reward, ucb FROM sched ORDER BY t, host"
     )
     return "\n".join(parts)
+
+
+def crawl_makespan_plan(
+    hosts: DataFrame,
+    n_fetchers: int = 64,
+    host_col: str = "host",
+    n_col: str = "n_urls",
+    delay_ms_col: str = "delay_ms",
+) -> DataFrame:
+    """Politeness-bound crawl makespan planning (Cho & Garcia-Molina,
+    WWW 2000 parallel-crawler analysis; Lee et al. IRLbot, WWW 2008
+    §politeness): with one connection per host and a per-host
+    crawl-delay, a host's drain time is ``n_urls * delay_ms`` no matter
+    how many fetchers exist — the politeness serial floor. The fleet
+    finishes in
+
+        makespan_ms = max(critical-path host, ceil(total work / N))
+
+    i.e. whichever binds: the slowest single host (adding fetchers
+    can't help it) or the aggregate work spread over ``n_fetchers``.
+    This is the planning query a crawl scheduler runs before a round to
+    size its fleet and to flag hosts that need splitting (separate
+    mirrors, sharded hostnames) because they sit on the critical path.
+
+    Output: one row per host — (host, n_urls, delay_ms, host_ms,
+    work_share_ppm, on_critical_path) — where host_ms = n*delay,
+    work_share_ppm = the host's parts-per-million of total work
+    (integer), and on_critical_path marks hosts whose serial floor
+    EQUALS the fleet makespan (the ones a planner must split to go
+    faster). All integers; exact-oracle graded.
+
+    100 TB shape: one map-side-combined aggregate for the totals (2
+    scalars broadcast back via a lazy cross join, never driver state),
+    one projection per host. The per-host numbers ride whatever
+    partitioning host_state already has.
+    """
+    if n_fetchers < 1:
+        raise ValueError("crawl_makespan_plan requires n_fetchers >= 1")
+    h = hosts.select(
+        F.col(host_col).alias("host"),
+        F.col(n_col).cast("long").alias("n_urls"),
+        F.col(delay_ms_col).cast("long").alias("delay_ms"),
+    ).withColumn("host_ms", (F.col("n_urls") * F.col("delay_ms")).cast("long"))
+    tot = h.groupBy().agg(
+        F.sum("host_ms").cast("long").alias("_total"),
+        F.max("host_ms").cast("long").alias("_crit"),
+    )
+    joined = h.crossJoin(F.broadcast(tot))
+    makespan = F.greatest(
+        F.col("_crit"),
+        F.expr(f"(_total + {int(n_fetchers)} - 1) div {int(n_fetchers)}"),
+    )
+    return joined.select(
+        "host",
+        "n_urls",
+        "delay_ms",
+        "host_ms",
+        F.expr("(1000000 * host_ms) div _total").cast("long").alias(
+            "work_share_ppm"
+        ),
+        (F.col("host_ms") == makespan).alias("on_critical_path"),
+    )
+
+
+def crawl_makespan_oracle_sql(hosts_cte: str, n_fetchers: int = 64) -> str:
+    """DuckDB oracle for :func:`crawl_makespan_plan`; ``hosts_cte``
+    must yield (host, n_urls, delay_ms)."""
+    return f"""
+    WITH h AS (
+      SELECT host, n_urls::BIGINT AS n_urls, delay_ms::BIGINT AS delay_ms,
+             (n_urls * delay_ms)::BIGINT AS host_ms
+      FROM ({hosts_cte})
+    ),
+    tot AS (
+      SELECT SUM(host_ms)::BIGINT AS total, MAX(host_ms)::BIGINT AS crit
+      FROM h
+    )
+    SELECT h.host, h.n_urls, h.delay_ms, h.host_ms,
+           ((1000000 * h.host_ms) // t.total)::BIGINT AS work_share_ppm,
+           h.host_ms = greatest(t.crit,
+             (t.total + {int(n_fetchers)} - 1) // {int(n_fetchers)})
+             AS on_critical_path
+    FROM h CROSS JOIN tot t
+    """

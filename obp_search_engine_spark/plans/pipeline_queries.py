@@ -5888,3 +5888,63 @@ def q_sitemap_coverage_audit(spark, sf_dir):
         )
     )
     return urlmine.sitemap_coverage_audit(listed, crawled)
+
+
+# Host fleet plan: n_urls and delay_ms derived per source host from the
+# documents table — deterministic both sides.
+_MAKESPAN_HOSTS_CTE = """
+  SELECT source AS host, COUNT(*)::BIGINT AS n_urls,
+         (500 + ('0x'||substr(md5(source||'#cd'),1,6))::BIGINT % 2500)
+           ::BIGINT AS delay_ms
+  FROM documents GROUP BY source
+"""
+
+
+@register(
+    "crawl_makespan_plan",
+    scheduling.crawl_makespan_oracle_sql(_MAKESPAN_HOSTS_CTE, n_fetchers=64),
+    "politeness-bound crawl makespan planning (Cho & Garcia-Molina "
+    "WWW 2000; IRLbot WWW 2008): a host's drain time is n_urls * "
+    "crawl_delay no matter the fleet size — the planner reports each "
+    "host's serial floor, its integer work share (ppm), and whether "
+    "it sits on the critical path (host_ms == max(crit, "
+    "ceil(total/64))) and therefore caps the whole round. One "
+    "map-side-combined totals aggregate broadcast back via a lazy "
+    "cross join; all integers",
+)
+def q_crawl_makespan_plan(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.groupBy(F.col("source").alias("host")).agg(
+        F.count("*").cast("long").alias("n_urls")
+    ).select(
+        "host",
+        "n_urls",
+        (
+            500
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("host"), F.lit("#cd"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2500
+        ).cast("long").alias("delay_ms"),
+    )
+    return scheduling.crawl_makespan_plan(hosts, n_fetchers=64)
+
+
+@register(
+    "link_assortativity",
+    graph.assortativity_oracle_sql(_PAGERANK_EDGES_CTE),
+    "degree assortativity coefficient (Newman PRL 2002) of the "
+    "md5-derived link graph: Pearson correlation of (out-degree(src), "
+    "in-degree(dst)) over edges — the one-number structural monitor "
+    "separating the web's disassortative hub-to-leaf wiring from "
+    "link-farm hub-to-hub growth. Five BIGINT moment sums "
+    "(bit-identical at any parallelism) and ONE final rounded FP "
+    "expression; two degree folds + one global six-integer aggregate, "
+    "no windows",
+)
+def q_link_assortativity(spark, sf_dir):
+    return graph.degree_assortativity(_pagerank_edges(spark, sf_dir))

@@ -323,3 +323,48 @@ def test_per_host_alloc_dataframe_budget_salted(spark):
     }
     assert got == {h: a for h, a in alloc_map.items() if a > 0}
     assert sum(got.values()) == 11
+
+
+# --------------------------------------------------- makespan plan
+
+
+from obp_search_engine_spark.operators.scheduling import (  # noqa: E402
+    crawl_makespan_plan,
+)
+
+
+def _hosts_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "host string, n_urls long, delay_ms long"
+    )
+
+
+def test_makespan_critical_host(spark):
+    # h1: 100 urls * 1000ms = 100000 serial floor; total work 103000;
+    # with 64 fetchers ceil(total/64) = 1610 -> h1 binds
+    rows = [("h1", 100, 1000), ("h2", 30, 100)]
+    got = {
+        r.host: (r.host_ms, r.work_share_ppm, bool(r.on_critical_path))
+        for r in crawl_makespan_plan(
+            _hosts_df(spark, rows), n_fetchers=64
+        ).collect()
+    }
+    assert got["h1"] == (100000, 970873, True)
+    assert got["h2"] == (3000, 29126, False)
+
+
+def test_makespan_fleet_bound_no_critical_host(spark):
+    # equal small hosts, tiny fleet: ceil(total/n) exceeds every host
+    rows = [(f"h{i}", 10, 100) for i in range(8)]  # each 1000, total 8000
+    got = crawl_makespan_plan(
+        _hosts_df(spark, rows), n_fetchers=2
+    ).collect()
+    # makespan = max(1000, 4000) = 4000 -> nobody's serial floor equals it
+    assert not any(r.on_critical_path for r in got)
+
+
+def test_makespan_validates_fleet(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        crawl_makespan_plan(_hosts_df(spark, [("h", 1, 1)]), n_fetchers=0)

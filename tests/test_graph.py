@@ -574,3 +574,52 @@ def test_ppr_oracle_matches_python_reference():
     sql = personalized_pagerank_oracle_sql(cte, seeds=seeds, iters=4)
     got = {int(n): int(r) for n, r in duckdb.sql(sql).fetchall()}
     assert got == _py_ppr(edges, seeds, iters=4)
+
+
+# ---------------------------------------------------- assortativity
+
+
+from obp_search_engine_spark.operators.graph import (  # noqa: E402
+    degree_assortativity,
+)
+
+
+def _py_assort(edges):
+    e = sorted({(a, b) for a, b in edges if a != b})
+    outd, ind = {}, {}
+    for a, b in e:
+        outd[a] = outd.get(a, 0) + 1
+        ind[b] = ind.get(b, 0) + 1
+    xs = [(outd[a], ind[b]) for a, b in e]
+    m = len(xs)
+    sx = sum(x for x, _ in xs); sy = sum(y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs); syy = sum(y * y for _, y in xs)
+    vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+    if vx == 0 or vy == 0:
+        return (m, 0.0)
+    return (m, round((m * sxy - sx * sy) / (vx**0.5 * vy**0.5), 6))
+
+
+@pytest.mark.parametrize("seed", [2, 44])
+def test_assortativity_matches_python_reference(spark, seed):
+    rng = random.Random(seed)
+    edges = _rand_edges(rng)
+    r = degree_assortativity(_edges_df(spark, edges)).first()
+    assert (r.m, r.r) == _py_assort(edges)
+
+
+def test_assortativity_star_is_degenerate(spark):
+    # star: every edge has the same (out, in) profile -> zero variance
+    edges = [(0, i) for i in range(1, 6)]
+    r = degree_assortativity(_edges_df(spark, edges)).first()
+    assert (r.m, r.r) == (5, 0.0)
+
+
+def test_assortativity_partitioning_invariant(spark):
+    rng = random.Random(10)
+    edges = _rand_edges(rng)
+    df = _edges_df(spark, edges)
+    a = degree_assortativity(df.coalesce(1)).first()
+    b = degree_assortativity(df.repartition(13)).first()
+    assert (a.m, a.r) == (b.m, b.r)
