@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "sitemap_coverage_audit",
     "crawl_makespan_plan",
     "link_assortativity",
+    "serp_host_crowding",
+    "url_front_coding",
 ]
 
 

@@ -5325,3 +5325,69 @@ def docid_assignment_oracle_sql(
                     ELSE 5 END)::DOUBLE / COUNT(*), 6) AS bytes_per_posting
     FROM g GROUP BY assignment
     """
+
+
+def serp_host_crowding(
+    run: DataFrame,
+    max_per_host: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """SERP host crowding / site collapsing — the serving rule every
+    web engine applies between ranking and rendering (Google's classic
+    two-per-host rule; Bharat & Mihaila, WWW 2001 discuss host-level
+    authority crowding): within a query's ranked results, keep at most
+    ``max_per_host`` results per host in their original order, demote
+    nothing back (crowded-out results simply drop), then re-rank the
+    survivors densely and cut at ``k``. Diversity at the presentation
+    layer — cheaper and more predictable than score-level penalties
+    (cf. xquad_rerank for the retrieval-layer alternative).
+
+    Input: ``run`` (q, d, host, rank) with rank 1..n per query.
+    Output: (q, d, host, rank, new_rank) — survivors only, new_rank
+    dense 1..<=k per query. All integers, exact-oracle graded.
+
+    100 TB shape: two stacked windows per q partition ((q, host) occ
+    counter, then the dense re-rank) over per-query SERP-bounded rows —
+    the run is top-n per query by construction, so nothing here ever
+    sees the corpus.
+    """
+    if max_per_host < 1 or k < 1:
+        raise ValueError("serp_host_crowding requires max_per_host, k >= 1")
+    r = run.select(
+        F.col("q").cast("long").alias("q"),
+        F.col("d").cast("long").alias("d"),
+        F.col("host").cast("string").alias("host"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    wh = Window.partitionBy("q", "host").orderBy("rank")
+    wq = Window.partitionBy("q").orderBy("rank")
+    return (
+        r.withColumn("_occ", F.row_number().over(wh))
+        .filter(F.col("_occ") <= int(max_per_host))
+        .withColumn("new_rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("new_rank") <= int(k))
+        .select("q", "d", "host", "rank", "new_rank")
+    )
+
+
+def host_crowding_oracle_sql(
+    run_cte: str, max_per_host: int = 2, k: int = 10
+) -> str:
+    """DuckDB oracle for :func:`serp_host_crowding` — same stacked
+    windows. ``run_cte`` must yield (q, d, host, rank)."""
+    return f"""
+    WITH r AS ({run_cte}),
+    occ AS (
+      SELECT q, d, host, rank,
+             row_number() OVER (PARTITION BY q, host ORDER BY rank) AS o
+      FROM r
+    ),
+    kept AS (
+      SELECT q, d, host, rank,
+             row_number() OVER (PARTITION BY q ORDER BY rank)::BIGINT
+               AS new_rank
+      FROM occ WHERE o <= {int(max_per_host)}
+    )
+    SELECT q, d, host, rank, new_rank FROM kept
+    WHERE new_rank <= {int(k)}
+    """

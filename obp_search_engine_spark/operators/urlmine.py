@@ -19,7 +19,7 @@ template cardinality is bounded by site structure, not URL count.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SCHEME = "^[a-z][a-z0-9+.-]*://"
@@ -444,4 +444,113 @@ def sitemap_coverage_oracle_sql(listed_cte: str, crawled_cte: str) -> str:
     LEFT JOIN nl ON nl.host = h.host
     LEFT JOIN hit ON hit.host = h.host
     LEFT JOIN orph ON orph.host = h.host
+    """
+
+
+def url_front_coding(
+    urls: DataFrame,
+    block: int = 8,
+    url_col: str = "url",
+) -> DataFrame:
+    """Front coding of the sorted URL list (IIR §5.2 blocked
+    dictionary compression; the layout web-graph and seen-set stores
+    keep their URL keys in): sort all URLs, cut into blocks of
+    ``block``, store each block's first URL verbatim and every
+    following URL as (shared-prefix length with its predecessor,
+    suffix). URL lists front-code extremely well because lexicographic
+    neighbors share long host+path prefixes — this operator MEASURES
+    that win with an integer cost model: raw = sum(len(url)); coded =
+    len(first) + per-follower (2 + len - lcp).
+
+    LCP portability: lcp(a, b) = count of i in 1..min(len) with
+    substring(a, 1, i) == substring(b, 1, i) — prefix equality is
+    monotone in i, so the count IS the longest match; the expression is
+    verbatim-portable to DuckDB (O(L^2) per pair on <=few-hundred-char
+    URLs; a production build swaps in a bytes-compare, same output).
+
+    Output: one row per block — (block_id, n_urls, raw_bytes,
+    coded_bytes, ratio round 6) over the global sort.
+
+    100 TB shape: the global sort is the URL-range partitioning the
+    seen-set/dictionary store already maintains — blocks never cross
+    range partitions there, so the lag window runs per partition; here
+    it is one row_number over the sorted distinct list, per-block state
+    ``block`` rows.
+    """
+    if block < 2:
+        raise ValueError("url_front_coding requires block >= 2")
+    u = urls.select(F.col(url_col).cast("string").alias("url")).distinct()
+    w = Window.orderBy("url")
+    r = u.withColumn("_rn", (F.row_number().over(w) - 1).cast("long")).select(
+        "url",
+        F.expr(f"_rn div {int(block)}").cast("long").alias("block_id"),
+        (F.col("_rn") % int(block)).cast("long").alias("_pos"),
+        F.lag("url").over(w).alias("_prev"),
+    )
+    n = F.least(F.length("url"), F.length("_prev"))
+    lcp = F.when(
+        (F.col("_pos") == 0) | F.col("_prev").isNull() | (n < 1), F.lit(0)
+    ).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: F.col("url").substr(F.lit(1), i.cast("int"))
+                == F.col("_prev").substr(F.lit(1), i.cast("int")),
+            )
+        )
+    ).cast("long")
+    cost = F.when(
+        F.col("_pos") == 0, F.length("url").cast("long")
+    ).otherwise(F.lit(2) + F.length("url").cast("long") - lcp)
+    return (
+        r.withColumn("_cost", cost)
+        .groupBy("block_id")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum(F.length("url")).cast("long").alias("raw_bytes"),
+            F.sum("_cost").cast("long").alias("coded_bytes"),
+        )
+        .select(
+            "block_id",
+            "n_urls",
+            "raw_bytes",
+            "coded_bytes",
+            F.round(F.col("coded_bytes") / F.col("raw_bytes"), 6).alias(
+                "ratio"
+            ),
+        )
+    )
+
+
+def front_coding_oracle_sql(urls_cte: str, block: int = 8) -> str:
+    """DuckDB oracle for :func:`url_front_coding` — same sort, blocks,
+    monotone-prefix LCP count, and integer cost model. ``urls_cte``
+    must yield (url)."""
+    return f"""
+    WITH u AS (SELECT DISTINCT url FROM ({urls_cte})),
+    r AS (
+      SELECT url,
+             (row_number() OVER (ORDER BY url) - 1) AS rn,
+             lag(url) OVER (ORDER BY url) AS prev
+      FROM u
+    ),
+    c AS (
+      SELECT url, rn // {int(block)} AS block_id,
+             rn % {int(block)} AS pos,
+             CASE WHEN rn % {int(block)} = 0 OR prev IS NULL
+                    OR least(len(url), len(prev)) < 1 THEN 0
+                  ELSE len(list_filter(
+                         range(1, least(len(url), len(prev)) + 1),
+                         i -> substr(url, 1, i) = substr(prev, 1, i)))
+             END AS lcp
+      FROM r
+    )
+    SELECT block_id::BIGINT AS block_id, COUNT(*)::BIGINT AS n_urls,
+           SUM(len(url))::BIGINT AS raw_bytes,
+           SUM(CASE WHEN pos = 0 THEN len(url)
+                    ELSE 2 + len(url) - lcp END)::BIGINT AS coded_bytes,
+           round(SUM(CASE WHEN pos = 0 THEN len(url)
+                    ELSE 2 + len(url) - lcp END)::DOUBLE
+                 / SUM(len(url)), 6) AS ratio
+    FROM c GROUP BY block_id
     """

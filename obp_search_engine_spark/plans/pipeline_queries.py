@@ -5948,3 +5948,111 @@ def q_crawl_makespan_plan(spark, sf_dir):
 )
 def q_link_assortativity(spark, sf_dir):
     return graph.degree_assortativity(_pagerank_edges(spark, sf_dir))
+
+
+_CROWDING_RUN_CTE = f"""
+  SELECT q, d, 'h' || (('0x'||substr(md5(q::VARCHAR||'-'||d::VARCHAR
+           ||'#ch'),1,6))::BIGINT % 4) AS host,
+         row_number() OVER (PARTITION BY q ORDER BY rel DESC, d) AS rank
+  FROM ({_XQUAD_CAND_CTE})
+"""
+
+
+@register(
+    "serp_host_crowding",
+    ranking.host_crowding_oracle_sql(_CROWDING_RUN_CTE, max_per_host=2, k=10),
+    "SERP host crowding / site collapsing — the classic two-per-host "
+    "serving rule between ranking and rendering: within each query's "
+    "run (the xQuAD candidate grid ranked by rel, hosts md5-assigned "
+    "4-ways so crowding actually bites), keep at most 2 results per "
+    "host in order, dense re-rank, cut at 10. Presentation-layer "
+    "diversity next to the retrieval-layer xQuAD; two stacked windows "
+    "per q partition over SERP-bounded rows, all integers",
+)
+def q_serp_host_crowding(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cand, _, _ = _xquad_inputs(spark, sf_dir)
+    w = Window.partitionBy("q").orderBy(F.desc("rel"), F.asc("d"))
+    run = cand.select(
+        "q",
+        "d",
+        F.concat(
+            F.lit("h"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("q").cast("string"),
+                            F.lit("-"),
+                            F.col("d").cast("string"),
+                            F.lit("#ch"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4,
+        ).alias("host"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    return ranking.serp_host_crowding(run, max_per_host=2, k=10)
+
+
+_FRONTCODE_URLS_CTE = """
+  SELECT 'https://' || source || '/p'
+         || (('0x'||substr(md5(doc_id::VARCHAR||'#fa'),1,6))::BIGINT % 5)
+         || '/s'
+         || (('0x'||substr(md5(doc_id::VARCHAR||'#fb'),1,6))::BIGINT % 7)
+         || '/' || doc_id AS url
+  FROM documents
+"""
+
+
+@register(
+    "url_front_coding",
+    urlmine.front_coding_oracle_sql(_FRONTCODE_URLS_CTE, block=8),
+    "front coding of the sorted URL list (IIR 5.2 blocked dictionary "
+    "compression — the layout seen-set/web-graph stores keep URL keys "
+    "in): blocks of 8 over the global sort, first URL verbatim, "
+    "followers as (2-byte prefix-len, suffix); per-block raw vs coded "
+    "bytes and ratio. The LCP is the monotone prefix-equality count — "
+    "verbatim-portable to DuckDB; lexicographic URL neighbors share "
+    "host+path prefixes, so blocks code far below 1.0. The sort is the "
+    "URL-range partitioning the store already maintains",
+)
+def q_url_front_coding(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+
+    def h(tag, mod):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(tag))
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    urls = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/p"),
+            h("#fa", 5),
+            F.lit("/s"),
+            h("#fb", 7),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return urlmine.url_front_coding(urls, block=8)

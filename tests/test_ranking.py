@@ -1854,3 +1854,55 @@ def test_docid_assignment_partitioning_invariant(spark):
         map(tuple, docid_assignment_benefit(df.repartition(9)).collect())
     )
     assert a == b
+
+
+# ------------------------------------------------- host crowding
+
+
+from obp_search_engine_spark.operators.ranking import (  # noqa: E402
+    serp_host_crowding,
+)
+
+
+def _run_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "q long, d long, host string, rank long"
+    )
+
+
+def test_crowding_hand_case(spark):
+    rows = [
+        (0, 1, "a", 1),
+        (0, 2, "a", 2),
+        (0, 3, "a", 3),  # third a -> crowded out
+        (0, 4, "b", 4),
+        (0, 5, "a", 5),  # fourth a -> crowded out
+        (0, 6, "c", 6),
+    ]
+    got = [
+        (r.d, r.new_rank)
+        for r in serp_host_crowding(_run_df(spark, rows))
+        .orderBy("new_rank")
+        .collect()
+    ]
+    assert got == [(1, 1), (2, 2), (4, 3), (6, 4)]
+
+
+def test_crowding_k_cut(spark):
+    rows = [(0, d, f"h{d}", d) for d in range(1, 15)]  # all distinct hosts
+    got = serp_host_crowding(_run_df(spark, rows), k=10).count()
+    assert got == 10
+
+
+def test_crowding_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for q in range(5):
+        for r, d in enumerate(rng.sample(range(100), 12), start=1):
+            rows.append((q, d, f"h{d % 3}", r))
+    df = _run_df(spark, rows)
+    a = sorted(map(tuple, serp_host_crowding(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, serp_host_crowding(df.repartition(7)).collect()))
+    assert a == b

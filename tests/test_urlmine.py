@@ -239,3 +239,65 @@ def test_coverage_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------- front coding
+
+
+from obp_search_engine_spark.operators.urlmine import url_front_coding  # noqa: E402
+
+
+def _py_front_code(urls, block=8):
+    us = sorted(set(urls))
+    out = {}
+    for i, u in enumerate(us):
+        b, pos = divmod(i, block)
+        raw = len(u)
+        if pos == 0:
+            cost = raw
+        else:
+            prev = us[i - 1]
+            lcp = 0
+            for a, c in zip(u, prev):
+                if a != c:
+                    break
+                lcp += 1
+            cost = 2 + raw - lcp
+        nb, rb, cb = out.get(b, (0, 0, 0))
+        out[b] = (nb + 1, rb + raw, cb + cost)
+    return {
+        b: (n, r, c, round(c / r, 6)) for b, (n, r, c) in out.items()
+    }
+
+
+def _urls_df(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_front_coding_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    urls = [
+        f"https://h{rng.randrange(3)}.example/p{rng.randrange(4)}/"
+        f"s{rng.randrange(5)}/{rng.randrange(1000)}"
+        for _ in range(100)
+    ]
+    got = {
+        r.block_id: (r.n_urls, r.raw_bytes, r.coded_bytes, r.ratio)
+        for r in url_front_coding(_urls_df(spark, urls)).collect()
+    }
+    assert got == _py_front_code(urls)
+
+
+def test_front_coding_shared_prefixes_compress(spark):
+    urls = [f"https://same.host/path/{i:04d}" for i in range(16)]
+    rows = url_front_coding(_urls_df(spark, urls), block=8).collect()
+    assert all(r.ratio < 0.5 for r in rows)
+
+
+def test_front_coding_block_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        url_front_coding(_urls_df(spark, ["a"]), block=1)
