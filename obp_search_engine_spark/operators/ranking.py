@@ -5391,3 +5391,357 @@ def host_crowding_oracle_sql(
     SELECT q, d, host, rank, new_rank FROM kept
     WHERE new_rank <= {int(k)}
     """
+
+
+def elias_fano_size(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Elias-Fano postings-list size measurement (Vigna, "Quasi-succinct
+    indices", WSDM 2013; Elias 1974 / Fano 1971): for every term, the
+    exact bit cost of storing its ascending doc-id postings in the EF
+    layout next to the varint-gap cost the store uses today
+    (docid_assignment_benefit's integer CASE) — the quantitative basis
+    for choosing the postings codec at index-build time. The reference
+    keeps its "postings" as MySQL rows (crawler/db/mysql.go:359-445); at
+    10^10 docs the codec decision is worth petabytes, and EF's bound of
+    2 + ceil(log2(U/n)) bits/posting with O(1) skip access is the
+    modern default (ds2i / PISA engines).
+
+    Convention (mirrored bit-for-bit by the oracle): with U = max doc
+    id + 1 (the universe) and n = df(term),
+      l        = floor(log2(U div n))   (integer division; >= 0)
+      ef_bits  = n*l + n + (U div 2^l)  (lower bits + upper unary)
+      varint_bits = 8 * SUM(varint bytes per gap, lag-0 first gap)
+    floor(log2 x) is length(bin(x)) - 1 — pure integer/string in both
+    engines; 2^l rides an exact power-of-two double cast back to
+    BIGINT, so every column is integer except the final rounded ratio.
+
+    Output: (term, df_docs, ef_l, ef_bits, varint_bits, ef_over_varint
+    rounded 6) — one row per term.
+
+    100 TB shape: one distinct-(term, doc) pass feeds a per-term lag
+    window (the postings ARE the partition) plus a map-side-combined
+    groupBy(term); the universe is a 1-row lazy-broadcast cross join
+    (the module's standing pattern for global scalars). No collect, no
+    cartesian; hot terms are one reducer key each, same as the index
+    build itself.
+    """
+    posts = (
+        _term_freqs(docs, text_col, id_col)
+        .select(F.col("_doc").cast("long").alias("doc"), "term")
+    )
+    uni = (
+        docs.filter(F.col(text_col).isNotNull())
+        .agg((F.max(F.col(id_col).cast("long")) + F.lit(1)).alias("universe"))
+    )
+    wg = Window.partitionBy("term").orderBy("doc")
+    g = posts.withColumn(
+        "gap", (F.col("doc") - F.lag("doc", 1, 0).over(wg)).cast("long")
+    )
+    vb = (
+        F.when(F.col("gap") < (1 << 7), 1)
+        .when(F.col("gap") < (1 << 14), 2)
+        .when(F.col("gap") < (1 << 21), 3)
+        .when(F.col("gap") < (1 << 28), 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    per_term = g.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_docs"),
+        (F.sum(vb) * F.lit(8)).cast("long").alias("varint_bits"),
+    )
+    lcol = (F.length(F.bin(F.expr("universe div df_docs"))) - F.lit(1)).cast(
+        "long"
+    )
+    out = (
+        per_term.crossJoin(F.broadcast(uni))
+        .withColumn("ef_l", lcol)
+        .withColumn(
+            "_p2", F.pow(F.lit(2.0), F.col("ef_l")).cast("long")
+        )
+        .withColumn(
+            "ef_bits",
+            (
+                F.col("df_docs") * F.col("ef_l")
+                + F.col("df_docs")
+                + F.expr("universe div _p2")
+            ).cast("long"),
+        )
+    )
+    return out.select(
+        "term",
+        "df_docs",
+        "ef_l",
+        "ef_bits",
+        "varint_bits",
+        F.round(F.col("ef_bits") / F.col("varint_bits"), 6).alias(
+            "ef_over_varint"
+        ),
+    )
+
+
+def elias_fano_oracle_sql(
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`elias_fano_size` — same distinct
+    postings, same lag-0 gap varint CASE, same bin()-length floor-log2
+    and exact power-of-two integer division."""
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    uni AS (SELECT MAX(doc)::BIGINT + 1 AS universe FROM corpus),
+    posts AS (SELECT DISTINCT doc, unnest(t) AS term FROM corpus),
+    g AS (
+      SELECT term, doc,
+             (doc - lag(doc, 1, 0) OVER (
+                PARTITION BY term ORDER BY doc))::BIGINT AS gap
+      FROM posts
+    ),
+    pt AS (
+      SELECT term, COUNT(*)::BIGINT AS df_docs,
+             (8 * SUM(CASE WHEN gap < 128 THEN 1
+                           WHEN gap < 16384 THEN 2
+                           WHEN gap < 2097152 THEN 3
+                           WHEN gap < 268435456 THEN 4
+                           ELSE 5 END))::BIGINT AS varint_bits
+      FROM g GROUP BY term
+    ),
+    ef AS (
+      SELECT term, df_docs, varint_bits,
+             (length(bin(universe // df_docs)) - 1)::BIGINT AS ef_l,
+             universe
+      FROM pt, uni
+    )
+    SELECT term, df_docs, ef_l,
+           (df_docs * ef_l + df_docs
+            + universe // CAST(power(2, ef_l) AS BIGINT))::BIGINT AS ef_bits,
+           varint_bits,
+           round((df_docs * ef_l + df_docs
+                  + universe // CAST(power(2, ef_l) AS BIGINT))::DOUBLE
+                 / varint_bits, 6) AS ef_over_varint
+    FROM ef
+    """
+
+
+def kendall_tau_runs(runs: DataFrame) -> DataFrame:
+    """Kendall rank-correlation between two rankers over the same
+    per-query candidate pool (Kendall 1938; the standard offline
+    ranker-delta monitor — IR evaluation uses tau both to compare
+    system orderings and to validate metric stability, cf. Voorhees
+    SIGIR 2001): per query, count concordant and discordant doc pairs
+    between ranking A and ranking B and report
+    tau = (C - D) / (n(n-1)/2).
+
+    The deployment story: before swapping ranker B for production
+    ranker A, the launch review wants "how different IS it" per query
+    segment — tau close to 1 means a safe cosmetic change, tau near 0
+    means the SERP is being rebuilt wholesale. The reference has a
+    single fixed ordering (apiserver search sort); this is the operator
+    you run the day you A/B a second one.
+
+    Input: ``runs`` (q, d, rank_a, rank_b) where each ranker's ranks
+    are a permutation 1..n within the query (no ties — ties broken
+    upstream by doc id, the module convention).
+    Output: (q, n_docs, n_pairs, concordant, discordant, tau rounded
+    6) — everything integer except the one final rounded division.
+
+    100 TB shape: the self-join is per-query over SERP-bounded pools
+    (n <= ~10^2), so the pair blowup is n^2 per query key, never
+    corpus-scale; one shuffle on q for the join, one map-side-combined
+    groupBy(q). No windows, no collect.
+    """
+    r = runs.select(
+        F.col("q").cast("long").alias("q"),
+        F.col("d").cast("long").alias("d"),
+        F.col("rank_a").cast("long").alias("ra"),
+        F.col("rank_b").cast("long").alias("rb"),
+    )
+    a = r.alias("x")
+    b = r.select(
+        F.col("q"),
+        F.col("d").alias("d2"),
+        F.col("ra").alias("ra2"),
+        F.col("rb").alias("rb2"),
+    ).alias("y")
+    pairs = a.join(b, on="q").filter(F.col("d") < F.col("d2"))
+    conc = (
+        (F.col("ra") - F.col("ra2")) * (F.col("rb") - F.col("rb2")) > 0
+    ).cast("long")
+    agg = pairs.groupBy("q").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(conc).cast("long").alias("concordant"),
+    )
+    n = r.groupBy("q").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        n.join(agg, "q")
+        .select(
+            "q",
+            "n_docs",
+            "n_pairs",
+            "concordant",
+            (F.col("n_pairs") - F.col("concordant")).alias("discordant"),
+            F.round(
+                (F.lit(2) * F.col("concordant") - F.col("n_pairs"))
+                / F.col("n_pairs"),
+                6,
+            ).alias("tau"),
+        )
+    )
+
+
+def kendall_tau_oracle_sql(runs_cte: str) -> str:
+    """DuckDB oracle for :func:`kendall_tau_runs` — same d < d2
+    self-join and integer pair counts. ``runs_cte`` must yield
+    (q, d, rank_a, rank_b)."""
+    return f"""
+    WITH r AS ({runs_cte}),
+    p AS (
+      SELECT x.q,
+             SUM(CASE WHEN (x.rank_a - y.rank_a) * (x.rank_b - y.rank_b) > 0
+                      THEN 1 ELSE 0 END)::BIGINT AS concordant,
+             COUNT(*)::BIGINT AS n_pairs
+      FROM r x JOIN r y ON x.q = y.q AND x.d < y.d
+      GROUP BY x.q
+    ),
+    n AS (SELECT q, COUNT(*)::BIGINT AS n_docs FROM r GROUP BY q)
+    SELECT n.q, n.n_docs, p.n_pairs, p.concordant,
+           (p.n_pairs - p.concordant)::BIGINT AS discordant,
+           round((2 * p.concordant - p.n_pairs)::DOUBLE / p.n_pairs, 6)
+             AS tau
+    FROM n JOIN p ON n.q = p.q
+    """
+
+
+def heaps_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 16,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (Heaps 1978; IIR ch. 5.1 —
+    "the dictionary keeps growing"): sweep the corpus in doc-id order
+    and report, at ``checkpoints`` evenly spaced prefixes, how many
+    docs and tokens have been seen and how large the term dictionary
+    has grown. V(T) ~ k·T^b is THE sizing input for the index build at
+    10^10 docs: it forecasts dictionary memory, front-coding block
+    counts (url_front_coding) and the EF/varint codec table size
+    (index_elias_fano_size) before the full corpus is scanned.
+
+    Output: (checkpoint 1..k, docs_seen, tokens_seen, vocab_size) —
+    all BIGINT; checkpoint i covers the first (i*N) div k docs.
+    Checkpoints whose prefix is empty (N < k) drop out — at any real
+    SF every checkpoint is populated.
+
+    100 TB shape: the only global structure is the doc-order
+    row_number (at true scale a zipWithIndex over sorted partition
+    bounds — the same ingest order docid_assignment_benefit already
+    relies on); vocab growth is one groupBy(term).min(pos) — map-side
+    combined — and the 16-row checkpoint table rides broadcast
+    nested-loop range joins, so no corpus-sized shuffle beyond the
+    term fold. No collect.
+    """
+    from ..functions.textstats import nonempty_tokens_col
+
+    corpus = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("doc"),
+        nonempty_tokens_col(F.lower(F.col(text_col))).alias("_t"),
+    )
+    w = Window.orderBy("doc")
+    ds = corpus.select(
+        "doc", F.size("_t").cast("long").alias("ntok"), "_t"
+    ).withColumn("pos", F.row_number().over(w).cast("long"))
+    fp = (
+        ds.select("pos", F.explode(F.array_distinct("_t")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    nrow = ds.agg(F.count("*").cast("long").alias("nd"))
+    ck = (
+        F.broadcast(
+            nrow.crossJoin(
+                ds.sparkSession.range(1, int(checkpoints) + 1).select(
+                    F.col("id").alias("checkpoint")
+                )
+            ).select(
+                "checkpoint",
+                F.expr(f"(checkpoint * nd) div {int(checkpoints)}").alias(
+                    "p"
+                ),
+            )
+        )
+    )
+    tok = (
+        ds.join(ck, ds["pos"] <= ck["p"])
+        .groupBy("checkpoint", "p")
+        .agg(F.sum("ntok").cast("long").alias("tokens_seen"))
+    )
+    voc = (
+        fp.join(ck, fp["first_pos"] <= ck["p"])
+        .groupBy(ck["checkpoint"].alias("ck2"))
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+    return tok.join(
+        voc, tok["checkpoint"] == voc["ck2"]
+    ).select(
+        "checkpoint",
+        F.col("p").alias("docs_seen"),
+        "tokens_seen",
+        "vocab_size",
+    )
+
+
+def heaps_oracle_sql(
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 16,
+) -> str:
+    """DuckDB oracle for :func:`heaps_curve` — same doc-order
+    row_number, same integer checkpoint positions and prefix joins."""
+    k = int(checkpoints)
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    ds AS (
+      SELECT doc, len(t)::BIGINT AS ntok, t,
+             row_number() OVER (ORDER BY doc)::BIGINT AS pos
+      FROM corpus
+    ),
+    fp AS (
+      SELECT term, MIN(pos)::BIGINT AS first_pos
+      FROM (SELECT DISTINCT pos, unnest(t) AS term FROM ds)
+      GROUP BY term
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS nd FROM ds),
+    ck AS (
+      SELECT r.range + 1 AS checkpoint,
+             (((r.range + 1) * nd) // {k})::BIGINT AS p
+      FROM range({k}) r, n
+    ),
+    tok AS (
+      SELECT ck.checkpoint, ck.p,
+             SUM(ds.ntok)::BIGINT AS tokens_seen
+      FROM ck JOIN ds ON ds.pos <= ck.p
+      GROUP BY ck.checkpoint, ck.p
+    ),
+    voc AS (
+      SELECT ck.checkpoint, COUNT(*)::BIGINT AS vocab_size
+      FROM ck JOIN fp ON fp.first_pos <= ck.p
+      GROUP BY ck.checkpoint
+    )
+    SELECT tok.checkpoint::BIGINT AS checkpoint, tok.p AS docs_seen,
+           tok.tokens_seen, voc.vocab_size
+    FROM tok JOIN voc ON tok.checkpoint = voc.checkpoint
+    """

@@ -6056,3 +6056,105 @@ def q_url_front_coding(spark, sf_dir):
         ).alias("url")
     )
     return urlmine.url_front_coding(urls, block=8)
+
+
+@register(
+    "index_elias_fano_size",
+    ranking.elias_fano_oracle_sql(),
+    "Elias-Fano postings size vs varint-gap bytes (Vigna WSDM 2013 "
+    "quasi-succinct indices): per term, the exact EF bit cost "
+    "n*l + n + U/2^l with l = floor(log2(U div n)) next to the varint "
+    "cost the docid-assignment operator measures — the codec decision "
+    "table for the 10^10-doc index build. floor-log2 is length(bin(x)) "
+    "- 1 (pure integer/string, identical in both engines); the only FP "
+    "is the final rounded ratio. One distinct-postings pass, per-term "
+    "lag window + map-side-combined groupBy, universe on a 1-row "
+    "broadcast",
+)
+def q_index_elias_fano_size(spark, sf_dir):
+    return ranking.elias_fano_size(_t(spark, sf_dir, "documents"))
+
+
+_KENDALL_RUNS_CTE = """
+  SELECT q, d,
+    row_number() OVER (PARTITION BY q ORDER BY sa DESC, d) AS rank_a,
+    row_number() OVER (PARTITION BY q ORDER BY sb DESC, d) AS rank_b
+  FROM (
+    SELECT r1.range AS q, r2.range AS d,
+      ('0x'||substr(md5(r1.range::VARCHAR||'-'||r2.range::VARCHAR
+         ||'#ka'),1,6))::BIGINT AS sa,
+      ('0x'||substr(md5(r1.range::VARCHAR||'-'||r2.range::VARCHAR
+         ||'#ka'),1,6))::BIGINT
+      + ('0x'||substr(md5(r1.range::VARCHAR||'-'||r2.range::VARCHAR
+         ||'#kb'),1,6))::BIGINT % 2000000 AS sb
+    FROM range(8) r1, range(20) r2
+  )
+"""
+
+
+@register(
+    "search_eval_kendall_tau",
+    ranking.kendall_tau_oracle_sql(_KENDALL_RUNS_CTE),
+    "Kendall tau ranker agreement (Kendall 1938; Voorhees SIGIR 2001) "
+    "— the offline ranker-delta monitor: per query, concordant vs "
+    "discordant pair counts between production order A and candidate "
+    "order B over the same 20-doc pool (B = A's md5 score plus a "
+    "bounded md5 perturbation, so tau sits high like a real ranker "
+    "tweak), tau = (C-D)/(n(n-1)/2). Completes the eval family next "
+    "to nDCG/ERR/RBP/interleaving: those grade one run against qrels, "
+    "this grades two runs against each other. All-integer pair "
+    "counting over SERP-bounded per-query self-joins; one final "
+    "rounded division",
+)
+def q_search_eval_kendall_tau(spark, sf_dir):
+    from pyspark.sql import Window
+
+    def h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("q").cast("string"),
+                        F.lit("-"),
+                        F.col("d").cast("string"),
+                        F.lit(tag),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    q8 = spark.range(8).select(F.col("id").alias("q"))
+    d20 = spark.range(20).select(F.col("id").alias("d"))
+    scored = (
+        q8.crossJoin(d20)
+        .withColumn("sa", h("#ka"))
+        .withColumn("sb", h("#ka") + h("#kb") % 2000000)
+    )
+    wa = Window.partitionBy("q").orderBy(F.desc("sa"), F.asc("d"))
+    wb = Window.partitionBy("q").orderBy(F.desc("sb"), F.asc("d"))
+    runs = scored.select(
+        "q",
+        "d",
+        F.row_number().over(wa).cast("long").alias("rank_a"),
+        F.row_number().over(wb).cast("long").alias("rank_b"),
+    )
+    return ranking.kendall_tau_runs(runs)
+
+
+@register(
+    "corpus_heaps_curve",
+    ranking.heaps_oracle_sql(),
+    "Heaps-law vocabulary-growth curve (Heaps 1978; IIR ch.5.1): "
+    "sweep the corpus in doc-id order and report docs/tokens seen and "
+    "dictionary size at 16 even prefixes — the V(T)~kT^b sizing input "
+    "for dictionary memory, front-coding blocks and the EF codec "
+    "table before a full 10^10-doc scan. All BIGINT (prefix "
+    "positions are integer (i*N) div 16); one groupBy(term).min(pos) "
+    "vocab fold plus 16-row broadcast range joins",
+)
+def q_corpus_heaps_curve(spark, sf_dir):
+    return ranking.heaps_curve(_t(spark, sf_dir, "documents"))

@@ -263,6 +263,30 @@ GRADE_PRIORITY: list[str] = [
     "seeded_sample",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # ---- round-5 continuation tail (all exact locally via
+    # tools/check_oracle.py — see SWEEP_r05.json; registration order)
+    "link_ppr",
+    "click_model_ubm_ctr",
+    "click_model_ubm_exam",
+    "robots_rules_eval",
+    "search_eval_interleaving",
+    "click_graph_walk",
+    "cache_lru_hit_curve",
+    "query_intent_classes",
+    "search_xquad_rerank",
+    "search_eval_alpha_ndcg",
+    "search_rank_fusion_borda",
+    "search_eval_bootstrap",
+    "index_docid_assignment",
+    "crawl_cloaking_detect",
+    "sitemap_coverage_audit",
+    "crawl_makespan_plan",
+    "link_assortativity",
+    "serp_host_crowding",
+    "url_front_coding",
+    "index_elias_fano_size",
+    "search_eval_kendall_tau",
+    "corpus_heaps_curve",
 ]
 
 

@@ -1906,3 +1906,120 @@ def test_crowding_partitioning_invariant(spark):
     a = sorted(map(tuple, serp_host_crowding(df.coalesce(1)).collect()))
     b = sorted(map(tuple, serp_host_crowding(df.repartition(7)).collect()))
     assert a == b
+
+
+# ------------------------------------------------- elias-fano size
+
+
+from obp_search_engine_spark.operators.ranking import (  # noqa: E402
+    elias_fano_size,
+    heaps_curve,
+    kendall_tau_runs,
+)
+
+
+def test_elias_fano_hand_case(spark):
+    # term "x" in docs {1,3,9}; doc 9 is max -> universe U = 10
+    docs = spark.createDataFrame(
+        [(1, "x"), (3, "x y"), (9, "x"), (0, "y")],
+        "doc_id long, text string",
+    )
+    row = {r.term: r for r in elias_fano_size(docs).collect()}
+    x = row["x"]
+    # n=3, U div n = 3, l = floor(log2 3) = 1
+    assert x.df_docs == 3 and x.ef_l == 1
+    # ef = n*l + n + U div 2^l = 3 + 3 + 5 = 11 bits
+    assert x.ef_bits == 11
+    # gaps lag-0: 1,2,6 -> 3 varint bytes -> 24 bits
+    assert x.varint_bits == 24
+    assert abs(x.ef_over_varint - round(11 / 24, 6)) < 1e-12
+    y = row["y"]
+    # y in {0,3}: n=2, U div n = 5, l=2, ef = 4+2+ (10 div 4) = 8
+    assert y.ef_l == 2 and y.ef_bits == 8
+
+
+def test_elias_fano_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(1, 9))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, elias_fano_size(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, elias_fano_size(df.repartition(7)).collect()))
+    assert a == b
+
+
+# ------------------------------------------------- kendall tau
+
+
+def _runs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "q long, d long, rank_a long, rank_b long"
+    )
+
+
+def test_kendall_tau_extremes(spark):
+    rows = [(0, d, d + 1, 4 - d) for d in range(4)]  # reversed -> -1
+    rows += [(1, d, d + 1, d + 1) for d in range(4)]  # identical -> +1
+    got = {r.q: r for r in kendall_tau_runs(_runs_df(spark, rows)).collect()}
+    assert got[0].tau == -1.0 and got[0].concordant == 0
+    assert got[0].discordant == got[0].n_pairs == 6
+    assert got[1].tau == 1.0 and got[1].discordant == 0
+    assert got[0].n_docs == got[1].n_docs == 4
+
+
+def test_kendall_tau_matches_pure_python(spark):
+    import itertools
+    import random
+
+    rng = random.Random(5)
+    n = 9
+    pb = list(range(1, n + 1))
+    rng.shuffle(pb)
+    rows = [(7, d, d + 1, pb[d]) for d in range(n)]
+    conc = disc = 0
+    for i, j in itertools.combinations(range(n), 2):
+        s = (i - j) * (pb[i] - pb[j])
+        conc, disc = conc + (s > 0), disc + (s < 0)
+    r = kendall_tau_runs(_runs_df(spark, rows)).collect()[0]
+    assert (r.concordant, r.discordant) == (conc, disc)
+    assert r.tau == round((conc - disc) / (n * (n - 1) / 2), 6)
+
+
+# ------------------------------------------------- heaps curve
+
+
+def test_heaps_curve_hand_case(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b c b"), (2, "d"), (3, "a d e")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.checkpoint: r for r in heaps_curve(docs, checkpoints=4).collect()
+    }
+    assert len(got) == 4
+    # prefixes of 1..4 docs: tokens 2,5,6,9; vocab 2,3,4,5
+    assert [got[i].docs_seen for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert [got[i].tokens_seen for i in (1, 2, 3, 4)] == [2, 5, 6, 9]
+    assert [got[i].vocab_size for i in (1, 2, 3, 4)] == [2, 3, 4, 5]
+
+
+def test_heaps_curve_monotone_and_invariant(spark):
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (i, " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(1, 7))))
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, heaps_curve(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, heaps_curve(df.repartition(5)).collect()))
+    assert a == b
+    vocab = [r[3] for r in a]
+    toks = [r[2] for r in a]
+    assert vocab == sorted(vocab) and toks == sorted(toks)
+    assert a[-1][1] == 64  # last checkpoint covers the whole corpus
