@@ -167,6 +167,13 @@ BENCH_QUERIES = [
     "link_assortativity",
     "serp_host_crowding",
     "url_front_coding",
+    # round-5 (final) additions: EF-vs-varint codec table, ranker-delta
+    # Kendall tau, Heaps-law dictionary growth
+    "index_elias_fano_size",
+    "search_eval_kendall_tau",
+    "corpus_heaps_curve",
+    "search_qpp_postretrieval",
+    "corpus_zipf_octaves",
 ]
 
 

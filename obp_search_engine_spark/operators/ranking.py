@@ -5745,3 +5745,179 @@ def heaps_oracle_sql(
            tok.tokens_seen, voc.vocab_size
     FROM tok JOIN voc ON tok.checkpoint = voc.checkpoint
     """
+
+
+def qpp_postretrieval(
+    run: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Post-retrieval query-performance prediction: WIG (Zhou & Croft
+    SIGIR 2007) and NQC (Shtok et al. ICTIR 2009) over integer
+    retrieval scores — the serving-time "is this SERP any good" signal
+    that decides fallbacks (spell-correct, expansion, federated
+    escalation) AFTER ranking ran, complementing the pre-retrieval
+    predictors in :func:`qpp_preretrieval` that fire before it.
+
+      WIG = (mean(top-k score) - mean(all-candidate score))
+            / mean(all-candidate score)
+      NQC = stddev(top-k score) / mean(all-candidate score)
+
+    Input: ``run`` (q, d, score) with INTEGER scores (the module's
+    quantized-impact convention — index_quantized_impacts produces
+    exactly these) over each query's candidate pool; top-k is score
+    DESC, d ASC. Output: (q, k_eff, sum_topk, sumsq_topk, n_all,
+    sum_all, wig, nqc) — every aggregate BIGINT, the two predictors
+    one final rounded FP expression each (sqrt/div are IEEE
+    correctly-rounded, so the DuckDB oracle matches bit-for-bit).
+
+    100 TB shape: one window rank per q partition over SERP-bounded
+    candidate pools, two map-side-combined groupBy(q) folds, one
+    broadcast-sized join on q. No collect, no corpus-wide state.
+    """
+    if k < 1:
+        raise ValueError("qpp_postretrieval requires k >= 1")
+    r = run.select(
+        F.col("q").cast("long").alias("q"),
+        F.col("d").cast("long").alias("d"),
+        F.col("score").cast("long").alias("score"),
+    )
+    allagg = r.groupBy("q").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum("score").cast("long").alias("sum_all"),
+    )
+    wq = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("d"))
+    topk = (
+        r.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= int(k))
+        .groupBy("q")
+        .agg(
+            F.count("*").cast("long").alias("k_eff"),
+            F.sum("score").cast("long").alias("sum_topk"),
+            F.sum(F.col("score") * F.col("score"))
+            .cast("long")
+            .alias("sumsq_topk"),
+        )
+    )
+    j = topk.join(allagg, "q")
+    mu_all = F.col("sum_all") / F.col("n_all")
+    return j.select(
+        "q",
+        "k_eff",
+        "sum_topk",
+        "sumsq_topk",
+        "n_all",
+        "sum_all",
+        F.round(
+            (F.col("sum_topk") / F.col("k_eff") - mu_all) / mu_all, 6
+        ).alias("wig"),
+        F.round(
+            F.sqrt(
+                F.col("k_eff") * F.col("sumsq_topk")
+                - F.col("sum_topk") * F.col("sum_topk")
+            )
+            / F.col("k_eff")
+            / mu_all,
+            6,
+        ).alias("nqc"),
+    )
+
+
+def qpp_postretrieval_oracle_sql(run_cte: str, k: int = 10) -> str:
+    """DuckDB oracle for :func:`qpp_postretrieval` — same window
+    top-k, same BIGINT folds, same final expressions in the same
+    operation order. ``run_cte`` must yield (q, d, score)."""
+    return f"""
+    WITH r AS ({run_cte}),
+    ranked AS (
+      SELECT q, d, score,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY score DESC, d) AS rk
+      FROM r
+    ),
+    tk AS (
+      SELECT q, COUNT(*)::BIGINT AS k_eff,
+             SUM(score)::BIGINT AS sum_topk,
+             SUM(score * score)::BIGINT AS sumsq_topk
+      FROM ranked WHERE rk <= {int(k)} GROUP BY q
+    ),
+    al AS (
+      SELECT q, COUNT(*)::BIGINT AS n_all, SUM(score)::BIGINT AS sum_all
+      FROM r GROUP BY q
+    )
+    SELECT tk.q, tk.k_eff, tk.sum_topk, tk.sumsq_topk, al.n_all,
+           al.sum_all,
+           round((tk.sum_topk / tk.k_eff - al.sum_all / al.n_all)
+                 / (al.sum_all / al.n_all), 6) AS wig,
+           round(sqrt((tk.k_eff * tk.sumsq_topk
+                       - tk.sum_topk * tk.sum_topk)::DOUBLE)
+                 / tk.k_eff / (al.sum_all / al.n_all), 6) AS nqc
+    FROM tk JOIN al ON tk.q = al.q
+    """
+
+
+def zipf_octaves(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf-law frequency-octave histogram (Zipf 1949; IIR ch. 5.1.2 —
+    the second classic corpus law next to :func:`heaps_curve`): bucket
+    every term by floor(log2(total tf)) and count terms and token mass
+    per octave. Zipf predicts term counts falling geometrically across
+    octaves; the histogram is the direct input for stopword-cutoff,
+    cache-tier (champion lists hold octave-top terms) and
+    impact-quantization decisions — and a one-glance spam signal when
+    a crawl slice's curve bends away from the corpus baseline.
+
+    Output: (octave, n_terms, total_tf, min_tf, max_tf) — all BIGINT;
+    octave o covers terms with 2^o <= tf_total < 2^(o+1). floor-log2
+    is length(bin(x)) - 1, pure integer/string in both engines.
+
+    100 TB shape: one tokenize+explode scan into a map-side-combined
+    groupBy(term) fold, then a 64-key-max groupBy(octave) rollup —
+    nothing beyond the term fold the index build already pays.
+    """
+    tf = (
+        _term_freqs(docs, text_col, id_col)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("tf_total"))
+    )
+    oct_ = (F.length(F.bin(F.col("tf_total"))) - F.lit(1)).cast("long")
+    return (
+        tf.withColumn("octave", oct_)
+        .groupBy("octave")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("tf_total").cast("long").alias("total_tf"),
+            F.min("tf_total").cast("long").alias("min_tf"),
+            F.max("tf_total").cast("long").alias("max_tf"),
+        )
+    )
+
+
+def zipf_octaves_oracle_sql(
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`zipf_octaves` — same term fold, same
+    bin()-length floor-log2 bucketing."""
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    tf AS (
+      SELECT term, COUNT(*)::BIGINT AS tf_total
+      FROM (SELECT doc, unnest(t) AS term FROM corpus)
+      GROUP BY term
+    )
+    SELECT (length(bin(tf_total)) - 1)::BIGINT AS octave,
+           COUNT(*)::BIGINT AS n_terms,
+           SUM(tf_total)::BIGINT AS total_tf,
+           MIN(tf_total)::BIGINT AS min_tf,
+           MAX(tf_total)::BIGINT AS max_tf
+    FROM tf GROUP BY 1
+    """

@@ -6158,3 +6158,65 @@ def q_search_eval_kendall_tau(spark, sf_dir):
 )
 def q_corpus_heaps_curve(spark, sf_dir):
     return ranking.heaps_curve(_t(spark, sf_dir, "documents"))
+
+
+_QPP_POST_RUN_CTE = """
+  SELECT r1.range AS q, r2.range AS d,
+    ('0x'||substr(md5(r1.range::VARCHAR||'-'||r2.range::VARCHAR
+       ||'#qp'),1,6))::BIGINT % 100000 AS score
+  FROM range(8) r1, range(30) r2
+"""
+
+
+@register(
+    "search_qpp_postretrieval",
+    ranking.qpp_postretrieval_oracle_sql(_QPP_POST_RUN_CTE, k=10),
+    "post-retrieval query-performance prediction — WIG (Zhou & Croft "
+    "SIGIR 2007) and NQC (Shtok et al. ICTIR 2009) over integer "
+    "quantized-impact scores on each query's 30-candidate pool: the "
+    "serving-time SERP-quality signal that triggers spell-correct / "
+    "expansion / federation fallbacks, completing the QPP family next "
+    "to the pre-retrieval predictors. BIGINT sum/sumsq folds; the two "
+    "predictors are one final rounded expression each (IEEE "
+    "correctly-rounded sqrt/div, same operation order both engines)",
+)
+def q_search_qpp_postretrieval(spark, sf_dir):
+    def h(tag, mod):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("q").cast("string"),
+                            F.lit("-"),
+                            F.col("d").cast("string"),
+                            F.lit(tag),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    q8 = spark.range(8).select(F.col("id").alias("q"))
+    d30 = spark.range(30).select(F.col("id").alias("d"))
+    run = q8.crossJoin(d30).select("q", "d", h("#qp", 100000).alias("score"))
+    return ranking.qpp_postretrieval(run, k=10)
+
+
+@register(
+    "corpus_zipf_octaves",
+    ranking.zipf_octaves_oracle_sql(),
+    "Zipf-law frequency-octave histogram (Zipf 1949; IIR 5.1.2): terms "
+    "bucketed by floor(log2(total tf)) with per-octave term counts and "
+    "token mass — the second corpus law next to corpus_heaps_curve, "
+    "feeding stopword-cutoff, champion-list tiering and "
+    "impact-quantization decisions. Pure BIGINT (bin()-length "
+    "floor-log2); one term fold plus a <=64-key rollup",
+)
+def q_corpus_zipf_octaves(spark, sf_dir):
+    return ranking.zipf_octaves(_t(spark, sf_dir, "documents"))

@@ -287,6 +287,8 @@ GRADE_PRIORITY: list[str] = [
     "index_elias_fano_size",
     "search_eval_kendall_tau",
     "corpus_heaps_curve",
+    "search_qpp_postretrieval",
+    "corpus_zipf_octaves",
 ]
 
 

@@ -2023,3 +2023,62 @@ def test_heaps_curve_monotone_and_invariant(spark):
     toks = [r[2] for r in a]
     assert vocab == sorted(vocab) and toks == sorted(toks)
     assert a[-1][1] == 64  # last checkpoint covers the whole corpus
+
+
+# ------------------------------------------------- qpp post-retrieval
+
+
+from obp_search_engine_spark.operators.ranking import (  # noqa: E402
+    qpp_postretrieval,
+    zipf_octaves,
+)
+
+
+def test_qpp_postretrieval_hand_case(spark):
+    # q0: scores 10,20,30,40 with k=2 -> topk {40,30}
+    rows = [(0, d, s) for d, s in enumerate((10, 20, 30, 40))]
+    df = spark.createDataFrame(rows, "q long, d long, score long")
+    r = qpp_postretrieval(df, k=2).collect()[0]
+    assert (r.k_eff, r.sum_topk, r.sumsq_topk) == (2, 70, 2500)
+    assert (r.n_all, r.sum_all) == (4, 100)
+    mu_all = 100 / 4
+    assert r.wig == round((70 / 2 - mu_all) / mu_all, 6)
+    import math
+
+    assert r.nqc == round(math.sqrt(2 * 2500 - 70 * 70) / 2 / mu_all, 6)
+
+
+def test_qpp_postretrieval_uniform_scores_zero_signal(spark):
+    rows = [(1, d, 7) for d in range(12)]
+    df = spark.createDataFrame(rows, "q long, d long, score long")
+    r = qpp_postretrieval(df, k=5).collect()[0]
+    assert r.wig == 0.0 and r.nqc == 0.0 and r.k_eff == 5
+
+
+# ------------------------------------------------- zipf octaves
+
+
+def test_zipf_octaves_hand_case(spark):
+    # "a" x5 (octave 2), "b" x2 (octave 1), "c" x1 (octave 0)
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a a b c")], "doc_id long, text string"
+    )
+    got = {r.octave: r for r in zipf_octaves(docs).collect()}
+    assert got[2].n_terms == 1 and got[2].total_tf == 5
+    assert got[1].n_terms == 1 and got[1].min_tf == got[1].max_tf == 2
+    assert got[0].n_terms == 1 and got[0].total_tf == 1
+
+
+def test_zipf_octaves_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(1, 9))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, zipf_octaves(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, zipf_octaves(df.repartition(6)).collect()))
+    assert a == b
+    assert sum(r[1] for r in a) == len({w for _, t in rows for w in t.split()})
