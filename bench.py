@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "corpus_heaps_curve",
     "search_qpp_postretrieval",
     "corpus_zipf_octaves",
+    "index_codec_decision",
 ]
 
 

@@ -5921,3 +5921,170 @@ def zipf_octaves_oracle_sql(
            MAX(tf_total)::BIGINT AS max_tf
     FROM tf GROUP BY 1
     """
+
+
+def codec_decision(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-term postings codec decision table — the four classic
+    gap-compression choices side by side, exact to the bit: varint
+    (the store's baseline), Elias gamma and Elias delta (Elias 1975;
+    WMS "Managing Gigabytes" ch. 3 — gamma for tiny gaps, delta for
+    the mid range), and Elias-Fano (Vigna WSDM 2013 — the O(1)-skip
+    modern default). At 10^10 docs the winner differs BY TERM (dense
+    stopword postings want EF's 2+log2(U/n) bits; rare terms want
+    gamma), so the build decides per posting list from this exact
+    table, not from one corpus-wide rule.
+
+    Conventions (each mirrored bit-for-bit by the oracle):
+      gaps    lag-0 first gap (the module convention), g >= 0;
+              gamma/delta code g+1 (the standard shift that keeps a
+              0 first-gap encodable)
+      gamma   2*floor(log2(g+1)) + 1 bits
+      delta   floor(log2(g+1)) + 2*floor(log2(floor(log2(g+1))+1)) + 1
+      varint  8 * byte CASE (128/16384/2097152/268435456 ladder)
+      ef      n*l + n + (U div 2^l), l = floor(log2(U div n))
+      best_codec  argmin, ties broken varint < gamma < delta < ef
+              (cheapest-to-decode first)
+    floor(log2 x) = length(bin(x)) - 1, integer/string in both
+    engines; no FP anywhere except EF's exact power-of-two cast.
+
+    Output: (term, df_docs, varint_bits, gamma_bits, delta_bits,
+    ef_bits, best_codec).
+
+    100 TB shape: identical to :func:`elias_fano_size` — one distinct
+    postings pass, per-term lag window (the postings are the
+    partition), map-side-combined groupBy(term), 1-row broadcast
+    universe. The decision column is pure projection.
+    """
+    posts = _term_freqs(docs, text_col, id_col).select(
+        F.col("_doc").cast("long").alias("doc"), "term"
+    )
+    uni = (
+        docs.filter(F.col(text_col).isNotNull())
+        .agg((F.max(F.col(id_col).cast("long")) + F.lit(1)).alias("universe"))
+    )
+    wg = Window.partitionBy("term").orderBy("doc")
+    g = posts.withColumn(
+        "gap", (F.col("doc") - F.lag("doc", 1, 0).over(wg)).cast("long")
+    )
+    lg1 = (F.length(F.bin(F.col("gap") + 1)) - F.lit(1)).cast("long")
+    vb = (
+        F.when(F.col("gap") < (1 << 7), 1)
+        .when(F.col("gap") < (1 << 14), 2)
+        .when(F.col("gap") < (1 << 21), 3)
+        .when(F.col("gap") < (1 << 28), 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    gamma = (F.lit(2) * lg1 + F.lit(1)).cast("long")
+    delta = (
+        lg1
+        + F.lit(2)
+        * (F.length(F.bin(lg1 + F.lit(1))) - F.lit(1)).cast("long")
+        + F.lit(1)
+    ).cast("long")
+    per_term = g.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_docs"),
+        (F.sum(vb) * F.lit(8)).cast("long").alias("varint_bits"),
+        F.sum(gamma).cast("long").alias("gamma_bits"),
+        F.sum(delta).cast("long").alias("delta_bits"),
+    )
+    out = (
+        per_term.crossJoin(F.broadcast(uni))
+        .withColumn(
+            "ef_l",
+            (
+                F.length(F.bin(F.expr("universe div df_docs"))) - F.lit(1)
+            ).cast("long"),
+        )
+        .withColumn(
+            "ef_bits",
+            (
+                F.col("df_docs") * F.col("ef_l")
+                + F.col("df_docs")
+                + F.expr(
+                    "universe div cast(power(2, ef_l) as bigint)"
+                )
+            ).cast("long"),
+        )
+    )
+    m = F.least("varint_bits", "gamma_bits", "delta_bits", "ef_bits")
+    best = (
+        F.when(F.col("varint_bits") == m, F.lit("varint"))
+        .when(F.col("gamma_bits") == m, F.lit("gamma"))
+        .when(F.col("delta_bits") == m, F.lit("delta"))
+        .otherwise(F.lit("ef"))
+    )
+    return out.select(
+        "term",
+        "df_docs",
+        "varint_bits",
+        "gamma_bits",
+        "delta_bits",
+        "ef_bits",
+        best.alias("best_codec"),
+    )
+
+
+def codec_decision_oracle_sql(
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`codec_decision` — same gap, log2,
+    ladder and tie-break conventions."""
+    return rf"""
+    WITH corpus AS (
+      SELECT {id_col} AS doc,
+             list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                         x -> x != '') AS t
+      FROM {docs_table} WHERE {text_col} IS NOT NULL
+    ),
+    uni AS (SELECT MAX(doc)::BIGINT + 1 AS universe FROM corpus),
+    posts AS (SELECT DISTINCT doc, unnest(t) AS term FROM corpus),
+    g AS (
+      SELECT term, doc,
+             (doc - lag(doc, 1, 0) OVER (
+                PARTITION BY term ORDER BY doc))::BIGINT AS gap
+      FROM posts
+    ),
+    costs AS (
+      SELECT term, gap,
+             (length(bin(gap + 1)) - 1)::BIGINT AS lg1,
+             CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                  WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+                  ELSE 5 END::BIGINT AS vbytes
+      FROM g
+    ),
+    pt AS (
+      SELECT term, COUNT(*)::BIGINT AS df_docs,
+             (8 * SUM(vbytes))::BIGINT AS varint_bits,
+             SUM(2 * lg1 + 1)::BIGINT AS gamma_bits,
+             SUM(lg1 + 2 * (length(bin(lg1 + 1)) - 1) + 1)::BIGINT
+               AS delta_bits
+      FROM costs GROUP BY term
+    ),
+    ef AS (
+      SELECT term, df_docs, varint_bits, gamma_bits, delta_bits,
+             (df_docs * (length(bin(universe // df_docs)) - 1)
+              + df_docs
+              + universe // CAST(power(2,
+                  length(bin(universe // df_docs)) - 1) AS BIGINT)
+             )::BIGINT AS ef_bits
+      FROM pt, uni
+    )
+    SELECT term, df_docs, varint_bits, gamma_bits, delta_bits, ef_bits,
+           CASE
+             WHEN varint_bits = least(varint_bits, gamma_bits,
+                                      delta_bits, ef_bits) THEN 'varint'
+             WHEN gamma_bits = least(varint_bits, gamma_bits,
+                                     delta_bits, ef_bits) THEN 'gamma'
+             WHEN delta_bits = least(varint_bits, gamma_bits,
+                                     delta_bits, ef_bits) THEN 'delta'
+             ELSE 'ef'
+           END AS best_codec
+    FROM ef
+    """

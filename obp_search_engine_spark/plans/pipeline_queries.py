@@ -6220,3 +6220,19 @@ def q_search_qpp_postretrieval(spark, sf_dir):
 )
 def q_corpus_zipf_octaves(spark, sf_dir):
     return ranking.zipf_octaves(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "index_codec_decision",
+    ranking.codec_decision_oracle_sql(),
+    "per-term postings codec decision table: varint vs Elias gamma vs "
+    "Elias delta (Elias 1975; Managing Gigabytes ch.3) vs Elias-Fano "
+    "(Vigna WSDM 2013), every cost exact to the bit with the winning "
+    "codec per term (ties break cheapest-to-decode first) — at 10^10 "
+    "docs the winner differs BY TERM, so the index build reads this "
+    "table, not one corpus rule. Same distinct-postings pass + "
+    "per-term lag window + 1-row broadcast universe as the EF entry; "
+    "pure integer/string throughout",
+)
+def q_index_codec_decision(spark, sf_dir):
+    return ranking.codec_decision(_t(spark, sf_dir, "documents"))

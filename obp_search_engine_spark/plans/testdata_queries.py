@@ -289,6 +289,7 @@ GRADE_PRIORITY: list[str] = [
     "corpus_heaps_curve",
     "search_qpp_postretrieval",
     "corpus_zipf_octaves",
+    "index_codec_decision",
 ]
 
 

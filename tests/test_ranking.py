@@ -2082,3 +2082,49 @@ def test_zipf_octaves_partitioning_invariant(spark):
     b = sorted(map(tuple, zipf_octaves(df.repartition(6)).collect()))
     assert a == b
     assert sum(r[1] for r in a) == len({w for _, t in rows for w in t.split()})
+
+
+# ------------------------------------------------- codec decision
+
+
+from obp_search_engine_spark.operators.ranking import (  # noqa: E402
+    codec_decision,
+)
+
+
+def test_codec_decision_hand_case(spark):
+    # term "x" in docs {0, 1, 9}: gaps lag-0 = 0, 1, 8 -> g+1 = 1, 2, 9
+    docs = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (9, "x y")], "doc_id long, text string"
+    )
+    row = {r.term: r for r in codec_decision(docs).collect()}
+    x = row["x"]
+    # gamma: (2*0+1) + (2*1+1) + (2*3+1) = 1 + 3 + 7 = 11
+    assert x.gamma_bits == 11
+    # delta: lg1 + 2*floor(log2(lg1+1)) + 1 per gap:
+    #   g+1=1: 0+2*0+1=1; g+1=2: 1+2*1+1=4; g+1=9: 3+2*2+1=8 -> 13
+    assert x.delta_bits == 13
+    # varint: 3 gaps < 128 -> 24 bits
+    assert x.varint_bits == 24
+    # ef: n=3, U=10, l=floor(log2(3))=1 -> 3+3+5=11
+    assert x.ef_bits == 11
+    # tie 11 == 11 between gamma and ef -> gamma wins (decode order)
+    assert x.best_codec == "gamma"
+    y = row["y"]  # single posting at doc 9: gap 9, g+1=10
+    assert y.gamma_bits == 2 * 3 + 1 and y.varint_bits == 8
+    # ef: n=1, l=floor(log2(10))=3 -> 1*3 + 1 + 10 div 8 = 5, the min
+    assert y.ef_bits == 5 and y.best_codec == "ef"
+
+
+def test_codec_decision_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(41)
+    rows = [
+        (i, " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(1, 8))))
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, codec_decision(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, codec_decision(df.repartition(9)).collect()))
+    assert a == b
