@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "search_qpp_postretrieval",
     "corpus_zipf_octaves",
     "index_codec_decision",
+    "crawl_soft404_detect",
 ]
 
 

@@ -293,3 +293,151 @@ def cloaking_oracle_sql(
             END < {int(min_jaccard_milli)}) AS cloaked
     FROM j
     """
+
+
+def _shingle3_expr(text_col_expr):
+    """DISTINCT 3-token shingle array of a text column expression —
+    empty array (never null) for sub-3-token texts; shared by
+    cloaking_detect and soft404_detect."""
+    from ..functions.textstats import nonempty_tokens_col
+
+    t = nonempty_tokens_col(F.lower(text_col_expr))
+    return F.when(
+        F.size(t) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i.cast("int")),
+                    F.element_at(t, (i + 1).cast("int")),
+                    F.element_at(t, (i + 2).cast("int")),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def soft404_detect(
+    pages: DataFrame,
+    probes: DataFrame,
+    min_jaccard_milli: int = 500,
+    host_col: str = "host",
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft-404 detection by random-URL probing (Bar-Yossef, Broder,
+    Kumar & Tomkins, WWW 2004 "Sic transit gloria telae": fetch a
+    URL that cannot exist on the host; any real page whose content
+    matches that error page is a soft 404 served with HTTP 200).
+    The crawler-integrity filter that keeps decayed pages from
+    polluting the index and the dedup pipeline — a host serving one
+    "not found" template under thousands of URLs looks like a
+    mega-duplicate-cluster to MinHash unless these rows are dropped
+    first.
+
+    Input: ``pages`` (host, url, text); ``probes`` (host, text) — ONE
+    row per host, the fetched random-probe content. Pages on hosts
+    with no probe row pass through unflagged (jaccard 0). Comparison
+    is the module's 3-token-shingle integer milli-Jaccard with the
+    same degenerate-text rule as cloaking_detect: two shingle-free
+    sides read 1000 (a shingle-free page on a shingle-free probe IS
+    the error page).
+
+    Output: (host, url, n_page, n_probe, n_common, jaccard_milli,
+    soft404 BOOLEAN — jaccard >= threshold) — all integers.
+
+    100 TB shape: both sides shingle per-row in-scan; the compare is
+    one host-keyed equi-join (probe side is one row per host —
+    host-table-sized, AQE broadcasts it under any real corpus skew)
+    and ``array_intersect`` in the projection. No shingle ever
+    becomes a row.
+    """
+    empty = F.array().cast("array<string>")
+    p = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        _shingle3_expr(F.col(text_col)).alias("sh_p"),
+    )
+    pr = probes.select(
+        F.col(host_col).alias("host"),
+        _shingle3_expr(F.col(text_col)).alias("sh_q"),
+    )
+    out = (
+        p.join(pr, "host", "left")
+        .select(
+            "host",
+            "url",
+            F.size("sh_p").cast("long").alias("n_page"),
+            F.size(F.coalesce("sh_q", empty)).cast("long").alias("n_probe"),
+            F.size(
+                F.array_intersect("sh_p", F.coalesce("sh_q", empty))
+            )
+            .cast("long")
+            .alias("n_common"),
+            F.col("sh_q").isNotNull().alias("_probed"),
+        )
+    )
+    jac = (
+        F.when(~F.col("_probed"), F.lit(0))
+        .when(F.col("n_page") + F.col("n_probe") == 0, F.lit(1000))
+        .otherwise(
+            F.expr("(1000 * n_common) div (n_page + n_probe - n_common)")
+        )
+        .cast("long")
+    )
+    return out.select(
+        "host",
+        "url",
+        "n_page",
+        "n_probe",
+        "n_common",
+        jac.alias("jaccard_milli"),
+        (jac >= F.lit(int(min_jaccard_milli))).alias("soft404"),
+    )
+
+
+def soft404_oracle_sql(
+    pages_cte: str,
+    probes_cte: str,
+    min_jaccard_milli: int = 500,
+) -> str:
+    """DuckDB oracle for :func:`soft404_detect` — same shingles, same
+    left join, same degenerate rules. ``pages_cte`` must yield
+    (host, url, text); ``probes_cte`` (host, text)."""
+    toks = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "x -> x != '')"
+    )
+    shingle = (
+        "list_distinct(list_transform("
+        "range(1, greatest(len(t) - 2, 0) + 1), "
+        "i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))"
+    )
+    return f"""
+    WITH pages0 AS ({pages_cte}),
+    probes0 AS ({probes_cte}),
+    pt AS (SELECT host, url, {toks} AS t FROM pages0),
+    qt AS (SELECT host, {toks} AS t FROM probes0),
+    p AS (SELECT host, url, {shingle} AS sh_p FROM pt),
+    q AS (SELECT host, {shingle} AS sh_q FROM qt),
+    j AS (
+      SELECT p.host, p.url,
+             len(p.sh_p)::BIGINT AS n_page,
+             COALESCE(len(q.sh_q), 0)::BIGINT AS n_probe,
+             COALESCE(len(list_intersect(p.sh_p, q.sh_q)), 0)::BIGINT
+               AS n_common,
+             q.host IS NOT NULL AS probed
+      FROM p LEFT JOIN q ON p.host = q.host
+    )
+    SELECT host, url, n_page, n_probe, n_common,
+           CASE WHEN NOT probed THEN 0
+                WHEN n_page + n_probe = 0 THEN 1000
+                ELSE (1000 * n_common) // (n_page + n_probe - n_common)
+           END::BIGINT AS jaccard_milli,
+           (CASE WHEN NOT probed THEN 0
+                 WHEN n_page + n_probe = 0 THEN 1000
+                 ELSE (1000 * n_common) // (n_page + n_probe - n_common)
+            END >= {int(min_jaccard_milli)}) AS soft404
+    FROM j
+    """

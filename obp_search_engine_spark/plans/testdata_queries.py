@@ -290,6 +290,7 @@ GRADE_PRIORITY: list[str] = [
     "search_qpp_postretrieval",
     "corpus_zipf_octaves",
     "index_codec_decision",
+    "crawl_soft404_detect",
 ]
 
 

@@ -282,3 +282,59 @@ def test_cloaking_partitioning_invariant(spark):
     a = sorted(map(tuple, cloaking_detect(df.coalesce(1)).collect()))
     b = sorted(map(tuple, cloaking_detect(df.repartition(7)).collect()))
     assert a == b
+
+
+# ------------------------------------------------ soft-404 detection
+
+
+from obp_search_engine_spark.operators.mirrors import (  # noqa: E402
+    soft404_detect,
+)
+
+
+def _pages_df(spark, rows):
+    return spark.createDataFrame(rows, "host string, url string, text string")
+
+
+def _probes_df(spark, rows):
+    return spark.createDataFrame(rows, "host string, text string")
+
+
+def test_soft404_template_match_flagged(spark):
+    err = "page not found the url you requested does not exist here"
+    pages = _pages_df(
+        spark,
+        [
+            ("h1", "u1", err),
+            ("h1", "u2", "completely different real content about spark jobs"),
+        ],
+    )
+    probes = _probes_df(spark, [("h1", err)])
+    got = {r.url: r for r in soft404_detect(pages, probes).collect()}
+    assert got["u1"].soft404 and got["u1"].jaccard_milli == 1000
+    assert not got["u2"].soft404
+
+
+def test_soft404_unprobed_host_passes(spark):
+    pages = _pages_df(spark, [("h9", "u1", "some page text that is fine ok")])
+    probes = _probes_df(spark, [("h1", "error page not found here sorry")])
+    r = soft404_detect(pages, probes).first()
+    assert not r.soft404 and r.jaccard_milli == 0 and r.n_probe == 0
+
+
+def test_soft404_degenerate_both_empty(spark):
+    # shingle-free page on a shingle-free probe IS the error page
+    pages = _pages_df(spark, [("h1", "u1", "a b")])
+    probes = _probes_df(spark, [("h1", "x")])
+    r = soft404_detect(pages, probes).first()
+    assert r.jaccard_milli == 1000 and r.soft404
+
+
+def test_soft404_partial_overlap(spark):
+    # page: tokens a b c d -> shingles {a b c, b c d}; probe: a b c e
+    # -> {a b c, b c e}; common 1, union 3 -> 333
+    pages = _pages_df(spark, [("h1", "u1", "a b c d")])
+    probes = _probes_df(spark, [("h1", "a b c e")])
+    r = soft404_detect(pages, probes).first()
+    assert (r.n_page, r.n_probe, r.n_common) == (2, 2, 1)
+    assert r.jaccard_milli == 333 and not r.soft404
