@@ -166,37 +166,28 @@ def cloaking_detect(
     and n_common is ``array_intersect`` inside the projection. One
     (url, ua) shuffle + one url shuffle total; no shingle ever
     becomes its own row, so the exchange volume is the corpus text
-    itself, not corpus × shingle blowup. (Rewritten from an
-    explode+distinct shape after the sf0.1 bench showed the shingle
-    shuffle dominating at 12 s; the array form reads identically by
-    the same exact oracle.)
+    itself, not corpus × shingle blowup. (Two rounds of bench-driven
+    rework, same exact oracle throughout: first from explode+distinct
+    to the array form, then — the actual win — materializing the
+    tokens column before the shingle lambda, because an inlined
+    tokenizer expression re-evaluates per lambda element, making the
+    build O(tokens^2) per row; the sf0.1 noop-sink wall went
+    12.0 s → 1.1 s.)
     """
     from ..functions.textstats import nonempty_tokens_col
 
-    t = nonempty_tokens_col(F.lower(F.col(text_col)))
-    # guard: sequence(1, 0) DESCENDS in Spark, so sub-3-token texts
-    # must short-circuit to an empty shingle set
-    shingles = F.when(
-        F.size(t) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(t, i.cast("int")),
-                    F.element_at(t, (i + 1).cast("int")),
-                    F.element_at(t, (i + 2).cast("int")),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     empty = F.array().cast("array<string>")
     per = (
         fetches.filter(F.col(ua_col).isin([ua_a, ua_b]))
+        # tokens materialized BEFORE the shingle lambda — see
+        # _shingle3_expr on the O(tokens^2) inlining hazard
         .select(
             F.col(url_col).alias("url"),
             F.col(ua_col).alias("ua"),
-            shingles.alias("shs"),
+            nonempty_tokens_col(F.lower(F.col(text_col))).alias("_toks"),
+        )
+        .select(
+            "url", "ua", _shingle3_expr(F.col("_toks")).alias("shs")
         )
         # tolerate multiple fetch rows per (url, agent): union their
         # shingle sets, exactly like the explode+distinct form did
@@ -295,13 +286,17 @@ def cloaking_oracle_sql(
     """
 
 
-def _shingle3_expr(text_col_expr):
-    """DISTINCT 3-token shingle array of a text column expression —
-    empty array (never null) for sub-3-token texts; shared by
-    cloaking_detect and soft404_detect."""
-    from ..functions.textstats import nonempty_tokens_col
+def _shingle3_expr(t):
+    """DISTINCT 3-token shingle array from an ALREADY-MATERIALIZED
+    tokens column — empty array (never null) for sub-3-token texts;
+    shared by cloaking_detect and soft404_detect.
 
-    t = nonempty_tokens_col(F.lower(text_col_expr))
+    ``t`` must be a bound column reference (``F.col(...)``), never the
+    tokenizer expression itself: expressions referenced inside a
+    higher-order-function lambda are re-evaluated PER ELEMENT, so an
+    inlined split() turns the shingle build O(tokens^2) per row —
+    measured 10.2 s vs 0.36 s (28x) on the sf0.1 corpus. Callers
+    project the tokens in a prior select."""
     return F.when(
         F.size(t) >= 3,
         F.array_distinct(
@@ -353,16 +348,20 @@ def soft404_detect(
     and ``array_intersect`` in the projection. No shingle ever
     becomes a row.
     """
+    from ..functions.textstats import nonempty_tokens_col
+
     empty = F.array().cast("array<string>")
+    # tokens materialized BEFORE the shingle lambda — see _shingle3_expr
+    # on the O(tokens^2) inlining hazard
     p = pages.select(
         F.col(host_col).alias("host"),
         F.col(url_col).alias("url"),
-        _shingle3_expr(F.col(text_col)).alias("sh_p"),
-    )
+        nonempty_tokens_col(F.lower(F.col(text_col))).alias("_toks"),
+    ).select("host", "url", _shingle3_expr(F.col("_toks")).alias("sh_p"))
     pr = probes.select(
         F.col(host_col).alias("host"),
-        _shingle3_expr(F.col(text_col)).alias("sh_q"),
-    )
+        nonempty_tokens_col(F.lower(F.col(text_col))).alias("_toks"),
+    ).select("host", _shingle3_expr(F.col("_toks")).alias("sh_q"))
     out = (
         p.join(pr, "host", "left")
         .select(
