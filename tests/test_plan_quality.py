@@ -326,3 +326,41 @@ def test_round5_gap_encoding_single_shuffle_family(spark):
     assert "CartesianProduct" not in p
     # window partitioned by src — never the WindowExec-on-one-partition trap
     assert "Window" in p
+
+
+def test_final_round_ops_no_python_and_pushdown(spark):
+    """The round-5 closers stay JVM-side with pushed scans: codec /
+    EF / Heaps / Zipf / tau / QPP are pure Catalyst, and the two
+    shingle-compare ops keep their higher-order lambdas over a
+    MATERIALIZED tokens column (the O(tokens^2) inlining hazard —
+    see operators/mirrors.py:_shingle3_expr)."""
+    for name in (
+        "index_elias_fano_size",
+        "index_codec_decision",
+        "corpus_heaps_curve",
+        "corpus_zipf_octaves",
+        "search_eval_kendall_tau",
+        "search_qpp_postretrieval",
+        "crawl_cloaking_detect",
+        "crawl_soft404_detect",
+    ):
+        p = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "EvalPython" not in p, f"{name} fell back to Python:\n{p}"
+    for name in ("index_codec_decision", "crawl_soft404_detect"):
+        p = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "PushedFilters: [" in p
+
+
+def test_shingle_ops_materialize_tokens(spark):
+    """Regression for the lambda-inlining hazard: the shingle ops'
+    plans must contain exactly one split() evaluation per side (in the
+    projection that materializes _toks), never a split inside the
+    transform lambda body's element_at operands."""
+    for name in ("crawl_cloaking_detect", "crawl_soft404_detect"):
+        p = plan_of(REGISTRY[name].fn(spark, SF))
+        for ln in p.splitlines():
+            if "transform(" in ln and "lambdafunction" in ln:
+                assert "split(" not in ln, (
+                    f"{name}: tokenizer inlined into the shingle lambda "
+                    f"(O(tokens^2) per row):\n{ln[:400]}"
+                )
