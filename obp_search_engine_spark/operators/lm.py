@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
 from ..functions import textstats as ts
+from ..functions.folds import ordered_sums
 
 BOS = "<s>"
 
@@ -98,17 +99,19 @@ def score_avg_loglik(
         (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(alpha)))
         / (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(float(alpha)) * F.col("v"))
     )
-    agg = j.select("_doc", "pos", term.alias("t")).groupBy("_doc").agg(
-        F.count("*").alias("n_scored"),
-        F.collect_list(F.struct("pos", "t")).alias("_terms"),
-    )
-    s = F.aggregate(
-        F.array_sort("_terms"), F.lit(0.0), lambda acc, x: acc + x["t"]
+    # position-ordered strict fold via the running window
+    # (functions/folds.py) — replaces collect_list/array_sort/lambda
+    agg = ordered_sums(
+        j.select("_doc", "pos", term.alias("t")),
+        ["_doc"],
+        "pos",
+        {"_s": "t"},
+        n_alias="n_scored",
     )
     return agg.select(
         F.col("_doc").alias(id_col),
         "n_scored",
-        F.round(s / F.col("n_scored"), 6).alias("avg_ll"),
+        F.round(F.col("_s") / F.col("n_scored"), 6).alias("avg_ll"),
     )
 
 
@@ -257,17 +260,19 @@ def score_stupid_backoff(
         )
     )
     term = F.log(F.greatest(s, F.lit(1e-300)))
-    agg = j.select("_doc", "pos", term.alias("t")).groupBy("_doc").agg(
-        F.count("*").alias("n_scored"),
-        F.collect_list(F.struct("pos", "t")).alias("_terms"),
-    )
-    tsum = F.aggregate(
-        F.array_sort("_terms"), F.lit(0.0), lambda acc, x: acc + x["t"]
+    # position-ordered strict fold via the running window
+    # (functions/folds.py) — replaces collect_list/array_sort/lambda
+    agg = ordered_sums(
+        j.select("_doc", "pos", term.alias("t")),
+        ["_doc"],
+        "pos",
+        {"_s": "t"},
+        n_alias="n_scored",
     )
     return agg.select(
         F.col("_doc").alias(id_col),
         "n_scored",
-        F.round(tsum / F.col("n_scored"), 6).alias("avg_sb"),
+        F.round(F.col("_s") / F.col("n_scored"), 6).alias("avg_sb"),
     )
 
 

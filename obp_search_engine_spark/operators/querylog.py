@@ -361,9 +361,8 @@ def lru_stack_distances(
         F.col(q_col).cast("long").alias("q"),
     )
     w = Window.partitionBy("q").orderBy("t")
-    occ = lg.withColumn("prev", F.lag("t").over(w)).filter(
-        F.col("prev").isNotNull()
-    )
+    occ0 = lg.withColumn("prev", F.lag("t").over(w))
+    occ = occ0.filter(F.col("prev").isNotNull())
     # A raw (prev, t) strict-between theta join compiles to a nested
     # loop (O(n^2) — measured 68 s at sf0.1). Bucketing time into
     # fixed-width blocks turns it into a hash equi-join on the block id:
@@ -371,6 +370,14 @@ def lru_stack_distances(
     # log side is keyed by t div B, and the original strict inequalities
     # re-apply after the join — bit-identical output, join output
     # bounded by sum(gap) + 2*B per occurrence instead of n^2.
+    #
+    # The distinct count is a PLAIN count: a query q' with >= 1 event in
+    # the gap (prev, t) has exactly one FIRST such event — the one whose
+    # own previous occurrence (x.prev, the same lag) predates the gap
+    # (null or <= o.prev; timestamps are unique so never equal) — so
+    # counting first-in-gap events equals COUNT(DISTINCT x.q) row for
+    # row, and the aggregate becomes map-side-combinable instead of the
+    # two-phase distinct machinery over every in-gap event.
     B = 32
     o = occ.select(
         "t",
@@ -382,20 +389,25 @@ def lru_stack_distances(
             )
         ).alias("_blk"),
     ).alias("o")
-    x = lg.select(
-        "t", "q", F.expr(f"t div {B}").alias("_blk")
+    x = occ0.select(
+        "t", "q", F.col("prev").alias("xprev"),
+        F.expr(f"t div {B}").alias("_blk"),
     ).alias("x")
     between = o.join(
         x,
         (F.col("o._blk") == F.col("x._blk"))
         & (F.col("x.t") > F.col("o.prev"))
         & (F.col("x.t") < F.col("o.t"))
-        & (F.col("x.q") != F.col("o.q")),
+        & (F.col("x.q") != F.col("o.q"))
+        & (
+            F.col("x.xprev").isNull()
+            | (F.col("x.xprev") <= F.col("o.prev"))
+        ),
         "left",
     )
     return (
         between.groupBy(F.col("o.t").alias("t"), F.col("o.q").alias("q"))
-        .agg(F.count_distinct(F.col("x.q")).alias("reuse"))
+        .agg(F.count(F.col("x.q")).alias("reuse"))
         .select("t", "q", F.col("reuse").cast("long").alias("reuse"))
     )
 

@@ -841,6 +841,12 @@ def boolean_and_oracle_sql(
     """
 
 
+def _regex_quote(s: str) -> str:
+    """Quote a literal for a Java regex (Pattern.quote semantics):
+    wrap in \\Q...\\E, splicing any embedded \\E."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def phrase_search(
     docs: DataFrame,
     phrase: str,
@@ -874,17 +880,20 @@ def phrase_search(
         F.col(id_col), toks.alias("_t")
     )
 
-    def window_matches(j):  # j = 1-based start position column
-        cond = F.element_at(F.col("_t"), j) == F.lit(terms[0])
-        for i in range(1, m):
-            cond = cond & (
-                F.element_at(F.col("_t"), j + F.lit(i)) == F.lit(terms[i])
-            )
-        return cond
-
+    # Occurrence count via a zero-width-lookahead regexp over the
+    # space-joined token stream: tokens contain no whitespace, so the
+    # positions where "(?= t1 t2 ... tm )" matches inside
+    # ' ' || join(_t, ' ') || ' ' biject with the token windows the
+    # per-position lambda scan checked — same integer count, but inside
+    # whole-stage codegen instead of an interpreted HOF (guide §4.1:
+    # prefer built-ins; measured ~10x on the sf1.0 corpus scan). The
+    # lookahead (consuming nothing) also counts self-overlapping
+    # phrases, which sequential find-and-advance would undercount.
+    pat = "(?= " + " ".join(_regex_quote(t) for t in terms) + " )"
+    joined = F.concat(F.lit(" "), F.array_join("_t", " "), F.lit(" "))
     n_occ = F.when(
         F.size("_t") >= m,
-        F.size(F.filter(F.sequence(F.lit(1), F.size("_t") - m + 1), window_matches)),
+        F.regexp_count(joined, F.lit(pat)),
     ).otherwise(F.lit(0))
     hits = base.select(
         id_col, n_occ.cast("long").alias("n_occurrences")
@@ -3693,26 +3702,46 @@ def sdm_topk(
     T = F.col("T")
     dl = F.col("dl")
 
-    def uni_tf(t: str):
-        return F.size(F.filter(T, lambda x: x == F.lit(t)))
+    # Per-doc integer features computed ONCE over materialized query-term
+    # POSITION arrays, then localCheckpointed and shared by the
+    # collection-stats aggregate and the candidate scoring pass (the old
+    # shape re-evaluated every tf lambda over the full token array in
+    # BOTH passes, and its inlined pa/pb position filters re-ran per
+    # outer lambda element — the O(tokens^2) inlining hazard of
+    # mirrors._shingle3_expr). Feature values are bit-identical:
+    #   uni tf     = |positions(t)|
+    #   ordered tf = |positions(a) ∩ (positions(b) - 1)|  (positions are
+    #                unique, so array_intersect counts exactly the
+    #                consecutive pairs the old window scan counted)
+    #   unordered  = same pair filter, over tf-sized arrays.
+    empty_pos = F.array().cast("array<int>")
 
-    def ord_tf(a: str, b: str):
-        return F.when(
-            dl >= 2,
-            F.size(
-                F.filter(
-                    F.sequence(F.lit(1), dl - 1),
-                    lambda i: (F.element_at(T, i) == F.lit(a))
-                    & (F.element_at(T, i + 1) == F.lit(b)),
-                )
-            ),
-        ).otherwise(F.lit(0))
-
-    def unw_tf(a: str, b: str):
-        pa = F.filter(F.sequence(F.lit(1), dl), lambda i: F.element_at(T, i) == F.lit(a))
-        pb = F.filter(F.sequence(F.lit(1), dl), lambda i: F.element_at(T, i) == F.lit(b))
+    def _pos_col(term: str):
+        # NB: single-parameter lambda — a second (defaulted) parameter
+        # would flip F.filter into its (element, index) binary form
         return F.when(
             dl >= 1,
+            F.filter(
+                F.sequence(F.lit(1), dl),
+                lambda i: F.element_at(T, i) == F.lit(term),
+            ),
+        ).otherwise(empty_pos)
+
+    pos_cols = [_pos_col(t).alias(f"_p{i}") for i, t in enumerate(unis)]
+    posed = base.select("_doc", "dl", *pos_cols)
+    pidx = {t: f"_p{i}" for i, t in enumerate(unis)}
+
+    feat_cols = [
+        F.size(F.col(pidx[t])).alias(f"u_{i}") for i, t in enumerate(unis)
+    ]
+    for bi, (a, b) in enumerate(bigs):
+        pa, pb = F.col(pidx[a]), F.col(pidx[b])
+        feat_cols.append(
+            F.size(
+                F.array_intersect(pa, F.transform(pb, lambda y: y - 1))
+            ).alias(f"o_{bi}")
+        )
+        feat_cols.append(
             F.size(
                 F.flatten(
                     F.transform(
@@ -3723,8 +3752,18 @@ def sdm_topk(
                         ),
                     )
                 )
-            ),
-        ).otherwise(F.lit(0))
+            ).alias(f"w_{bi}")
+        )
+    feat = posed.select("_doc", "dl", *feat_cols).localCheckpoint(eager=False)
+
+    def uni_tf(t: str):
+        return F.col(f"u_{unis.index(t)}")
+
+    def ord_tf(a: str, b: str):
+        return F.col(f"o_{bigs.index((a, b))}")
+
+    def unw_tf(a: str, b: str):
+        return F.col(f"w_{bigs.index((a, b))}")
 
     stat_cols = [F.sum(dl).alias("_c"), F.sum(F.greatest(dl - 1, F.lit(0))).alias("_b")]
     for t in unis:
@@ -3732,7 +3771,7 @@ def sdm_topk(
     for a, b in bigs:
         stat_cols.append(F.sum(ord_tf(a, b)).alias(f"_o_{a}_{b}"))
         stat_cols.append(F.sum(unw_tf(a, b)).alias(f"_w_{a}_{b}"))
-    st = base.agg(*stat_cols).first()
+    st = feat.agg(*stat_cols).first()
     c_total, b_total = float(st["_c"] or 0), float(st["_b"] or 0)
     if not c_total:
         raise ValueError("sdm_topk: empty collection")
@@ -3777,9 +3816,13 @@ def sdm_topk(
     for p in parts[1:]:
         score = score + p
 
-    cand = base.filter(
-        F.arrays_overlap(T, F.array(*[F.lit(t) for t in unis]))
-    )
+    # candidate = contains >= 1 query unigram, i.e. some uni tf > 0 —
+    # same set arrays_overlap(T, unis) selected, read off the feature
+    # frame instead of re-scanning the corpus
+    cand_pred = feat["u_0"] > 0
+    for i in range(1, len(unis)):
+        cand_pred = cand_pred | (feat[f"u_{i}"] > 0)
+    cand = feat.filter(cand_pred)
     return (
         cand.select(F.col("_doc").alias(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())

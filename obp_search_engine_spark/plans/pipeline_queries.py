@@ -2897,14 +2897,26 @@ _TOKS_CTE = r"""
 )
 def q_cms_term_freq(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    # one tokenize+explode pass shared by registers and candidates —
-    # Catalyst does not reuse the identical subtree (same finding that
-    # motivated the lm.py/mirrors.py materialization)
-    toks = d.select(
-        F.explode(ts.nonempty_tokens_col(F.lower(F.col("text")))).alias("term")
-    ).localCheckpoint(eager=False)
-    regs = sketches.cms_registers(toks, "term", depth=4, width=64)
-    cands = toks.distinct()
+    # aggregate the token stream to (term, count) BEFORE sketching: the
+    # register matrix is a pure integer sum, so hashing each distinct
+    # term once with its count as the CMS weight yields cell-for-cell
+    # the same matrix as hashing every occurrence (counter addition is
+    # associative) — depth x |vocab| md5s instead of depth x |tokens|
+    # (guide §2.3 "aggregate before you shuffle"; the map-side-combined
+    # groupBy replaces both the raw-token checkpoint and the distinct()
+    # pass, since the vocab table IS the candidate set)
+    tc = (
+        d.select(
+            F.explode(
+                ts.nonempty_tokens_col(F.lower(F.col("text")))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("_w"))
+        .localCheckpoint(eager=False)
+    )
+    regs = sketches.cms_registers(tc, "term", depth=4, width=64, weight_col="_w")
+    cands = tc.select("term")
     return sketches.cms_estimate(regs, cands, "term", depth=4, width=64)
 
 
