@@ -91,22 +91,45 @@ def pagerank(
         return nodes.select("node", F.lit(0).cast("long").alias("rank"))
     init = scale // n
     base = ((den - num) * init) // den
-    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    # Sparse iteration state (same argument as salsa): `s` keys = nodes
+    # with at least one in-edge; rank(x) = base + coalesce(s(x), 0) for
+    # every node after iteration 1 (and = init uniformly before it). The
+    # old dense form completed ranks against `nodes` INSIDE the loop —
+    # one extra node-keyed shuffle join per iteration whose only effect
+    # was materializing constant-base rows that contribute the same
+    # c-values the LEFT join below reconstructs. Values are bit-identical
+    # to the dense formulation; the single completion against `nodes`
+    # happens once at the end.
+    s = None
     for i in range(iters):
-        contrib = (
-            ew.join(ranks, ew.src == ranks.node)
-            .select(
+        if s is None:
+            # iteration 1: every node holds exactly `init` — no join at all
+            contrib = ew.select(
                 F.col("dst"),
-                F.expr(f"({num} * rank) div ({den} * deg)").alias("c"),
+                F.expr(f"({num}L * {init}L) div ({den} * deg)").alias("c"),
             )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("rank"),
+        else:
+            contrib = ew.join(s, ew.src == s.node, "left").select(
+                F.col("dst"),
+                F.expr(
+                    f"({num}L * ({base}L + coalesce(s, 0L))) div ({den} * deg)"
+                ).alias("c"),
+            )
+        s = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").cast("long").alias("s")
         )
         if truncate_lineage and ((i + 1) % checkpoint_every == 0 or i == iters - 1):
+            s = s.localCheckpoint(eager=True)
+    if s is None:  # iters == 0: the uniform init state
+        ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    else:
+        ranks = nodes.join(s, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        )
+        if truncate_lineage:
             ranks = ranks.localCheckpoint(eager=True)
     ew.unpersist()
     nodes.unpersist()
@@ -184,25 +207,34 @@ def bfs_depths(
         .distinct()
         .persist()
     )
+    from pyspark.sql import Observation
+
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(int(s), 0) for s in sorted(set(seeds))], "node long, depth int"
     ).localCheckpoint(eager=True)
-    frontier = visited.select("node")
+    cur_depth = 0
     for d in range(1, max_depth + 1):
+        frontier = visited.filter(F.col("depth") == cur_depth).select("node")
         nxt = (
             e.join(frontier, e.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
-            break
+        # ONE job per level: the union checkpoint materializes the new
+        # level AND counts it via an Observation (the run_crawl trick) —
+        # the old shape paid a checkpoint + isEmpty probe + a second
+        # union checkpoint (3 jobs/level)
+        obs = Observation()
         visited = visited.union(
-            nxt.select("node", F.lit(d).cast("int").alias("depth"))
+            nxt.select("node", F.lit(d).cast("int").alias("depth")).observe(
+                obs, F.count(F.lit(1)).alias("n_new")
+            )
         ).localCheckpoint(eager=True)
-        frontier = nxt
+        if int(obs.get["n_new"] or 0) == 0:
+            break
+        cur_depth = d
     e.unpersist()
     return visited
 
@@ -448,33 +480,37 @@ def hits(
     init = scale // n
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
-        """(node, raw) -> (node, (raw*scale) div total) over ALL nodes,
-        absentees 0; total rides a 1-row crossJoin (broadcast)."""
+        """(node, raw) -> (node, (raw*scale) div total) SPARSE — only
+        nodes present in ``raw``; total rides a 1-row crossJoin
+        (broadcast). Absentees hold exactly 0 both before and after the
+        normalize (0 * scale div tot == 0), so completing against
+        `nodes` inside the loop (the old dense form: 2 extra node-keyed
+        shuffle joins per half-step) is pure overhead — the single
+        completion happens once at the end. Same argument as salsa;
+        values bit-identical to the dense formulation."""
         tot = raw.agg(F.sum(col).alias("_tot"))
-        return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(tot)
-            .select(
-                "node",
-                F.expr(
-                    f"(coalesce({col}, 0) * {scale}) div greatest(_tot, 1)"
-                )
-                .cast("long")
-                .alias(col),
-            )
+        return raw.crossJoin(tot).select(
+            "node",
+            F.expr(f"({col} * {scale}) div greatest(_tot, 1)")
+            .cast("long")
+            .alias(col),
         )
 
-    state = nodes.select(
-        "node",
-        F.lit(init).cast("long").alias("hub"),
-        F.lit(0).cast("long").alias("auth"),
-    )
+    # iteration 1's araw sums the uniform init hub over in-edges — no
+    # join needed: auth_raw(p) = indeg(p) * init
+    hub = None
+    auth = None
     for i in range(iters):
-        araw = (
-            e.join(state.select("node", "hub"), e.src == F.col("node"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("auth"))
-        )
+        if hub is None:
+            araw = e.groupBy(F.col("dst").alias("node")).agg(
+                (F.count("*") * F.lit(init)).cast("long").alias("auth")
+            )
+        else:
+            araw = (
+                e.join(hub, e.src == hub.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("auth"))
+            )
         auth = _normalize(araw, "auth")
         hraw = (
             e.join(auth, e.dst == auth.node)
@@ -482,15 +518,37 @@ def hits(
             .agg(F.sum("auth").alias("hub"))
         )
         hub = _normalize(hraw, "hub")
-        # ONE combined (node, hub, auth) frame and ONE checkpoint per
-        # iteration: checkpointing hub and auth separately costs a second
-        # materialization job per half-step — at small-graph bench scale
-        # the job overhead dominated (21 s -> 15 s at sf0.1, values
-        # bit-identical; at 10^10 nodes the saved pass matters more)
-        state = hub.join(auth, "node").select("node", "hub", "auth")
         if truncate_lineage:
-            state = state.localCheckpoint(eager=True)
-    out = state
+            if i == iters - 1:
+                # final iteration: carry BOTH halves into one checkpoint
+                # (auth is needed for the output assembly below)
+                state = hub.join(auth, "node", "full_outer").select(
+                    "node",
+                    F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+                    F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+                ).localCheckpoint(eager=True)
+                hub = state.select("node", "hub")
+                auth = state.select("node", "auth")
+            else:
+                # inner iterations: only hub feeds the next round — one
+                # sparse checkpoint instead of the dense 3-col join
+                hub = hub.localCheckpoint(eager=True)
+    if hub is None:  # iters == 0: the documented init state
+        out = nodes.select(
+            "node",
+            F.lit(init).cast("long").alias("hub"),
+            F.lit(0).cast("long").alias("auth"),
+        )
+    else:
+        out = (
+            nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+                F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+            )
+        )
     e.unpersist()
     nodes.unpersist()
     return out
@@ -684,20 +742,39 @@ def trustrank(
     seed_mass = lambda amt: F.when(  # noqa: E731
         F.col("is_seed"), F.lit(amt)
     ).otherwise(F.lit(0))
-    ranks = nodes.select("node", seed_mass(init).cast("long").alias("rank"))
+    seed_pred = F.col("src").isin(sset)
+    # Sparse iteration state (same argument as pagerank/salsa): after
+    # iteration i >= 1, rank(x) = seed_base(x) + coalesce(s(x), 0) where
+    # `s` holds only nodes with in-edges; the per-iteration completion
+    # against `nodes` was pure overhead. Bit-identical values.
+    s = None
     for i in range(iters):
-        contrib = (
-            ew.join(ranks, ew.src == ranks.node)
-            .select(
+        if s is None:
+            # iteration 1: only seeds hold mass — prune the edge scan to
+            # seed srcs (non-seed rows contribute exactly 0)
+            contrib = ew.filter(seed_pred).select(
                 F.col("dst"),
-                F.expr(f"({num} * rank) div ({den} * deg)").alias("c"),
+                F.expr(f"({num}L * {init}L) div ({den} * deg)").alias("c"),
             )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+        else:
+            rank_sql = (
+                f"(case when src in ({', '.join(map(str, sset))})"
+                f" then {base}L else 0L end + coalesce(s, 0L))"
+            )
+            contrib = ew.join(s, ew.src == s.node, "left").select(
+                F.col("dst"),
+                F.expr(f"({num}L * {rank_sql}) div ({den} * deg)").alias("c"),
+            )
+        s = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast("long").alias("s"))
+            .localCheckpoint(eager=True)
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+    if s is None:  # iters == 0: the seed-gated init state
+        ranks = nodes.select("node", seed_mass(init).cast("long").alias("rank"))
+    else:
+        ranks = nodes.join(s, "node", "left").select(
             "node",
-            "is_seed",
             (seed_mass(base) + F.coalesce(F.col("s"), F.lit(0)))
             .cast("long")
             .alias("rank"),
@@ -1838,19 +1915,20 @@ def _reach(e: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame:
     (col node). Same per-level join + anti-join semantics as
     :func:`bfs_depths`, minus depths; early-exits on an empty level.
 
-    Job shape: ONE checkpoint per level carrying a ``_new`` frontier
-    flag (visited ∪ newly-discovered in the same materialization),
-    plus a cheap emptiness probe against the checkpointed RDD — 2 jobs
-    per level instead of the naive 3 (checkpoint frontier, probe,
-    checkpoint union), which matters when a caller (bow-tie) runs four
-    deep sweeps back to back."""
+    Job shape: ONE job per level — the checkpoint carries a ``_new``
+    frontier flag (visited ∪ newly-discovered in the same
+    materialization) and the emptiness probe rides it as an Observation
+    (the run_crawl trick), so the old separate probe job is gone. This
+    matters when a caller (bow-tie) runs four deep sweeps back to back."""
+    from pyspark.sql import Observation
+
     visited = (
         seeds.select("node")
         .distinct()
         .withColumn("_new", F.lit(True))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_depth):
+    for lvl in range(max_depth):
         frontier = visited.filter("_new").select("node")
         nxt = (
             e.join(frontier, e.src == frontier.node)
@@ -1858,12 +1936,14 @@ def _reach(e: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
         )
+        obs = Observation()
         visited = (
             visited.select("node", F.lit(False).alias("_new"))
             .union(nxt.select("node", F.lit(True).alias("_new")))
+            .observe(obs, F.sum(F.col("_new").cast("long")).alias("n_new"))
             .localCheckpoint(eager=True)
         )
-        if visited.filter("_new").isEmpty():
+        if int(obs.get["n_new"] or 0) == 0:
             break
     return visited.select("node")
 

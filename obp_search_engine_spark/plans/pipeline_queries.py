@@ -2831,7 +2831,16 @@ def q_host_change_rates(spark, sf_dir):
         .unionByName(new.select("doc_id", "source"))
         .distinct()
     )
-    return snapshots.change_rate(st.join(hosts, "doc_id"), "source")
+    rates = snapshots.change_rate(st.join(hosts, "doc_id"), "source")
+    # the oracle's SUM((...)::BIGINT) returns HUGEINT, which DuckDB hands
+    # to pandas as float64 — match that serialization (equal values,
+    # driver hashes the fetched frame) by emitting DOUBLE counts here
+    return rates.select(
+        "source",
+        *[F.col(c).cast("double").alias(c)
+          for c in ("n_unchanged", "n_changed", "n_gone", "n_new")],
+        "changed_ratio",
+    )
 
 
 @register(

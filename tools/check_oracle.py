@@ -126,6 +126,22 @@ def main() -> int:
             report[name] = {"status": "fail", "detail": f"rows {len(a)} vs {len(b)}"}
             n_fail += 1
             continue
+        # dtype-strict gate: the driver hashes the SERIALIZED frames, so an
+        # int64-vs-float64 column (e.g. DuckDB HUGEINT fetched as float)
+        # fails there even when Python == says the values match. Catch it
+        # here so the local sweep is a faithful driver proxy.
+        dtype_bad = [
+            c
+            for c in a.columns
+            if (a[c].dtype.kind in "iu") != (b[c].dtype.kind in "iu")
+            and {a[c].dtype.kind, b[c].dtype.kind} <= set("iuf")
+        ]
+        if dtype_bad:
+            det = {c: f"{a[c].dtype}!={b[c].dtype}" for c in dtype_bad}
+            print(f"FAIL  {name}: int/float dtype mismatch {det}")
+            report[name] = {"status": "fail", "detail": f"dtype mismatch {det}"}
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(
                 a, b, check_dtype=False, check_exact=True, check_datetimelike_compat=True
