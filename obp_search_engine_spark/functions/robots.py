@@ -106,18 +106,31 @@ def disallowed(url_path: str, rules: str) -> bool:
 
 
 def filter_robots_allowed(
-    urls: DataFrame, host_state: DataFrame, url_col: str = "url"
+    urls: DataFrame,
+    host_state: DataFrame,
+    url_col: str = "url",
+    broadcast_rules: bool | None = None,
 ) -> DataFrame:
     """Drop urls whose path is disallowed by their host's rules.
 
     JVM-side: explode each host's (few) rules, prefix-test with startswith,
-    longest-match + allow-wins aggregation. host_state is per-host tiny, so
-    the join broadcasts; rows of hosts with no rules pass through."""
+    longest-match + allow-wins aggregation; rows of hosts with no rules
+    pass through.
+
+    Join strategy is SIZE-GATED, not hard-coded: per-host rulebooks at
+    10^8-host scale do not broadcast, so ``broadcast_rules=None`` (the
+    default) leaves the choice to the planner/AQE — a small rulebook
+    still becomes a runtime broadcast join, a huge one degrades to a
+    plain shuffled equi-join on host instead of an OOM. Callers that
+    KNOW the rulebook is bounded (fixtures, a vetted host subset) can
+    force the old hint with ``broadcast_rules=True``."""
     rules = host_state.select(
         "host", F.split(F.coalesce(F.col("robots_rules"), F.lit("")), r"\|").alias("_rules")
     )
+    if broadcast_rules:
+        rules = F.broadcast(rules)
     u = urls.withColumn("_path", path_of(F.col(url_col)))
-    joined = u.join(F.broadcast(rules), "host", "left")
+    joined = u.join(rules, "host", "left")
     # per url: longest matching prefix; allow wins ties
     matches = F.filter(
         F.coalesce(F.col("_rules"), F.array()),

@@ -2656,23 +2656,42 @@ def personalized_pagerank(
     init = scale // len(seeds)
     base = ((den - num) * init) // den
     is_seed = F.col("node").isin(seeds)
-    ranks = nodes.select(
-        "node",
-        F.when(is_seed, F.lit(init)).otherwise(F.lit(0))
-        .cast("long")
-        .alias("rank"),
-    )
+    # Sparse iteration state (same argument as pagerank/trustrank):
+    # rank(x) = seed_base(x) + coalesce(s(x), 0) after iteration 1; the
+    # per-iteration completion against the dense node set was pure
+    # overhead. Bit-identical integer values.
+    seed_list = ", ".join(map(str, seeds))
+    s = None
     for i in range(iters):
-        contrib = (
-            ew.join(ranks, ew.src == ranks.node)
-            .select(
+        if s is None:
+            # iteration 1: only seeds hold mass
+            contrib = ew.filter(F.col("src").isin(seeds)).select(
                 F.col("dst"),
-                F.expr(f"({num} * rank) div ({den} * deg)").alias("c"),
+                F.expr(f"({num}L * {init}L) div ({den} * deg)").alias("c"),
             )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+        else:
+            rank_sql = (
+                f"(case when src in ({seed_list})"
+                f" then {base}L else 0L end + coalesce(s, 0L))"
+            )
+            contrib = ew.join(s, ew.src == s.node, "left").select(
+                F.col("dst"),
+                F.expr(f"({num}L * {rank_sql}) div ({den} * deg)").alias("c"),
+            )
+        s = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").cast("long").alias("s")
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        if truncate_lineage:
+            s = s.localCheckpoint(eager=True)
+    if s is None:  # iters == 0: the seed-gated init state
+        ranks = nodes.select(
+            "node",
+            F.when(is_seed, F.lit(init)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank"),
+        )
+    else:
+        ranks = nodes.join(s, "node", "left").select(
             "node",
             (
                 F.when(is_seed, F.lit(base)).otherwise(F.lit(0))

@@ -73,9 +73,12 @@ def gopher_flags(
     100 TB shape: one projection, no shuffle at all — every rule is an
     aggregate lambda over the split arrays inside whole-stage codegen.
     """
-    words = _words(F.col(text_col))
-    lines = _lines(F.col(text_col))
-    lower = F.lower(F.col(text_col))
+    # words/lines arrays materialized ONCE in a first projection — the
+    # old inlined form re-ran the split as the target of every
+    # higher-order function (5 word splits + 2 line splits per row; the
+    # b380772 lesson applied at the 1x-per-HOF level). Same values.
+    words = F.col("_w")
+    lines = F.col("_ln")
     n_words = F.size(words)
     n_lines = F.size(lines)
     total_chars = F.aggregate(
@@ -102,11 +105,16 @@ def gopher_flags(
     )
     n_stop = F.size(
         F.array_intersect(
-            F.array_distinct(_words(lower)),
+            F.array_distinct(F.transform(words, F.lower)),
             F.array([F.lit(s) for s in GOPHER_STOPWORDS]),
         )
     )
     d = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        _words(F.col(text_col)).alias("_w"),
+        _lines(F.col(text_col)).alias("_ln"),
+    ).select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         n_lines.cast("long").alias("n_lines"),

@@ -428,7 +428,10 @@ def lru_hit_curve(
     Output: (capacity, hits, total, hit_rate) — hit_rate rounded to 6
     decimals, exact-oracle graded."""
     sd = lru_stack_distances(log, q_col=q_col, t_col=t_col)
-    total = log.count()
+    # total rides the plan as a broadcast 1-row aggregate — the old
+    # log.count() driver action re-derived the (md5-synthesized) log a
+    # second time at construction (guide §5)
+    tot = log.agg(F.count("*").cast("long").alias("_total"))
     caps = F.array([F.lit(int(k)) for k in capacities])
     per_cap = (
         sd.select(F.explode(caps).alias("capacity"), "reuse")
@@ -445,12 +448,13 @@ def lru_hit_curve(
     )
     return (
         base.join(per_cap, "capacity", "left")
+        .crossJoin(F.broadcast(tot))
         .select(
             "capacity",
             F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
-            F.lit(int(total)).cast("long").alias("total"),
+            F.col("_total").alias("total"),
             F.round(
-                F.coalesce("hits", F.lit(0)) / F.lit(int(total)), 6
+                F.coalesce("hits", F.lit(0)) / F.col("_total"), 6
             ).alias("hit_rate"),
         )
     )

@@ -4305,7 +4305,9 @@ def q_ccnet_pipeline(spark, sf_dir):
         "n_scored",
         "avg_ll",
         F.round(F.col("avg_ll") * 1000000).cast("long").alias("score_micro"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ three consumers (nn, hist, the final join) — without the pin the
+    # whole lang-gate -> paragraph-dedup -> LM chain re-ran per consumer
     nn = sm.agg(F.count("*").cast("long").alias("_n"))
     hist = sm.groupBy("score_micro").agg(F.count("*").cast("long").alias("_c"))
     off = hist.select(

@@ -364,3 +364,33 @@ def test_shingle_ops_materialize_tokens(spark):
                     f"{name}: tokenizer inlined into the shingle lambda "
                     f"(O(tokens^2) per row):\n{ln[:400]}"
                 )
+
+
+def test_robots_rulebook_join_is_size_gated(spark):
+    """The per-host rulebook must not be unconditionally broadcast: at
+    10^8-host scale it does not fit an executor. Default = planner/AQE
+    picks (no BROADCAST hint baked into the plan tree); the explicit
+    broadcast_rules=True escape hatch still produces the hint for
+    callers that KNOW the rulebook is bounded."""
+    from obp_search_engine_spark.functions.robots import filter_robots_allowed
+
+    urls = spark.createDataFrame(
+        [("h1", "http://h1/x")], "host string, url string"
+    )
+    hs = spark.createDataFrame(
+        [("h1", "D:/private")], "host string, robots_rules string"
+    )
+    gated = filter_robots_allowed(urls, hs)
+    forced = filter_robots_allowed(urls, hs, broadcast_rules=True)
+
+    def logical(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # the forced path carries the broadcast hint into planning; the
+    # gated path leaves strategy to size estimates / AQE
+    assert "ResolvedHint" in logical(forced) or "BroadcastHashJoin" in plan_of(forced)
+    assert "ResolvedHint" not in logical(gated)
+    # same rows either way on the fixture
+    assert sorted(r.url for r in gated.collect()) == sorted(
+        r.url for r in forced.collect()
+    )
