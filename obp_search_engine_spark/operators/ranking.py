@@ -51,6 +51,12 @@ def _term_freqs(
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_doc"), toks.alias("_t")
     )
+    return _term_freqs_from_tokens(base)
+
+
+def _term_freqs_from_tokens(base: DataFrame) -> DataFrame:
+    """:func:`_term_freqs` over an already-tokenized (_doc, _t) frame —
+    lets a pipeline share ONE tokenize pass across consumers."""
     return (
         base.select("_doc", F.size("_t").alias("_dl"), F.explode("_t").alias("term"))
         .groupBy("_doc", "_dl", "term")
@@ -2656,10 +2662,17 @@ def serve_search_pipeline(
     ASC — one row per result-page hit.
     """
     corpus = docs.filter(F.col(text_col).isNotNull())
-    # ONE corpus tokenize+explode pass shared by the spell dictionary and
-    # the BM25 tf stage (the old shape ran _term_freqs twice); pinned
-    # lazily so both consumers read the materialized postings
-    tf0 = _term_freqs(corpus, text_col, id_col).localCheckpoint(eager=False)
+    # ONE corpus tokenize pass shared by ALL consumers — the spell
+    # dictionary + BM25 tf stage (via tf0), the (n, avgdl) stats, and
+    # the snippet token arrays each used to re-tokenize the corpus (3
+    # passes + a construction-time .first()); the pinned token frame
+    # feeds every one of them. Zero-token docs keep their empty array
+    # here, so n/avgdl still count them.
+    tokd = corpus.select(
+        F.col(id_col).alias("_doc"),
+        nonempty_tokens_col(F.lower(F.col(text_col))).alias("_t"),
+    ).localCheckpoint(eager=False)
+    tf0 = _term_freqs_from_tokens(tokd).localCheckpoint(eager=False)
     corrected = (
         spell_suggest_topk(
             docs, raw_terms, k=1, text_col=text_col, id_col=id_col,
@@ -2672,11 +2685,8 @@ def serve_search_pipeline(
     )
     # (n, avgdl) ride the plan as a broadcast 1-row aggregate — the old
     # .first() paid an extra corpus pass as a construction-time driver
-    # action (same rewrite as _bm25_components; stats must still scan the
-    # corpus, not tf0: zero-token docs count toward n and avgdl)
-    stats = corpus.select(
-        F.size(nonempty_tokens_col(F.lower(F.col(text_col)))).alias("_dl")
-    ).agg(
+    # action (same rewrite as _bm25_components)
+    stats = tokd.select(F.size("_t").alias("_dl")).agg(
         F.count("*").cast("double").alias("_n"), F.avg("_dl").alias("_avgdl")
     )
 
@@ -2711,8 +2721,7 @@ def serve_search_pipeline(
         .limit(k)
     )
 
-    toks = nonempty_tokens_col(F.lower(F.col(text_col)))
-    hit_toks = corpus.select(F.col(id_col), toks.alias("_t")).join(
+    hit_toks = tokd.select(F.col("_doc").alias(id_col), "_t").join(
         topk, id_col, "left_semi"
     )
     pos = (
