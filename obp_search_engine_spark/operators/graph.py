@@ -207,36 +207,42 @@ def bfs_depths(
         .distinct()
         .persist()
     )
+    from functools import reduce
+
     from pyspark.sql import Observation
 
     spark = edges.sparkSession
-    visited = spark.createDataFrame(
-        [(int(s), 0) for s in sorted(set(seeds))], "node long, depth int"
-    ).localCheckpoint(eager=True)
-    cur_depth = 0
+    # ONE job per level: the new-level checkpoint carries an Observation
+    # that counts it (the run_crawl trick), so the early-exit probe and
+    # the frontier both read the just-materialized level for free. The
+    # visited set is never re-materialized — the anti-join probes the
+    # union of the per-level checkpoint scans (no recompute: each is an
+    # in-memory RDD scan), avoiding the O(|visited|) rewrite per level
+    # that a running union-checkpoint pays.
+    levels = [
+        spark.createDataFrame(
+            [(int(s), 0) for s in sorted(set(seeds))], "node long, depth int"
+        ).localCheckpoint(eager=True)
+    ]
+    frontier = levels[0].select("node")
     for d in range(1, max_depth + 1):
-        frontier = visited.filter(F.col("depth") == cur_depth).select("node")
+        visited = reduce(lambda a, b: a.union(b), levels)
+        obs = Observation()
         nxt = (
             e.join(frontier, e.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("int").alias("depth"))
+            .observe(obs, F.count(F.lit(1)).alias("n_new"))
+            .localCheckpoint(eager=True)
         )
-        # ONE job per level: the union checkpoint materializes the new
-        # level AND counts it via an Observation (the run_crawl trick) —
-        # the old shape paid a checkpoint + isEmpty probe + a second
-        # union checkpoint (3 jobs/level)
-        obs = Observation()
-        visited = visited.union(
-            nxt.select("node", F.lit(d).cast("int").alias("depth")).observe(
-                obs, F.count(F.lit(1)).alias("n_new")
-            )
-        ).localCheckpoint(eager=True)
         if int(obs.get["n_new"] or 0) == 0:
             break
-        cur_depth = d
+        levels.append(nxt)
+        frontier = nxt.select("node")
     e.unpersist()
-    return visited
+    return reduce(lambda a, b: a.union(b), levels)
 
 
 def bfs_oracle_sql(
